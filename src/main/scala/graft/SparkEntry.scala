@@ -1,13 +1,257 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.validators._
+import graft.ops.Exprs._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2.
+  *
+  * Every query is the DataFrame form of a validator/operator in the graft
+  * catalog; `oracleSql` holds the ANSI-SQL restatement DuckDB runs on the
+  * same parquet tables. Column names are aliased identically on both sides
+  * (the driver sorts columns by name before hashing). Multi-row results
+  * carry an explicit ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: run a real validation suite through the fused single-pass
+    * kernel on sf0.001 lineitem and emit the issues as a DataFrame. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val df = table(spark, "/root/testdata/sf0.001", "lineitem")
+    val result = SuiteRunner.run(df, Seq(
+      NullCheck(Seq("l_orderkey", "l_quantity")),
+      UniqueCheck(Seq("l_orderkey", "l_linenumber")),
+      RangeCheck("l_quantity", Some(1), Some(45)),
+      SignCheck("l_extendedprice"),
+      SetMembershipCheck("l_returnflag", Seq("A", "N", "R")),
+      RowCountCheck(min = 1)
+    ), SuiteRunner.Config(datasetName = "lineitem"))
+    // one row per check — always non-empty
+    result.checks.map(c => (c.validator, c.category, c.passed,
+      c.issues.map(_.count).sum)).toDF("validator", "category", "passed", "issue_count")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- completeness (§2.2) ----
+    "q01_null_metrics" -> ((s, dir) => {
+      table(s, dir, "customer").agg(
+        count(lit(1)).as("total"),
+        nullCount("c_name").as("c_name_nulls"),
+        nullCount("c_acctbal").as("c_acctbal_nulls"),
+        nullCount("c_mktsegment").as("c_mktsegment_nulls"))
+    }),
+    "q08_empty_strings" -> ((s, dir) => {
+      table(s, dir, "documents").agg(
+        emptyCount("text").as("empty_text"),
+        cnt(col("text") === "").as("strict_empty_text"),
+        count(lit(1)).as("total"))
+    }),
+
+    // ---- uniqueness (§2.3) ----
+    "q02_unique_custkey" -> ((s, dir) => {
+      table(s, dir, "customer").agg(
+        count(lit(1)).as("total"),
+        count_distinct(struct(col("c_custkey"))).as("distinct_keys"),
+        duplicateRows(Seq("c_custkey")).as("dup_rows"))
+    }),
+    "q03_duplicate_groups" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(count(lit(1)).as("dup_groups"),
+             sum(col("c") - 1).cast("long").as("excess_rows"))
+    }),
+    "q04_pk_lineitem" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        nullCount("l_orderkey").as("null_orderkey"),
+        nullCount("l_linenumber").as("null_linenumber"),
+        duplicateRows(Seq("l_orderkey", "l_linenumber")).as("dup_rows"))
+    }),
+    "q16_distinct_counts" -> ((s, dir) => {
+      table(s, dir, "orders").agg(
+        count_distinct(struct(col("o_orderstatus"))).as("d_status"),
+        count_distinct(struct(col("o_orderpriority"))).as("d_priority"),
+        count_distinct(struct(col("o_custkey"))).as("d_custkey"))
+    }),
+
+    // ---- distribution (§2.4) ----
+    "q05_range_quantity" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        outOfRange("l_quantity", 1, 50).as("outside_1_50"),
+        outOfRange("l_quantity", 1, 45).as("outside_1_45"),
+        outOfRange("l_discount", 0.0, 0.08).as("discount_gt_008"))
+    }),
+    "q06_sign_acctbal" -> ((s, dir) => {
+      table(s, dir, "customer").agg(
+        belowCount("c_acctbal", 0).as("negative"),
+        cnt(col("c_acctbal") <= 0).as("non_positive"))
+    }),
+    "q07_set_membership" -> ((s, dir) => {
+      table(s, dir, "orders").agg(
+        notInSet("o_orderstatus", Seq("O", "F")).as("status_not_of"),
+        notInSet("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")).as("bad_priority"))
+    }),
+    "q10_iqr_outliers" -> ((s, dir) => {
+      // two-pass IQR fences (truthound distribution/outlier.py:18 semantics)
+      val df = table(s, dir, "orders")
+      val r = df.agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+                     expr("percentile(o_totalprice, 0.75)").as("q3")).head()
+      val (q1, q3) = (r.getDouble(0), r.getDouble(1))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      df.agg(cnt(col("o_totalprice") < lo || col("o_totalprice") > hi)
+        .as("iqr_outliers"))
+    }),
+    "q11_zscore_outliers" -> ((s, dir) => {
+      val df = table(s, dir, "events")
+      val r = df.agg(avg(col("value")).as("m"),
+                     stddev_samp(col("value")).as("sd")).head()
+      val (m, sd) = (r.getDouble(0), r.getDouble(1))
+      df.agg(cnt(abs(col("value") - m) / sd > 3.0).as("z3_outliers"),
+             cnt(abs(col("value") - m) / sd > 2.0).as("z2_outliers"))
+    }),
+    "q12_monotonic_per_user" -> ((s, dir) => {
+      // IncreasingValidator along (ts, event_id) within each user partition
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .agg(cnt(col("prev").isNotNull && col("value") < col("prev"))
+          .as("inversions"))
+    }),
+    "q13_mode_orderstatus" -> ((s, dir) => {
+      table(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("o_orderstatus")).limit(1)
+    }),
+
+    // ---- aggregate / profiling (§2.7, §2.18) ----
+    "q09_agg_stats" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(col("l_quantity")).as("cnt_qty"))
+    }),
+    "q14_entropy_status" -> ((s, dir) => {
+      table(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(round(entropyFromCounts("cnt"), 6).as("entropy_nats"))
+    }),
+
+    // ---- schema / multi-column (§2.1, §2.10) ----
+    "q15_pair_checks" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        cnt(col("l_extendedprice") <= col("l_quantity")).as("price_le_qty"),
+        cnt(col("l_discount") > col("l_tax")).as("discount_gt_tax"))
+    }),
+    "q18_sum_relation" -> ((s, dir) => {
+      // MultiColumnCalculation: derived revenue with exact decimal arithmetic
+      // (double->decimal(·,2) recovers the intended cents identically in both
+      // engines; decimal mult+sum is then exact).
+      table(s, dir, "lineitem").agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(28,4)").as("revenue"))
+    }),
+
+    // ---- table-level (§2.11) ----
+    "q17_freshness_events" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        unix_micros(max(col("ts"))).as("max_ts_us"),
+        unix_micros(min(col("ts"))).as("min_ts_us"),
+        count(lit(1)).as("total"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_null_metrics" ->
+      """SELECT count(*) AS total,
+         count(*) - count(c_name) AS c_name_nulls,
+         count(*) - count(c_acctbal) AS c_acctbal_nulls,
+         count(*) - count(c_mktsegment) AS c_mktsegment_nulls
+         FROM customer""",
+    "q08_empty_strings" ->
+      """SELECT count(*) FILTER (WHERE trim(text) = '') AS empty_text,
+         count(*) FILTER (WHERE text = '') AS strict_empty_text,
+         count(*) AS total FROM documents""",
+    "q02_unique_custkey" ->
+      """SELECT count(*) AS total,
+         count(DISTINCT c_custkey) AS distinct_keys,
+         count(*) - count(DISTINCT c_custkey) AS dup_rows
+         FROM customer""",
+    "q03_duplicate_groups" ->
+      """SELECT count(*) AS dup_groups,
+         CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS excess_rows
+         FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+               FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""",
+    "q04_pk_lineitem" ->
+      """SELECT count(*) - count(l_orderkey) AS null_orderkey,
+         count(*) - count(l_linenumber) AS null_linenumber,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_rows
+         FROM lineitem""",
+    "q16_distinct_counts" ->
+      """SELECT count(DISTINCT o_orderstatus) AS d_status,
+         count(DISTINCT o_orderpriority) AS d_priority,
+         count(DISTINCT o_custkey) AS d_custkey FROM orders""",
+    "q05_range_quantity" ->
+      """SELECT count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS outside_1_50,
+         count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS outside_1_45,
+         count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.08) AS discount_gt_008
+         FROM lineitem""",
+    "q06_sign_acctbal" ->
+      """SELECT count(*) FILTER (WHERE c_acctbal < 0) AS negative,
+         count(*) FILTER (WHERE c_acctbal <= 0) AS non_positive
+         FROM customer""",
+    "q07_set_membership" ->
+      """SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F')
+           AND o_orderstatus IS NOT NULL) AS status_not_of,
+         count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH',
+           '3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+           AND o_orderpriority IS NOT NULL) AS bad_priority
+         FROM orders""",
+    "q10_iqr_outliers" ->
+      """WITH s AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                           quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+         SELECT count(*) FILTER (WHERE o_totalprice < q1 - 1.5*(q3-q1)
+           OR o_totalprice > q3 + 1.5*(q3-q1)) AS iqr_outliers
+         FROM orders, s""",
+    "q11_zscore_outliers" ->
+      """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+         SELECT count(*) FILTER (WHERE abs(value - m) / sd > 3.0) AS z3_outliers,
+                count(*) FILTER (WHERE abs(value - m) / sd > 2.0) AS z2_outliers
+         FROM events, s""",
+    "q12_monotonic_per_user" ->
+      """SELECT count(*) FILTER (WHERE prev IS NOT NULL AND value < prev) AS inversions
+         FROM (SELECT value, lag(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)""",
+    "q13_mode_orderstatus" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+         GROUP BY 1 ORDER BY cnt DESC, o_orderstatus LIMIT 1""",
+    "q09_agg_stats" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         sum(l_quantity) AS sum_qty, round(avg(l_quantity), 6) AS avg_qty,
+         count(l_quantity) AS cnt_qty FROM lineitem""",
+    "q14_entropy_status" ->
+      """WITH g AS (SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1)
+         SELECT round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+           AS entropy_nats FROM g""",
+    "q15_pair_checks" ->
+      """SELECT count(*) FILTER (WHERE l_extendedprice <= l_quantity) AS price_le_qty,
+         count(*) FILTER (WHERE l_discount > l_tax) AS discount_gt_tax
+         FROM lineitem""",
+    "q18_sum_relation" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+         AS DECIMAL(28,4)) AS revenue FROM lineitem""",
+    "q17_freshness_events" ->
+      """SELECT epoch_us(max(ts)) AS max_ts_us, epoch_us(min(ts)) AS min_ts_us,
+         count(*) AS total FROM events"""
+  )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reusable aggregate-expression builders shared by the validator catalog
+  * and the query surface. Everything here is a plain Catalyst `Column`, so
+  * any combination fuses into one whole-stage-codegen'd aggregation pass
+  * with map-side partial aggregation — the only shape that survives 100 TB.
+  */
+object Exprs {
+  /** count of rows where `p` (null-safe: null predicate counts as false). */
+  def cnt(p: Column): Column = count(when(p, 1))
+
+  def nullCount(c: String): Column = cnt(col(c).isNull)
+  def emptyCount(c: String): Column = cnt(trim(col(c)) === "")
+  def nanCount(c: String): Column = cnt(isnan(col(c)))
+
+  def outOfRange(c: String, lo: Double, hi: Double): Column =
+    cnt(col(c) < lo || col(c) > hi)
+  def belowCount(c: String, lo: Double): Column = cnt(col(c) < lo)
+  def notInSet(c: String, values: Seq[String]): Column =
+    cnt(!col(c).isin(values: _*) && col(c).isNotNull)
+
+  /** duplicate rows over a (composite) key = total - distinct. The struct
+    * wrapper keeps NULL-keyed rows in the distinct count. */
+  def duplicateRows(keyCols: Seq[String]): Column =
+    count(lit(1)) - count_distinct(struct(keyCols.map(col): _*))
+
+  def regexMissCount(c: String, pattern: String): Column =
+    cnt(col(c).isNotNull && !col(c).rlike(pattern))
+
+  /** Shannon entropy (nats) of a categorical column from its group counts;
+    * call on the OUTPUT of df.groupBy(c).count() — shuffle is O(distinct). */
+  def entropyFromCounts(countCol: String = "cnt"): Column = {
+    val total = sum(col(countCol)).cast("double")
+    -sum(col(countCol) * log(col(countCol)))./(total) + log(total)
+  }
+
+  /** Loads a test table. Filter/projection pushdown reaches the parquet
+    * scan because this returns the raw relation untouched.
+    *
+    * Nanosecond-precision parquet timestamps (events.ts) are unsupported by
+    * Spark's vectorized reader; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader restores
+    * timestamp semantics (truncated to Spark's native microseconds). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session settings every graft entrypoint applies. */
+  def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}
