@@ -167,6 +167,102 @@ object SparkEntry {
         unix_micros(max(col("ts"))).as("max_ts_us"),
         unix_micros(min(col("ts"))).as("min_ts_us"),
         count(lit(1)).as("total"))
+    }),
+
+    // ---- string (§2.5) ----
+    "q19_regex_formats" -> ((s, dir) => {
+      table(s, dir, "supplier").agg(
+        cnt(col("s_name").isNotNull &&
+          !col("s_name").rlike(graft.validators.Formats.email)).as("not_email"),
+        cnt(col("s_name").isNotNull &&
+          !col("s_name").rlike("^Supplier#[0-9]{9}$")).as("bad_supplier_fmt"),
+        cnt(col("s_name").isNotNull &&
+          !col("s_name").like("Supplier#%")).as("not_like_supplier"))
+    }),
+    "q20_length_check" -> ((s, dir) => {
+      table(s, dir, "documents").agg(
+        cnt(col("text").isNotNull && length(col("text")) < 100).as("short_docs"),
+        cnt(col("text").isNotNull && length(col("text")) > 400).as("long_docs"),
+        min(length(col("text"))).as("min_len"),
+        max(length(col("text"))).as("max_len"))
+    }),
+    "q21_json_parseable" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        cnt(col("props").isNotNull && try_parse_json(col("props")).isNull)
+          .as("invalid_json"),
+        cnt(try_parse_json(col("props")).isNotNull).as("valid_json"))
+    }),
+    "q22_casing" -> ((s, dir) => {
+      table(s, dir, "part").agg(
+        cnt(col("p_name").isNotNull && col("p_name") =!= lower(col("p_name")))
+          .as("not_lower"),
+        cnt(col("p_brand").isNotNull && col("p_brand") =!= upper(col("p_brand")))
+          .as("brand_not_upper"))
+    }),
+
+    // ---- datetime (§2.6) ----
+    "q23_date_range" -> ((s, dir) => {
+      val jan = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      table(s, dir, "events").agg(
+        cnt(col("ts") > lit(jan)).as("after_jan15"),
+        cnt(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .as("before_2024"))
+    }),
+    "q25_date_part_coverage" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        count_distinct(dayofweek(col("ts"))).as("d_dow"),
+        count_distinct(hour(col("ts"))).as("d_hour"),
+        count_distinct(dayofmonth(col("ts"))).as("d_day"))
+    }),
+    "q34_grouped_freshness" -> ((s, dir) => {
+      table(s, dir, "events").groupBy(col("event_type"))
+        .agg(unix_micros(max(col("ts"))).as("max_ts_us"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- aggregate (§2.7) ----
+    "q26_agg_between" -> ((s, dir) => {
+      table(s, dir, "orders").agg(
+        round(avg(col("o_totalprice")), 6).as("mean_price"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+        round(stddev_samp(col("o_totalprice")), 6).as("std_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    }),
+    "q27_inferred_type" -> ((s, dir) => {
+      table(s, dir, "documents").agg(
+        cnt(expr("try_cast(lang AS DOUBLE)").isNotNull).as("lang_numeric"),
+        cnt(expr("try_cast(source AS DOUBLE)").isNotNull).as("source_numeric"),
+        cnt(try_to_timestamp(col("lang")).isNotNull).as("lang_dateish"))
+    }),
+
+    // ---- multi-column (§2.10) ----
+    "q28_correlation" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+    }),
+    "q29_consistency" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        cnt(col("props").isNotNull && col("value").isNotNull).as("coexist_both"),
+        cnt(col("props").isNotNull && col("value").isNull).as("implication_viol"))
+    }),
+    "q30_arithmetic_relation" -> ((s, dir) => {
+      table(s, dir, "documents").agg(
+        cnt(abs(length(col("text")) - col("n_chars")) > 0).as("nchars_mismatch"),
+        cnt(col("n_chars") <= 0).as("nonpositive_nchars"))
+    }),
+    "q31_shape_moments" -> ((s, dir) => {
+      val df = table(s, dir, "orders")
+      val r = df.agg(avg(col("o_totalprice")), stddev_pop(col("o_totalprice"))).head()
+      val (mu, sd) = (r.getDouble(0), r.getDouble(1))
+      df.agg(
+        round(avg(pow(col("o_totalprice") - mu, 2)) / (sd * sd), 6).as("m2_norm"),
+        cnt(col("o_totalprice") > mu + 2 * sd).as("above_2sd"))
+    }),
+    "q32_topk_event_types" -> ((s, dir) => {
+      graft.validators.TopK(table(s, dir, "events"), "event_type", 3)
     })
   )
 
@@ -252,6 +348,83 @@ object SparkEntry {
          AS DECIMAL(28,4)) AS revenue FROM lineitem""",
     "q17_freshness_events" ->
       """SELECT epoch_us(max(ts)) AS max_ts_us, epoch_us(min(ts)) AS min_ts_us,
-         count(*) AS total FROM events"""
+         count(*) AS total FROM events""",
+    "q19_regex_formats" ->
+      """SELECT count(*) FILTER (WHERE s_name IS NOT NULL AND NOT
+           regexp_matches(s_name, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$'))
+           AS not_email,
+         count(*) FILTER (WHERE s_name IS NOT NULL AND NOT
+           regexp_matches(s_name, '^Supplier#[0-9]{9}$')) AS bad_supplier_fmt,
+         count(*) FILTER (WHERE s_name IS NOT NULL AND s_name NOT LIKE 'Supplier#%')
+           AS not_like_supplier
+         FROM supplier""",
+    "q20_length_check" ->
+      """SELECT count(*) FILTER (WHERE text IS NOT NULL AND length(text) < 100)
+           AS short_docs,
+         count(*) FILTER (WHERE text IS NOT NULL AND length(text) > 400) AS long_docs,
+         min(length(text)) AS min_len, max(length(text)) AS max_len
+         FROM documents""",
+    "q21_json_parseable" ->
+      """SELECT count(*) FILTER (WHERE props IS NOT NULL AND NOT json_valid(props))
+           AS invalid_json,
+         count(*) FILTER (WHERE props IS NOT NULL AND json_valid(props))
+           AS valid_json
+         FROM events""",
+    "q22_casing" ->
+      """SELECT count(*) FILTER (WHERE p_name IS NOT NULL AND p_name <> lower(p_name))
+           AS not_lower,
+         count(*) FILTER (WHERE p_brand IS NOT NULL AND p_brand <> upper(p_brand))
+           AS brand_not_upper
+         FROM part""",
+    "q23_date_range" ->
+      """SELECT count(*) FILTER (WHERE ts > TIMESTAMP '2024-01-15 00:00:00')
+           AS after_jan15,
+         count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01 00:00:00') AS before_2024
+         FROM events""",
+    "q25_date_part_coverage" ->
+      """SELECT count(DISTINCT dayofweek(ts)) AS d_dow,
+         count(DISTINCT hour(ts)) AS d_hour,
+         count(DISTINCT day(ts)) AS d_day FROM events""",
+    "q34_grouped_freshness" ->
+      """SELECT event_type, epoch_us(max(ts)) AS max_ts_us, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q26_agg_between" ->
+      """SELECT round(avg(o_totalprice), 6) AS mean_price,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+         round(stddev_samp(o_totalprice), 6) AS std_price,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders""",
+    "q27_inferred_type" ->
+      """SELECT count(*) FILTER (WHERE TRY_CAST(lang AS DOUBLE) IS NOT NULL)
+           AS lang_numeric,
+         count(*) FILTER (WHERE TRY_CAST(source AS DOUBLE) IS NOT NULL)
+           AS source_numeric,
+         count(*) FILTER (WHERE try_strptime(lang, '%Y-%m-%d %H:%M:%S') IS NOT NULL)
+           AS lang_dateish
+         FROM documents""",
+    "q28_correlation" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""",
+    "q29_consistency" ->
+      """SELECT count(*) FILTER (WHERE props IS NOT NULL AND value IS NOT NULL)
+           AS coexist_both,
+         count(*) FILTER (WHERE props IS NOT NULL AND value IS NULL)
+           AS implication_viol
+         FROM events""",
+    "q30_arithmetic_relation" ->
+      """SELECT count(*) FILTER (WHERE abs(length(text) - n_chars) > 0)
+           AS nchars_mismatch,
+         count(*) FILTER (WHERE n_chars <= 0) AS nonpositive_nchars
+         FROM documents""",
+    "q31_shape_moments" ->
+      """WITH s AS (SELECT avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd
+                    FROM orders)
+         SELECT round(avg((o_totalprice - mu) * (o_totalprice - mu))
+           / (any_value(sd) * any_value(sd)), 6) AS m2_norm,
+         count(*) FILTER (WHERE o_totalprice > mu + 2 * sd) AS above_2sd
+         FROM orders, s""",
+    "q32_topk_event_types" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3"""
   )
 }
