@@ -263,6 +263,80 @@ object SparkEntry {
     }),
     "q32_topk_event_types" -> ((s, dir) => {
       graft.validators.TopK(table(s, dir, "events"), "event_type", 3)
+    }),
+
+    // ---- referential / cross-table (§2.8, §2.15) ----
+    "q40_fk_orphans" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer"); val n = table(s, dir, "nation")
+      val sup = table(s, dir, "supplier")
+      def orphanCount(child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String, label: String) =
+        child.join(broadcast(parent.select(col(pk)).distinct()),
+            child(ck) === col(pk), "left_anti")
+          .agg(lit(label).as("relation"), count(lit(1)).as("orphans"))
+      orphanCount(li, "l_orderkey", o, "o_orderkey", "lineitem_orders")
+        .unionAll(orphanCount(c, "c_nationkey", n, "n_nationkey", "customer_nation"))
+        .unionAll(orphanCount(sup, "s_nationkey", n, "n_nationkey", "supplier_nation"))
+        .orderBy(col("relation"))
+    }),
+    "q41_order_coverage" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val childless = o.join(li.select(col("l_orderkey")).distinct(),
+        o("o_orderkey") === col("l_orderkey"), "left_anti").count()
+      val fat = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 7).count()
+      import s.implicits._
+      Seq((childless, fat)).toDF("orders_without_lineitems", "orders_gt7_lineitems")
+    }),
+    "q42_rowcount_ratio" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").count()
+      val o = table(s, dir, "orders").count()
+      import s.implicits._
+      Seq((li, o, li.toDouble / o))
+        .toDF("lineitem_rows", "order_rows", "ratio")
+        .withColumn("ratio", round(col("ratio"), 6))
+    }),
+    "q43_agg_compare" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val a = o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").as("sum_orders")).head().getDecimal(0)
+      val b = li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").as("sum_lineitem")).head().getDecimal(0)
+      import s.implicits._
+      Seq((a.toString, b.toString)).toDF("sum_orders", "sum_lineitem")
+    }),
+
+    // ---- query validators (§2.9) ----
+    "q45_sql_query" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      graft.validators.SqlSafety.require(
+        "SELECT o_orderpriority, count(*) AS cnt FROM orders_v GROUP BY 1")
+      s.sql("""SELECT o_orderpriority, count(*) AS cnt
+               FROM orders_v GROUP BY 1 ORDER BY o_orderpriority""")
+    }),
+
+    // ---- business rules (§2.17) ----
+    "q46_luhn_custkey" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+        .withColumn("key_str", col("c_custkey").cast("string"))
+      c.agg(
+        cnt(graft.validators.Checksums.luhnValid(col("key_str"))).as("luhn_valid"),
+        count(lit(1)).as("total"))
+    }),
+
+    // ---- geospatial (§2.12) ----
+    "q47_geo_checks" -> ((s, dir) => {
+      val g = table(s, dir, "customer").select(
+        ((col("c_custkey") % 180) - 90).cast("double").as("lat"),
+        ((col("c_custkey") % 360) - 180).cast("double").as("lon"))
+      g.agg(
+        cnt(col("lat") < -90 || col("lat") > 90).as("bad_lat"),
+        cnt(col("lat") === 0.0 && col("lon") === 0.0).as("null_island"),
+        cnt(graft.validators.Geo.haversineKm(col("lat"), col("lon"),
+          lit(0.0), lit(0.0)) > lit(5000.0)).as("far_from_origin"),
+        round(avg(graft.validators.Geo.haversineKm(col("lat"), col("lon"),
+          lit(0.0), lit(0.0))), 4).as("avg_km"))
     })
   )
 
@@ -425,6 +499,64 @@ object SparkEntry {
          FROM orders, s""",
     "q32_topk_event_types" ->
       """SELECT event_type, count(*) AS cnt FROM events
-         GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3"""
+         GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""",
+    "q40_fk_orphans" ->
+      """SELECT * FROM (
+           SELECT 'lineitem_orders' AS relation, count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS orphans
+             FROM lineitem
+           UNION ALL
+           SELECT 'customer_nation', count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)) FROM customer
+           UNION ALL
+           SELECT 'supplier_nation', count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)) FROM supplier
+         ) ORDER BY relation""",
+    "q41_order_coverage" ->
+      """SELECT
+           (SELECT count(*) FROM orders WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+             AS orders_without_lineitems,
+           (SELECT count(*) FROM (SELECT l_orderkey FROM lineitem
+             GROUP BY 1 HAVING count(*) > 7)) AS orders_gt7_lineitems""",
+    "q42_rowcount_ratio" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
+         (SELECT count(*) FROM orders) AS order_rows,
+         round(CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+           / (SELECT count(*) FROM orders), 6) AS ratio""",
+    "q43_agg_compare" ->
+      """SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS VARCHAR) AS sum_orders,
+         (SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DECIMAL(28,2)) AS VARCHAR) FROM lineitem) AS sum_lineitem
+         FROM orders""",
+    "q45_sql_query" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "q46_luhn_custkey" ->
+      """SELECT count(*) FILTER (WHERE regexp_matches(CAST(c_custkey AS VARCHAR),
+           '^[0-9]{2,}$') AND
+         list_sum(list_transform(range(0, length(CAST(c_custkey AS VARCHAR))), i ->
+           CASE WHEN i % 2 = 1 THEN
+             CASE WHEN (ascii(substr(reverse(CAST(c_custkey AS VARCHAR)), i + 1, 1)) - 48) * 2 > 9
+                  THEN (ascii(substr(reverse(CAST(c_custkey AS VARCHAR)), i + 1, 1)) - 48) * 2 - 9
+                  ELSE (ascii(substr(reverse(CAST(c_custkey AS VARCHAR)), i + 1, 1)) - 48) * 2 END
+           ELSE ascii(substr(reverse(CAST(c_custkey AS VARCHAR)), i + 1, 1)) - 48 END))
+           % 10 = 0) AS luhn_valid,
+         count(*) AS total FROM customer""",
+    "q47_geo_checks" ->
+      """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
+                           CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
+                    FROM customer),
+         d AS (SELECT lat, lon,
+           2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(0 - lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(0)) *
+             pow(sin(radians(0 - lon) / 2), 2))) AS km FROM g)
+         SELECT count(*) FILTER (WHERE lat < -90 OR lat > 90) AS bad_lat,
+           count(*) FILTER (WHERE lat = 0.0 AND lon = 0.0) AS null_island,
+           count(*) FILTER (WHERE km > 5000.0) AS far_from_origin,
+           round(avg(km), 4) AS avg_km
+         FROM d"""
   )
 }

@@ -1,0 +1,152 @@
+package graft.validators
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Geospatial validators (reference: truthound `validators/geospatial/`,
+  * 11 classes — coordinate.py, distance.py, boundary.py). All plain
+  * trigonometric Column math; no UDFs. */
+object Geo {
+  val earthRadiusKm = 6371.0
+  /** Haversine great-circle distance in km between two (lat, lon) pairs
+    * given in degrees. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * earthRadiusKm) * asin(sqrt(a))
+  }
+}
+
+/** LatitudeValidator / LongitudeValidator / CoordinateValidator. */
+final case class CoordinateCheck(latCol: String, lonCol: String) extends Validator {
+  val name = s"coordinate[$latCol,$lonCol]"
+  val category = "geospatial"
+  private val klat = MetricKey("lat_invalid", latCol)
+  private val klon = MetricKey("lon_invalid", lonCol)
+  private val knull = MetricKey("null_island", s"$latCol/$lonCol")
+  def metricExprs(schema: StructType, stats: Metrics) = Seq(
+    klat -> count(when(col(latCol) < -90 || col(latCol) > 90, 1)),
+    klon -> count(when(col(lonCol) < -180 || col(lonCol) > 180, 1)),
+    knull -> count(when(col(latCol) === 0.0 && col(lonCol) === 0.0, 1)))
+  def evaluate(m: Metrics, total: Long) =
+    Seq(
+      (klat, latCol, "invalid_latitude", "[-90,90]"),
+      (klon, lonCol, "invalid_longitude", "[-180,180]"),
+      (knull, s"$latCol,$lonCol", "null_island", "not (0,0)")
+    ).flatMap { case (k, c, t, exp) =>
+      val n = m.long(k)
+      if (n > 0) Some(issue(c, t, n, total, Severity.Medium, expected = exp))
+      else None
+    }
+}
+
+/** BoundingBoxValidator: all points inside [minLat..maxLat]x[minLon..maxLon]. */
+final case class BoundingBoxCheck(latCol: String, lonCol: String,
+    minLat: Double, maxLat: Double, minLon: Double, maxLon: Double)
+    extends Validator {
+  val name = s"bbox[$latCol,$lonCol]"
+  val category = "geospatial"
+  private val k = MetricKey("bbox_violations", s"$latCol/$lonCol",
+    s"$minLat,$maxLat,$minLon,$maxLon")
+  private def pred: Column =
+    col(latCol) < minLat || col(latCol) > maxLat ||
+      col(lonCol) < minLon || col(lonCol) > maxLon
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(s"$latCol,$lonCol", "outside_bounding_box", n, total,
+      Severity.Medium)) else Nil
+  }
+  override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
+}
+
+/** GeoDistanceFromPointValidator: all points within maxKm of a fixed point. */
+final case class GeoDistanceCheck(latCol: String, lonCol: String,
+    centerLat: Double, centerLon: Double, maxKm: Double) extends Validator {
+  val name = s"geo_distance[$latCol,$lonCol]"
+  val category = "geospatial"
+  private val k = MetricKey("distance_violations", s"$latCol/$lonCol",
+    s"$centerLat,$centerLon,$maxKm")
+  private def pred: Column =
+    Geo.haversineKm(col(latCol), col(lonCol), lit(centerLat), lit(centerLon)) > maxKm
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(s"$latCol,$lonCol", "too_far_from_center", n, total,
+      Severity.Medium, expected = s"<=${maxKm}km of ($centerLat,$centerLon)"))
+    else Nil
+  }
+}
+
+/** Localization validators (reference: truthound `validators/localization/`,
+  * 9 classes — korean.py, japanese.py, chinese.py). Regex structure +
+  * weighted-checksum math via higher-order functions, mirroring the
+  * published check-digit algorithms. */
+object LocalFormats {
+  /** Korean resident registration number (RRN) YYMMDD-GNNNNNC structure. */
+  val koreanRrn = "^[0-9]{6}-[1-8][0-9]{6}$"
+  /** Korean business registration number NNN-NN-NNNNN. */
+  val koreanBizNo = "^[0-9]{3}-[0-9]{2}-[0-9]{5}$"
+  /** Japanese postal code NNN-NNNN. */
+  val japanesePostal = "^[0-9]{3}-[0-9]{4}$"
+  /** Chinese 18-digit citizen ID (last digit may be X). */
+  val chineseId = "^[0-9]{17}[0-9Xx]$"
+
+  /** Korean RRN check digit: weights 2..9,2..5 over first 12 digits,
+    * check = (11 - sum % 11) % 10. */
+  def koreanRrnValid(c: Column): Column = {
+    val digits = regexp_replace(c, "-", "")
+    val weights = "array(2,3,4,5,6,7,8,9,2,3,4,5)"
+    val sumExpr = expr(
+      s"aggregate(zip_with(transform(sequence(0, 11), i -> " +
+        s"ascii(substr(regexp_replace(${c.toString}, '-', ''), i + 1, 1)) - 48), " +
+        s"$weights, (d, w) -> d * w), 0, (acc, x) -> acc + x)")
+    val check = (lit(11) - (sumExpr % 11)) % 10
+    c.rlike(koreanRrn) &&
+      check === (ascii(substring(digits, 13, 1)) - 48)
+  }
+}
+
+/** KoreanRRNValidator: structure + check digit. */
+final case class KoreanRrnCheck(column: String) extends Validator {
+  val name = s"korean_rrn[$column]"
+  val category = "localization"
+  private val k = MetricKey("rrn_invalid", column)
+  private def pred: Column =
+    col(column).isNotNull && !LocalFormats.koreanRrnValid(col(column))
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(column, "invalid_korean_rrn", n, total,
+      Severity.High)) else Nil
+  }
+}
+
+/** Regex-structural localization checks (postal codes, business numbers,
+  * Chinese ID shape). */
+final case class LocalFormatCheck(column: String, format: String)
+    extends Validator {
+  private val pattern = format match {
+    case "korean_biz"      => LocalFormats.koreanBizNo
+    case "japanese_postal" => LocalFormats.japanesePostal
+    case "chinese_id"      => LocalFormats.chineseId
+  }
+  val name = s"local_$format[$column]"
+  val category = "localization"
+  private val k = MetricKey("local_format_invalid", column, format)
+  private def pred: Column = col(column).isNotNull && !col(column).rlike(pattern)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(column, s"invalid_$format", n, total, Severity.Medium))
+    else Nil
+  }
+}

@@ -1,0 +1,205 @@
+package graft.validators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-table validators (reference: truthound `validators/referential/`
+  * 17 classes + `validators/cross_table/` 4 classes). These take more than
+  * one table, so they sit outside the single-table fused pass and run as
+  * join jobs through [[CrossSuiteRunner]].
+  *
+  * Scale notes: orphan detection is a `left_anti` join on the key — Spark
+  * broadcasts the parent side automatically when it's under the broadcast
+  * threshold (typical dimension tables); set `broadcastParent` to force the
+  * hint for parents known small. Anti-join output is counted, never
+  * collected. */
+trait CrossTableValidator {
+  def name: String
+  def category: String
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue]
+  protected def issue(column: String, issueType: String, count: Long,
+      total: Long, severity: Severity = Severity.High,
+      expected: String = "", actual: String = ""): ValidationIssue =
+    ValidationIssue(name, column, issueType, count, total, severity.label,
+      expected, actual)
+}
+
+/** Suite runner for cross-table checks; single-table fused validation stays
+  * in [[SuiteRunner]]. */
+object CrossSuiteRunner {
+  def run(tables: Map[String, DataFrame],
+          validators: Seq[CrossTableValidator],
+          datasetName: String = "multi"): ValidationRunResult = {
+    val checks = validators.map { v =>
+      val t0 = System.nanoTime()
+      val issues =
+        try v.run(tables)
+        catch {
+          case e: Exception =>
+            Seq(ValidationIssue(v.name, "*", "execution_error", 0, 0,
+              Severity.Critical.label, "", e.getMessage))
+        }
+      CheckResult(v.name, v.category, issues.isEmpty, issues,
+        (System.nanoTime() - t0) / 1000000)
+    }
+    ValidationRunResult(datasetName, -1, checks, "cross-table", checks.size)
+  }
+}
+
+/** ForeignKeyValidator / CompositeForeignKeyValidator / OrphanRecordValidator:
+  * child keys must exist in the parent (anti-join orphan count). */
+final case class ForeignKeyCheck(
+    childTable: String, childKeys: Seq[String],
+    parentTable: String, parentKeys: Seq[String],
+    broadcastParent: Boolean = false,
+    allowNullKeys: Boolean = true) extends CrossTableValidator {
+  require(childKeys.size == parentKeys.size)
+  val name = s"fk[$childTable(${childKeys.mkString(",")})->$parentTable]"
+  val category = "referential"
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val child = tables(childTable)
+    val parent0 = tables(parentTable).select(parentKeys.map(col): _*).distinct()
+    val parent = if (broadcastParent) broadcast(parent0) else parent0
+    val joinCond = childKeys.zip(parentKeys)
+      .map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+    val candidates =
+      if (allowNullKeys) child.filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      else child
+    val orphans = candidates.join(parent, joinCond, "left_anti").count()
+    val total = child.count()
+    if (orphans > 0)
+      Seq(issue(childKeys.mkString(","), "orphan_records", orphans, total,
+        Severity.Critical,
+        expected = s"all keys present in $parentTable(${parentKeys.mkString(",")})"))
+    else Nil
+  }
+}
+
+/** SelfReferentialFKValidator: e.g. manager_id -> id in the same table. */
+final case class SelfReferentialFKCheck(tableName: String, childKey: String,
+    parentKey: String) extends CrossTableValidator {
+  val name = s"self_fk[$tableName.$childKey->$parentKey]"
+  val category = "referential"
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val df = tables(tableName)
+    val parents = df.select(col(parentKey).as("__pk")).distinct()
+    val orphans = df.filter(col(childKey).isNotNull)
+      .join(parents, col(childKey) === col("__pk"), "left_anti").count()
+    if (orphans > 0)
+      Seq(issue(childKey, "dangling_self_reference", orphans, df.count(),
+        Severity.High))
+    else Nil
+  }
+}
+
+/** CircularReferenceValidator / HierarchyDepthValidator: bounded-depth BFS
+  * over a (node -> parent) edge relation via iterative self-joins. Depth is
+  * capped (the reference caps too) so each iteration is one join. */
+final case class HierarchyCheck(tableName: String, idCol: String,
+    parentCol: String, maxDepth: Int = 10) extends CrossTableValidator {
+  val name = s"hierarchy[$tableName.$idCol<-$parentCol]"
+  val category = "referential"
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val edges = tables(tableName)
+      .select(col(idCol).as("id"), col(parentCol).as("parent"))
+      .filter(col("parent").isNotNull && col("parent") =!= col("id"))
+    // frontier: nodes reachable from themselves in k steps => cycle
+    var frontier = edges
+    var cycles = 0L
+    var depth = 1
+    var exceeded = 0L
+    while (depth < maxDepth && cycles == 0 && !frontier.isEmpty) {
+      val stepped = frontier.as("f")
+        .join(edges.as("e"), col("f.parent") === col("e.id"))
+        .select(col("f.id").as("id"), col("e.parent").as("parent"))
+      cycles = stepped.filter(col("id") === col("parent")).count()
+      frontier = stepped
+      depth += 1
+      if (depth == maxDepth) exceeded = frontier.count()
+    }
+    val total = tables(tableName).count()
+    (if (cycles > 0)
+      Seq(issue(idCol, "circular_reference", cycles, total, Severity.Critical))
+    else Nil) ++
+    (if (exceeded > 0)
+      Seq(issue(idCol, "hierarchy_depth_exceeded", exceeded, total,
+        Severity.Medium, expected = s"depth<$maxDepth"))
+    else Nil)
+  }
+}
+
+/** CrossTableRowCountValidator / FactorValidator: |A| vs |B| (equality or
+  * ratio-bounded). */
+final case class RowCountCompareCheck(tableA: String, tableB: String,
+    minRatio: Double, maxRatio: Double) extends CrossTableValidator {
+  val name = s"rowcount_compare[$tableA/$tableB]"
+  val category = "cross_table"
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val a = tables(tableA).count()
+    val b = tables(tableB).count()
+    val ratio = if (b == 0) Double.PositiveInfinity else a.toDouble / b
+    if (ratio < minRatio || ratio > maxRatio)
+      Seq(issue("*", "row_count_ratio_out_of_bounds", a, b, Severity.High,
+        expected = s"[$minRatio,$maxRatio]", actual = f"$ratio%.4f"))
+    else Nil
+  }
+}
+
+/** CrossTableAggregateValidator: agg(A.col) vs agg(B.col) within relative
+  * tolerance. */
+final case class AggregateCompareCheck(tableA: String, colA: String,
+    tableB: String, colB: String, agg: String = "sum",
+    relTolerance: Double = 0.0) extends CrossTableValidator {
+  val name = s"agg_compare[$agg($tableA.$colA) vs $agg($tableB.$colB)]"
+  val category = "cross_table"
+  private def aggCol(c: String): Column = agg match {
+    case "sum" => sum(col(c)).cast("double")
+    case "avg" => avg(col(c))
+    case "count" => count(col(c)).cast("double")
+    case "count_distinct" => count_distinct(col(c)).cast("double")
+    case "min" => min(col(c)).cast("double")
+    case "max" => max(col(c)).cast("double")
+  }
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val a = tables(tableA).agg(aggCol(colA)).head().getDouble(0)
+    val b = tables(tableB).agg(aggCol(colB)).head().getDouble(0)
+    val rel = if (b == 0) (if (a == 0) 0.0 else Double.PositiveInfinity)
+              else math.abs(a - b) / math.abs(b)
+    if (rel > relTolerance)
+      Seq(issue(s"$colA/$colB", "aggregate_mismatch", 1, 0, Severity.High,
+        expected = f"$agg($tableB.$colB)=$b%.4f ±${relTolerance * 100}%%",
+        actual = f"$a%.4f"))
+    else Nil
+  }
+}
+
+/** OptimizedCrossTableAggregateValidator semantics (reference
+  * `cross_table/aggregate.py:171-277`): per-group aggregate comparison via
+  * full-outer join; counts groups whose aggregates disagree. */
+final case class GroupedAggregateCompareCheck(tableA: String, tableB: String,
+    keyA: String, keyB: String, colA: String, colB: String,
+    agg: String = "count", eps: Double = 1e-9) extends CrossTableValidator {
+  val name = s"grouped_agg_compare[$tableA.$keyA vs $tableB.$keyB]"
+  val category = "cross_table"
+  private def aggOf(c: String): Column = agg match {
+    case "count" => count(col(c)).cast("double")
+    case "sum"   => sum(col(c)).cast("double")
+    case "avg"   => avg(col(c))
+  }
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val a = tables(tableA).groupBy(col(keyA).as("__k"))
+      .agg(aggOf(colA).as("__a"))
+    val b = tables(tableB).groupBy(col(keyB).as("__k"))
+      .agg(aggOf(colB).as("__b"))
+    val joined = a.join(b, Seq("__k"), "full_outer")
+    val mismatches = joined.filter(
+      col("__a").isNull || col("__b").isNull ||
+        abs(col("__a") - col("__b")) > eps).count()
+    val totalGroups = joined.count()
+    if (mismatches > 0)
+      Seq(issue(s"$keyA/$keyB", "group_aggregate_mismatch", mismatches,
+        totalGroups, Severity.High))
+    else Nil
+  }
+}
