@@ -325,6 +325,112 @@ object SparkEntry {
         count(lit(1)).as("total"))
     }),
 
+    // ---- profiler: learn / allowed values / auto-suite (§1.2, M1) ----
+    "q60_learn_baseline" -> ((s, dir) => {
+      import s.implicits._
+      val b = graft.profiler.Learn.learn(table(s, dir, "customer"))
+      b.columns.map(c => (c.name, c.nullCount, c.distinctCount,
+          c.min.getOrElse(""), c.max.getOrElse(""),
+          c.mean.map(m => BigDecimal(m).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        .toDF("colname", "nulls", "n_distinct", "minv", "maxv", "mean")
+        .orderBy("colname")
+    }),
+    "q61_allowed_values" -> ((s, dir) => {
+      import s.implicits._
+      def vals(t: String, c: String) = {
+        val b = graft.profiler.Learn.learn(table(s, dir, t), lowCardinality = 20)
+        (c, b(c).allowedValues.map(_.mkString(",")).getOrElse(""))
+      }
+      Seq(vals("customer", "c_mktsegment"), vals("orders", "o_orderstatus"),
+          vals("lineitem", "l_returnflag"))
+        .toDF("column", "allowed").orderBy("column")
+    }),
+    "q64_auto_suite" -> ((s, dir) => {
+      import s.implicits._
+      val b = graft.profiler.Learn.learn(table(s, dir, "customer"))
+      graft.profiler.AutoSuite.decisions(b).map(d => (d.column, d.check))
+        .toDF("column", "check").orderBy("column", "check")
+    }),
+
+    // ---- PII scan / mask (§2.21) ----
+    "q62_pii_scan" -> ((s, dir) => {
+      import s.implicits._
+      val report = graft.profiler.Pii.scan(table(s, dir, "documents"),
+        columns = Seq("text", "source"), selected = Seq("email", "ipv4", "ssn_us"))
+      report.hits.map(h => (h.column, h.pattern, h.count))
+        .toDF("column", "pattern", "hits").orderBy("column", "pattern")
+    }),
+    "q63_mask_hash" -> ((s, dir) => {
+      val masked = table(s, dir, "customer")
+        .withColumn("c_name", graft.profiler.Pii.hashMask(col("c_name")))
+      masked.agg(
+        count_distinct(col("c_name")).as("distinct_hashes"),
+        min(col("c_name")).as("min_hash"))
+    }),
+
+    // ---- drift detectors (§2.13) ----
+    "q65_psi_js" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      val cur = ev.filter(col("event_type") === "click")
+      val ref = ev.filter(col("event_type") === "view")
+      val pq = graft.drift.Drift.binnedPq(cur, ref, "value", 10, 0.0, 500.0)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(graft.drift.Drift.psi(pq)),
+           r6(graft.drift.Drift.jsDivergence(pq)),
+           r6(graft.drift.Drift.totalVariation(pq))))
+        .toDF("psi", "js", "tv")
+    }),
+    "q66_chi2_drift" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val cells = graft.drift.Drift.categoricalPq(
+        o.filter(col("o_orderstatus") === "O"),
+        o.filter(col("o_orderstatus") === "F"), "o_orderpriority")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6(graft.drift.Drift.chiSquare(cells))).toDF("chi2")
+    }),
+    "q67_ks_wasserstein" -> ((s, dir) => {
+      import s.implicits._
+      val c = table(s, dir, "customer")
+      val cur = c.filter(col("c_custkey") % 2 === 0)
+      val ref = c.filter(col("c_custkey") % 2 === 1)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(graft.drift.Drift.ksStatistic(cur, ref, "c_acctbal")),
+           r6(graft.drift.Drift.wasserstein(cur, ref, "c_acctbal"))))
+        .toDF("ks", "w1")
+    }),
+
+    // ---- anomaly (§2.14) ----
+    "q68_mad_outliers" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val med = o.agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+      val mad = o.agg(expr(s"percentile(abs(o_totalprice - $med), 0.5)"))
+        .head().getDouble(0)
+      o.agg(
+        cnt(abs(col("o_totalprice") - med) > 3.0 * mad).as("mad_outliers"),
+        round(lit(med), 6).as("median"),
+        round(lit(mad), 6).as("mad"))
+    }),
+    "q69_mahalanobis2" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val r = li.agg(avg(col("l_quantity")), avg(col("l_extendedprice")),
+        covar_samp(col("l_quantity"), col("l_quantity")),
+        covar_samp(col("l_quantity"), col("l_extendedprice")),
+        covar_samp(col("l_extendedprice"), col("l_extendedprice"))).head()
+      val (mx, my) = (r.getDouble(0), r.getDouble(1))
+      val (sxx, sxy, syy) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val det = sxx * syy - sxy * sxy
+      val dx = col("l_quantity") - mx
+      val dy = col("l_extendedprice") - my
+      val d2 = (dy * dy * sxx - dx * dy * 2.0 * sxy + dx * dx * syy) / det
+      li.agg(cnt(d2 > 12.0).as("mahalanobis_outliers"))
+    }),
+
     // ---- geospatial (§2.12) ----
     "q47_geo_checks" -> ((s, dir) => {
       val g = table(s, dir, "customer").select(
@@ -544,6 +650,150 @@ object SparkEntry {
            ELSE ascii(substr(reverse(CAST(c_custkey AS VARCHAR)), i + 1, 1)) - 48 END))
            % 10 = 0) AS luhn_valid,
          count(*) AS total FROM customer""",
+    "q60_learn_baseline" ->
+      """SELECT * FROM (
+         SELECT 'c_acctbal' AS colname, count(*)-count(c_acctbal) AS nulls,
+           count(DISTINCT c_acctbal) AS n_distinct,
+           CAST(min(c_acctbal) AS VARCHAR) AS minv,
+           CAST(max(c_acctbal) AS VARCHAR) AS maxv,
+           round(avg(c_acctbal), 6) AS mean FROM customer
+         UNION ALL SELECT 'c_custkey', count(*)-count(c_custkey),
+           count(DISTINCT c_custkey), CAST(min(c_custkey) AS VARCHAR),
+           CAST(max(c_custkey) AS VARCHAR), round(avg(c_custkey), 6) FROM customer
+         UNION ALL SELECT 'c_mktsegment', count(*)-count(c_mktsegment),
+           count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment),
+           NULL FROM customer
+         UNION ALL SELECT 'c_name', count(*)-count(c_name),
+           count(DISTINCT c_name), min(c_name), max(c_name), NULL FROM customer
+         UNION ALL SELECT 'c_nationkey', count(*)-count(c_nationkey),
+           count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR),
+           CAST(max(c_nationkey) AS VARCHAR), round(avg(c_nationkey), 6)
+           FROM customer
+         ) ORDER BY colname""",
+    "q61_allowed_values" ->
+      """SELECT * FROM (
+         SELECT 'c_mktsegment' AS column, string_agg(DISTINCT c_mktsegment, ','
+           ORDER BY c_mktsegment) AS allowed FROM customer
+         UNION ALL SELECT 'o_orderstatus', string_agg(DISTINCT o_orderstatus, ','
+           ORDER BY o_orderstatus) FROM orders
+         UNION ALL SELECT 'l_returnflag', string_agg(DISTINCT l_returnflag, ','
+           ORDER BY l_returnflag) FROM lineitem
+         ) ORDER BY "column"""",
+    "q64_auto_suite" ->
+      """WITH s AS (SELECT count(*) AS n, count(DISTINCT c_name) AS d_name,
+                    count(DISTINCT c_acctbal) AS d_acct,
+                    count(DISTINCT c_mktsegment) AS d_seg FROM customer)
+         SELECT * FROM (
+           SELECT 'c_acctbal' AS column, 'null' AS check
+           UNION ALL SELECT 'c_acctbal', 'range'
+           UNION ALL SELECT 'c_acctbal', 'unique' WHERE
+             (SELECT d_acct FROM s) >= 0.98 * (SELECT n FROM s)
+           UNION ALL SELECT 'c_custkey', 'null'
+           UNION ALL SELECT 'c_custkey', 'range'
+           UNION ALL SELECT 'c_custkey', 'unique'
+           UNION ALL SELECT 'c_mktsegment', 'null'
+           UNION ALL SELECT 'c_mktsegment', 'type'
+           UNION ALL SELECT 'c_mktsegment', 'unique' WHERE
+             (SELECT d_seg FROM s) >= 0.98 * (SELECT n FROM s)
+           UNION ALL SELECT 'c_name', 'null'
+           UNION ALL SELECT 'c_name', 'type'
+           UNION ALL SELECT 'c_name', 'unique' WHERE
+             (SELECT d_name FROM s) >= 0.98 * (SELECT n FROM s)
+           UNION ALL SELECT 'c_nationkey', 'null'
+           UNION ALL SELECT 'c_nationkey', 'range'
+           UNION ALL SELECT 'c_nationkey', 'unique'
+         ) ORDER BY "column", "check"""",
+    "q62_pii_scan" ->
+      """SELECT * FROM (
+         SELECT 'text' AS column, 'email' AS pattern, count(*) FILTER (WHERE
+           regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS hits FROM documents
+         UNION ALL SELECT 'text', 'ipv4', count(*) FILTER (WHERE
+           regexp_matches(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) FROM documents
+         UNION ALL SELECT 'text', 'ssn_us', count(*) FILTER (WHERE
+           regexp_matches(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) FROM documents
+         UNION ALL SELECT 'source', 'email', count(*) FILTER (WHERE
+           regexp_matches(source, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           FROM documents
+         UNION ALL SELECT 'source', 'ipv4', count(*) FILTER (WHERE
+           regexp_matches(source, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) FROM documents
+         UNION ALL SELECT 'source', 'ssn_us', count(*) FILTER (WHERE
+           regexp_matches(source, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) FROM documents
+         ) ORDER BY "column", pattern""",
+    "q63_mask_hash" ->
+      """SELECT count(DISTINCT sha256(c_name)) AS distinct_hashes,
+         min(sha256(c_name)) AS min_hash FROM customer""",
+    "q65_psi_js" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bucket,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'view') AS c2
+           FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+           GROUP BY 1),
+         pq AS (
+           SELECT bucket,
+             CAST(c1 AS DOUBLE) / greatest(sum(c1) OVER (), 1) AS p,
+             CAST(c2 AS DOUBLE) / greatest(sum(c2) OVER (), 1) AS q
+           FROM b)
+         SELECT
+           round(sum((greatest(p, 1e-10) - greatest(q, 1e-10)) *
+             ln(greatest(p, 1e-10) / greatest(q, 1e-10))), 6) AS psi,
+           round(sum(CASE WHEN p <= 0 THEN 0 ELSE
+               0.5 * p * ln(p / greatest((p + q) / 2, 1e-10)) END) +
+             sum(CASE WHEN q <= 0 THEN 0 ELSE
+               0.5 * q * ln(q / greatest((p + q) / 2, 1e-10)) END), 6) AS js,
+           round(0.5 * sum(abs(p - q)), 6) AS tv
+         FROM pq""",
+    "q66_chi2_drift" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS c1,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS c2
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b)
+         SELECT round(sum(CASE WHEN (CAST(c2 AS DOUBLE) / n2) * n1 <= 0 THEN 0
+           ELSE pow(c1 - (CAST(c2 AS DOUBLE) / n2) * n1, 2)
+             / ((CAST(c2 AS DOUBLE) / n2) * n1) END), 6) AS chi2
+         FROM b, t""",
+    "q67_ks_wasserstein" ->
+      """WITH m AS (
+           SELECT c_acctbal AS v,
+             CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS s1,
+             CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS s2
+           FROM customer WHERE c_acctbal IS NOT NULL),
+         t AS (SELECT CAST(sum(s1) AS DOUBLE) AS n1, CAST(sum(s2) AS DOUBLE) AS n2
+               FROM m),
+         g AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM m GROUP BY v),
+         c AS (SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / (SELECT n1 FROM t) AS f1,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / (SELECT n2 FROM t) AS f2,
+             lead(v) OVER (ORDER BY v) AS next_v
+           FROM g)
+         SELECT round(max(abs(f1 - f2)), 6) AS ks,
+           round(sum(CASE WHEN next_v IS NULL THEN 0
+             ELSE abs(f1 - f2) * (next_v - v) END), 6) AS w1
+         FROM c""",
+    "q68_mad_outliers" ->
+      """WITH s AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+         s2 AS (SELECT quantile_cont(abs(o_totalprice - (SELECT med FROM s)), 0.5)
+                AS mad FROM orders)
+         SELECT count(*) FILTER (WHERE abs(o_totalprice - (SELECT med FROM s))
+           > 3.0 * (SELECT mad FROM s2)) AS mad_outliers,
+           round((SELECT med FROM s), 6) AS median,
+           round((SELECT mad FROM s2), 6) AS mad
+         FROM orders""",
+    "q69_mahalanobis2" ->
+      """WITH s AS (SELECT avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+             covar_samp(l_quantity, l_quantity) AS sxx,
+             covar_samp(l_quantity, l_extendedprice) AS sxy,
+             covar_samp(l_extendedprice, l_extendedprice) AS syy
+           FROM lineitem)
+         SELECT count(*) FILTER (WHERE
+           ((l_extendedprice - my) * (l_extendedprice - my) * sxx
+            - (l_quantity - mx) * (l_extendedprice - my) * 2.0 * sxy
+            + (l_quantity - mx) * (l_quantity - mx) * syy)
+           / (sxx * syy - sxy * sxy) > 12.0) AS mahalanobis_outliers
+         FROM lineitem, s""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon

@@ -1,0 +1,173 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Two-dataset drift detection (reference: truthound `drift/` — 14 detector
+  * classes dispatched per-dtype by `th.compare()`, `drift/compare.py:30-157`,
+  * `drift/detectors.py:82-1421`, plus drift validators `validators/drift/`).
+  *
+  * Strategy (per SURVEY §2.13): per column build ONE binned histogram per
+  * dataset (`groupBy(bucket).count` — shuffle O(bins)), join the two
+  * k-row bin tables, finish the statistic driver-side on <= k bins.
+  * Binned detectors (PSI/KL/JS/Hellinger/TV/Bhattacharyya/ChiSquare) are
+  * exact-on-bins; KS and Wasserstein run exact via a merged sort + window
+  * cumulative CDFs (global window = one task for the k distinct values —
+  * fine for validator-sized columns; at 100 TB use the binned variant:
+  * `ksBinned`). */
+object Drift {
+
+  /** Equal-width histogram counts: (bucket, cnt). Bucket 0..bins-1,
+    * clamped at edges; nulls dropped. */
+  def histogram(df: DataFrame, column: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    val w = (hi - lo) / bins
+    val b = least(greatest(floor((col(column) - lo) / w), lit(0)),
+      lit(bins - 1)).cast("int")
+    df.filter(col(column).isNotNull)
+      .groupBy(b.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Joined normalized bin distribution of two datasets: (bucket, p, q). */
+  def binnedPq(cur: DataFrame, ref: DataFrame, column: String, bins: Int,
+               lo: Double, hi: Double): Seq[(Int, Double, Double)] = {
+    val h1 = histogram(cur, column, bins, lo, hi).withColumnRenamed("cnt", "c1")
+    val h2 = histogram(ref, column, bins, lo, hi).withColumnRenamed("cnt", "c2")
+    val joined = h1.join(h2, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2")).orderBy("bucket").collect()
+    val n1 = joined.map(_.getAs[Long]("c1")).sum.toDouble
+    val n2 = joined.map(_.getAs[Long]("c2")).sum.toDouble
+    joined.toSeq.map(r => (r.getAs[Int]("bucket"),
+      r.getAs[Long]("c1") / math.max(n1, 1),
+      r.getAs[Long]("c2") / math.max(n2, 1)))
+  }
+
+  /** Categorical distribution join: (value, p, q, c1, c2). */
+  def categoricalPq(cur: DataFrame, ref: DataFrame, column: String)
+      : Seq[(String, Double, Double, Long, Long)] = {
+    val h1 = cur.groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as("c1"))
+    val h2 = ref.groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as("c2"))
+    val joined = h1.join(h2, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2")).orderBy("v").collect()
+    val n1 = joined.map(_.getAs[Long]("c1")).sum.toDouble
+    val n2 = joined.map(_.getAs[Long]("c2")).sum.toDouble
+    joined.toSeq.map(r => (r.getAs[String]("v"),
+      r.getAs[Long]("c1") / math.max(n1, 1), r.getAs[Long]("c2") / math.max(n2, 1),
+      r.getAs[Long]("c1"), r.getAs[Long]("c2")))
+  }
+
+  private val eps = 1e-10
+
+  /** Population Stability Index over bins (reference `drift/psi.py:29`). */
+  def psi(pq: Seq[(Int, Double, Double)]): Double =
+    pq.map { case (_, p, q) =>
+      val pp = math.max(p, eps); val qq = math.max(q, eps)
+      (pp - qq) * math.log(pp / qq)
+    }.sum
+
+  /** KL(p||q) with epsilon smoothing. */
+  def klDivergence(pq: Seq[(Int, Double, Double)]): Double =
+    pq.map { case (_, p, q) =>
+      if (p <= 0) 0.0 else p * math.log(p / math.max(q, eps))
+    }.sum
+
+  /** Jensen-Shannon divergence (base e, in [0, ln 2]). */
+  def jsDivergence(pq: Seq[(Int, Double, Double)]): Double = {
+    def kl(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) =>
+        if (x <= 0) 0.0 else x * math.log(x / math.max(y, eps)) }.sum
+    val p = pq.map(_._2); val q = pq.map(_._3)
+    val m = p.zip(q).map { case (x, y) => (x + y) / 2 }
+    0.5 * kl(p, m) + 0.5 * kl(q, m)
+  }
+
+  /** Hellinger distance in [0,1]. */
+  def hellinger(pq: Seq[(Int, Double, Double)]): Double =
+    math.sqrt(math.max(0.0,
+      1.0 - pq.map { case (_, p, q) => math.sqrt(p * q) }.sum)) match {
+      case d => d
+    }
+
+  /** Total variation distance = 0.5 * L1. */
+  def totalVariation(pq: Seq[(Int, Double, Double)]): Double =
+    0.5 * pq.map { case (_, p, q) => math.abs(p - q) }.sum
+
+  /** Bhattacharyya distance. */
+  def bhattacharyya(pq: Seq[(Int, Double, Double)]): Double =
+    -math.log(math.max(pq.map { case (_, p, q) => math.sqrt(p * q) }.sum, eps))
+
+  /** Pearson chi-square statistic over categorical cells (observed=cur,
+    * expected scaled from ref). */
+  def chiSquare(cells: Seq[(String, Double, Double, Long, Long)]): Double = {
+    val n1 = cells.map(_._4).sum.toDouble
+    cells.map { case (_, _, q, c1, _) =>
+      val e = q * n1
+      if (e <= 0) 0.0 else (c1 - e) * (c1 - e) / e
+    }.sum
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic: max |F1 - F2| via a
+    * merged sort with running per-source counts. Deterministic and
+    * SQL-restatable. */
+  def ksStatistic(cur: DataFrame, ref: DataFrame, column: String): Double = {
+    val n1 = cur.filter(col(column).isNotNull).count().toDouble
+    val n2 = ref.filter(col(column).isNotNull).count().toDouble
+    val a = cur.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("s1", lit(1L)).withColumn("s2", lit(0L))
+    val b = ref.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("s1", lit(0L)).withColumn("s2", lit(1L))
+    // aggregate ties per distinct value FIRST: the CDF is defined at step
+    // points, and cumulating raw rows would make the result depend on the
+    // arbitrary ordering of tied rows
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.unionAll(b)
+      .groupBy(col("v")).agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+      .withColumn("f1", sum(col("c1")).over(w) / n1)
+      .withColumn("f2", sum(col("c2")).over(w) / n2)
+      .agg(max(abs(col("f1") - col("f2")))).head().getDouble(0)
+  }
+
+  /** 1-D Wasserstein-1 distance = ∫|F1-F2| dv over the merged support. */
+  def wasserstein(cur: DataFrame, ref: DataFrame, column: String): Double = {
+    val n1 = cur.filter(col(column).isNotNull).count().toDouble
+    val n2 = ref.filter(col(column).isNotNull).count().toDouble
+    val a = cur.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).withColumn("s1", lit(1L)).withColumn("s2", lit(0L))
+    val b = ref.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).withColumn("s1", lit(0L)).withColumn("s2", lit(1L))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = a.unionAll(b)
+      .groupBy(col("v")).agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+      .withColumn("f1", sum(col("c1")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)) / n1)
+      .withColumn("f2", sum(col("c2")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)) / n2)
+      .withColumn("next_v", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+    step.filter(col("next_v").isNotNull)
+      .agg(sum(abs(col("f1") - col("f2")) * (col("next_v") - col("v"))))
+      .head().getDouble(0)
+  }
+
+  /** Mean / variance / quantile drift: relative stat difference. */
+  def statDrift(cur: DataFrame, ref: DataFrame, column: String,
+                stat: String): Double = {
+    def one(df: DataFrame): Double = {
+      val c = stat match {
+        case "mean"     => avg(col(column))
+        case "variance" => var_samp(col(column))
+        case "median"   => expr(s"percentile($column, 0.5)")
+      }
+      df.agg(c).head().getDouble(0)
+    }
+    val a = one(cur); val b = one(ref)
+    if (b == 0) (if (a == 0) 0.0 else Double.PositiveInfinity)
+    else math.abs(a - b) / math.abs(b)
+  }
+}

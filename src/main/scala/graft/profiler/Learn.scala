@@ -1,0 +1,152 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Learned per-column statistics baseline (reference: truthound
+  * `schema.py:18-172` ColumnSchema/Schema — a YAML-persisted profile that
+  * carries statistics beyond engine types).
+  *
+  * `learn` runs ONE wide aggregation pass over the table (reference does
+  * the same: `schema.py:243-277` single collect of stat exprs); a second
+  * bounded pass collects `allowedValues` for low-cardinality columns
+  * (`schema.py:340-363`). At 100 TB switch `exactDistinct` off: HLL++
+  * `approx_count_distinct` replaces exact distinct counting and everything
+  * else stays one map-side-combinable pass. */
+final case class ColumnBaseline(
+    name: String, dtype: String, nullable: Boolean,
+    nullCount: Long, distinctCount: Long, nullRatio: Double, uniqueRatio: Double,
+    min: Option[String], max: Option[String],
+    mean: Option[Double], std: Option[Double],
+    q25: Option[Double], q50: Option[Double], q75: Option[Double],
+    minLength: Option[Int], maxLength: Option[Int],
+    allowedValues: Option[Seq[String]])
+
+final case class TableBaseline(rowCount: Long, columns: Seq[ColumnBaseline]) {
+  def apply(c: String): ColumnBaseline = columns.find(_.name == c).get
+}
+
+object Learn {
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** One-pass learn; optional second pass for allowed values of columns
+    * whose distinct count is <= lowCardinality. */
+  def learn(df: DataFrame, lowCardinality: Int = 20,
+            exactDistinct: Boolean = true, rsd: Double = 0.02): TableBaseline = {
+    val fields = df.schema.fields
+    def distinctOf(c: String): Column =
+      if (exactDistinct) count_distinct(struct(col(c)))
+      else approx_count_distinct(col(c), rsd)
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = f.name
+      val base = Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        distinctOf(c).as(s"${c}__distinct"))
+      val numeric =
+        if (isNumeric(f.dataType)) Seq(
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"),
+          avg(col(c)).as(s"${c}__mean"),
+          stddev_samp(col(c)).as(s"${c}__std"),
+          expr(s"percentile($c, 0.25)").as(s"${c}__q25"),
+          expr(s"percentile($c, 0.5)").as(s"${c}__q50"),
+          expr(s"percentile($c, 0.75)").as(s"${c}__q75"))
+        else Seq(
+          min(col(c).cast("string")).as(s"${c}__min"),
+          max(col(c).cast("string")).as(s"${c}__max"))
+      val strings = f.dataType match {
+        case StringType => Seq(
+          min(length(col(c))).as(s"${c}__minlen"),
+          max(length(col(c))).as(s"${c}__maxlen"))
+        case _ => Nil
+      }
+      base ++ numeric ++ strings
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def get[T](n: String): Option[T] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
+    }
+    def getD(n: String): Option[Double] =
+      get[Any](n).map { case v: Number => v.doubleValue() }
+    val total = row.getAs[Long]("__n")
+
+    val prelim = fields.map { f =>
+      val c = f.name
+      val nulls = row.getAs[Long](s"${c}__nulls")
+      val distinct = row.getAs[Long](s"${c}__distinct")
+      ColumnBaseline(
+        name = c, dtype = f.dataType.simpleString, nullable = nulls > 0,
+        nullCount = nulls, distinctCount = distinct,
+        nullRatio = if (total == 0) 0 else nulls.toDouble / total,
+        uniqueRatio = if (total == 0) 0 else distinct.toDouble / total,
+        min = get[String](s"${c}__min"), max = get[String](s"${c}__max"),
+        mean = if (isNumeric(f.dataType)) getD(s"${c}__mean") else None,
+        std = if (isNumeric(f.dataType)) getD(s"${c}__std") else None,
+        q25 = if (isNumeric(f.dataType)) getD(s"${c}__q25") else None,
+        q50 = if (isNumeric(f.dataType)) getD(s"${c}__q50") else None,
+        q75 = if (isNumeric(f.dataType)) getD(s"${c}__q75") else None,
+        minLength = if (f.dataType == StringType)
+          get[Any](s"${c}__minlen").map { case v: Number => v.intValue() } else None,
+        maxLength = if (f.dataType == StringType)
+          get[Any](s"${c}__maxlen").map { case v: Number => v.intValue() } else None,
+        allowedValues = None)
+    }
+
+    // pass 2: allowed values for low-cardinality columns, fused into ONE agg
+    val lowCard = prelim.filter(b => b.distinctCount <= lowCardinality &&
+      b.distinctCount > 0)
+    val withValues: Map[String, Seq[String]] =
+      if (lowCard.isEmpty) Map.empty
+      else {
+        val vAggs = lowCard.map(b =>
+          array_sort(collect_set(col(b.name).cast("string"))).as(b.name))
+        val vRow = df.agg(vAggs.head, vAggs.tail: _*).head()
+        lowCard.zipWithIndex.map { case (b, i) =>
+          b.name -> vRow.getSeq[String](i).toSeq
+        }.toMap
+      }
+    TableBaseline(total,
+      prelim.map(b => b.copy(allowedValues = withValues.get(b.name))).toSeq)
+  }
+
+  /** Persist / load the baseline as JSON via Spark itself (no extra deps);
+    * one row per column. */
+  def save(spark: SparkSession, baseline: TableBaseline, path: String): Unit = {
+    import spark.implicits._
+    baseline.columns.map(b => (baseline.rowCount, b.name, b.dtype, b.nullable,
+      b.nullCount, b.distinctCount, b.nullRatio, b.uniqueRatio,
+      b.min, b.max, b.mean, b.std, b.q25, b.q50, b.q75,
+      b.minLength, b.maxLength, b.allowedValues))
+      .toDF("rowCount", "name", "dtype", "nullable", "nullCount",
+        "distinctCount", "nullRatio", "uniqueRatio", "min", "max", "mean",
+        "std", "q25", "q50", "q75", "minLength", "maxLength", "allowedValues")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  def load(spark: SparkSession, path: String): TableBaseline = {
+    val rows = spark.read.json(path).collect()
+    def opt[T](r: Row, n: String): Option[T] = {
+      val i = r.fieldIndex(n)
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+    }
+    def optD(r: Row, n: String): Option[Double] =
+      opt[Any](r, n).map { case v: Number => v.doubleValue() }
+    val cols = rows.map { r =>
+      ColumnBaseline(r.getAs[String]("name"), r.getAs[String]("dtype"),
+        r.getAs[Boolean]("nullable"), r.getAs[Long]("nullCount"),
+        r.getAs[Long]("distinctCount"), r.getAs[Double]("nullRatio"),
+        r.getAs[Double]("uniqueRatio"), opt[String](r, "min"),
+        opt[String](r, "max"), optD(r, "mean"), optD(r, "std"),
+        optD(r, "q25"), optD(r, "q50"), optD(r, "q75"),
+        optD(r, "minLength").map(_.toInt), optD(r, "maxLength").map(_.toInt),
+        opt[scala.collection.Seq[String]](r, "allowedValues").map(_.toSeq))
+    }
+    TableBaseline(rows.headOption.map(_.getAs[Long]("rowCount")).getOrElse(0),
+      cols.toSeq)
+  }
+}

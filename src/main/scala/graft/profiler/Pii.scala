@@ -1,0 +1,78 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** PII scanning and masking (reference: truthound `th.scan()` regex sweep
+  * producing PIIReport, `api.py:152-203` + `scanners.py`; `th.mask()` with
+  * redact/hash/partial strategies, `api.py:206-268` + `maskers.py`).
+  *
+  * The scan is ONE fused aggregation: count(rlike) per (column, pattern) —
+  * a single whole-stage-codegen'd pass no matter how many patterns. */
+object Pii {
+  /** Pattern registry. Substring-style (unanchored) like the reference's
+    * scanners; RE2-compatible so SQL oracles can restate them. */
+  val patterns: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone_intl" -> "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}",
+    "ssn_us" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "credit_card" -> "\\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\\b",
+    "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "korean_rrn" -> "\\b[0-9]{6}-[1-8][0-9]{6}\\b")
+
+  final case class PiiHit(column: String, pattern: String, count: Long,
+      total: Long) {
+    def ratio: Double = if (total == 0) 0 else count.toDouble / total
+  }
+  final case class PiiReport(hits: Seq[PiiHit]) {
+    def flagged: Seq[PiiHit] = hits.filter(_.count > 0)
+  }
+
+  /** Scan all string columns (or `columns`) against all (or `selected`)
+    * patterns in one aggregation pass. */
+  def scan(df: DataFrame, columns: Seq[String] = Nil,
+           selected: Seq[String] = Nil): PiiReport = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val pats = if (selected.nonEmpty) patterns.view.filterKeys(selected.contains).toMap
+               else patterns
+    if (cols.isEmpty || pats.isEmpty) return PiiReport(Nil)
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      (for { c <- cols; (pn, p) <- pats.toSeq }
+        yield count(when(col(c).isNotNull && col(c).rlike(p), 1))
+          .as(s"${c}__$pn")).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__n")
+    PiiReport(for { c <- cols; pn <- pats.keys.toSeq.sorted }
+      yield PiiHit(c, pn, row.getAs[Long](s"${c}__$pn"), total))
+  }
+
+  // ---- maskers ----
+  /** Redact every match of `pattern` with `replacement`. */
+  def redact(c: Column, pattern: String, replacement: String = "[REDACTED]"): Column =
+    regexp_replace(c, pattern, replacement)
+
+  /** Deterministic irreversible hash mask (sha256 hex). */
+  def hashMask(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Keep first `keep` chars, star the rest (fixed-width tail). */
+  def partialMask(c: Column, keep: Int = 2, stars: Int = 6): Column =
+    concat(substring(c, 1, keep), lit("*" * stars))
+
+  /** Mask all columns flagged by a scan, by strategy name. */
+  def maskFlagged(df: DataFrame, report: PiiReport,
+                  strategy: String = "redact"): DataFrame =
+    report.flagged.map(_.column).distinct.foldLeft(df) { (d, c) =>
+      val masked = strategy match {
+        case "hash"    => hashMask(col(c))
+        case "partial" => partialMask(col(c))
+        case _ =>
+          report.flagged.filter(_.column == c).foldLeft(col(c)) { (cc, hit) =>
+            regexp_replace(cc, patterns(hit.pattern), "[REDACTED]")
+          }
+      }
+      d.withColumn(c, masked)
+    }
+}

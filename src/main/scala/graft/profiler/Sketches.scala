@@ -1,0 +1,56 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches (reference: truthound `profiler/sketches/` —
+  * hand-rolled HyperLogLog `hyperloglog.py:25-211`, CountMin
+  * `countmin.py`, Bloom `bloom.py`, plus `uniqueness/approximate.py`).
+  *
+  * Spark ships all three natively as mergeable aggregates, so the rebuild
+  * wraps built-ins instead of porting buffer math:
+  *   - HLL++        -> approx_count_distinct / hll_sketch_agg (mergeable
+  *                     across runs via hll_union_agg)
+  *   - CountMin     -> count_min_sketch(col, eps, confidence, seed)
+  *   - Bloom filter -> bloom_filter_agg / might_contain
+  * All are partial-aggregate friendly: each partition builds a sketch,
+  * the merge is sketch-union — exactly the 100 TB shape. */
+object Sketches {
+  /** HLL++ distinct estimate with relative standard deviation `rsd`. */
+  def approxDistinct(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** Persistable HLL sketch (binary) — union-able across runs/partitions,
+    * for cross-run cardinality baselines. */
+  def hllSketch(c: Column, lgConfigK: Int = 12): Column =
+    hll_sketch_agg(c, lit(lgConfigK))
+  def hllUnion(sketchCol: Column): Column = hll_union_agg(sketchCol)
+  def hllEstimate(sketchCol: Column): Column = hll_sketch_estimate(sketchCol)
+
+  /** CountMin sketch binary for heavy-hitter / frequency estimation. */
+  def countMin(c: Column, eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): Column =
+    count_min_sketch(c, lit(eps), lit(confidence), lit(seed))
+
+  /** Bloom filter over a key column via the public
+    * DataFrameStatFunctions.bloomFilter (distributed build, driver merge). */
+  def bloom(df: DataFrame, keyCol: String, expectedItems: Long = 1000000L,
+            fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Approximate membership join filter: probe rows of `df` against a bloom
+    * filter built from `keys` — the scalable pre-filter for FK checks when
+    * the parent is too big to broadcast exactly. No false negatives, so
+    * orphan detection stays sound (survivors still need the exact join).
+    * The probe is a broadcast-backed UDF — the one place a UDF is the
+    * honest tool (sketch probes have no Column form in Spark's public API). */
+  def bloomPreFilter(df: DataFrame, probeCol: String,
+                     keys: DataFrame, keyCol: String,
+                     expectedItems: Long = 1000000L): DataFrame = {
+    val bf = bloom(keys, keyCol, expectedItems)
+    val bfB = df.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((x: java.lang.Long) =>
+      x != null && bfB.value.mightContainLong(x))
+    df.filter(mightContain(col(probeCol).cast("long")))
+  }
+}
