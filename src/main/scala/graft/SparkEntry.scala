@@ -337,14 +337,16 @@ object SparkEntry {
         .orderBy("colname")
     }),
     "q61_allowed_values" -> ((s, dir) => {
-      import s.implicits._
-      def vals(t: String, c: String) = {
-        val b = graft.profiler.Learn.learn(table(s, dir, t), lowCardinality = 20)
-        (c, b(c).allowedValues.map(_.mkString(",")).getOrElse(""))
-      }
-      Seq(vals("customer", "c_mktsegment"), vals("orders", "o_orderstatus"),
-          vals("lineitem", "l_returnflag"))
-        .toDF("column", "allowed").orderBy("column")
+      // the allowed-values pass of learn() standalone: one collect_set agg
+      // per table (no stats scan — that's q60's job)
+      def vals(t: String, c: String) =
+        table(s, dir, t).agg(lit(c).as("column"),
+          array_join(array_sort(collect_set(col(c).cast("string"))), ",")
+            .as("allowed"))
+      vals("customer", "c_mktsegment")
+        .unionAll(vals("orders", "o_orderstatus"))
+        .unionAll(vals("lineitem", "l_returnflag"))
+        .orderBy("column")
     }),
     "q64_auto_suite" -> ((s, dir) => {
       import s.implicits._
@@ -429,6 +431,61 @@ object SparkEntry {
       val dy = col("l_extendedprice") - my
       val d2 = (dy * dy * sxx - dx * dy * 2.0 * sxy + dx * dx * syy) / det
       li.agg(cnt(d2 > 12.0).as("mahalanobis_outliers"))
+    }),
+
+    // ---- LLM-pipeline: dedup / similarity / text / multimodal (M8) ----
+    "q70_exact_dedup" -> ((s, dir) => {
+      import graft.pipeline.{Text => T}
+      val d = table(s, dir, "documents")
+      d.agg(
+        count_distinct(T.fingerprint(col("text"))).as("distinct_fp"),
+        (count(lit(1)) - count_distinct(T.fingerprint(col("text"))))
+          .as("dup_rows"),
+        min(T.fingerprint(col("text"))).as("min_fp"))
+    }),
+    "q71_jaccard_pairs" -> ((s, dir) => {
+      // exhaustive O(pairs-sharing-a-shingle) verification operator —
+      // bounded to the first 1000 docs (the unbounded scale path is
+      // minhash LSH, exercised by its own tests)
+      val pairs = graft.pipeline.Dedup.jaccardPairs(
+        table(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", 3, 0.5)
+      pairs.agg(count(lit(1)).as("pairs"),
+        coalesce(round(sum(col("jaccard")), 6), lit(0.0)).as("sum_jaccard"))
+    }),
+    "q73_embedding_neighbors" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.pipeline.Similarity.neighborsAbove(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 0.2).orderBy(col("query_id"))
+    }),
+    "q74_language_id" -> ((s, dir) => {
+      import graft.pipeline.{Text => T}
+      table(s, dir, "documents")
+        .groupBy(col("lang").as("actual"),
+          T.languageId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("actual"), col("predicted"))
+    }),
+    "q75_text_quality" -> ((s, dir) => {
+      import graft.pipeline.{Text => T}
+      table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          round(avg(T.tokenCount(col("text"))), 6).as("avg_tokens"),
+          round(avg(T.punctRatio(col("text"))), 6).as("avg_punct"),
+          round(avg(T.stopwordRatio(col("text"))), 6).as("avg_stopword"),
+          round(avg(T.meanWordLength(col("text"))), 6).as("avg_wordlen"))
+        .orderBy(col("source"))
+    }),
+    "q76_multimodal_bytes" -> ((s, dir) => {
+      val x = graft.pipeline.Multimodal.extract(
+        table(s, dir, "documents"), "text", "text/plain")
+      x.agg(
+        sum(col("byte_stats.n_bytes")).cast("long").as("total_bytes"),
+        count_distinct(col("byte_stats.digest")).as("distinct_digests"),
+        max(col("byte_stats.n_bytes")).as("max_bytes"),
+        count(when(size(col("features")) === 8, 1)).as("feature_rows"))
     }),
 
     // ---- geospatial (§2.12) ----
@@ -794,6 +851,80 @@ object SparkEntry {
             + (l_quantity - mx) * (l_quantity - mx) * syy)
            / (sxx * syy - sxy * sxy) > 12.0) AS mahalanobis_outliers
          FROM lineitem, s""",
+    "q70_exact_dedup" ->
+      """WITH n AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents)
+         SELECT count(DISTINCT fp) AS distinct_fp,
+           count(*) - count(DISTINCT fp) AS dup_rows,
+           min(fp) AS min_fp FROM n""",
+    "q71_jaccard_pairs" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM norm
+           WHERE doc_id < 1000),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id),
+         j AS (SELECT da, db, CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+           FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
+         SELECT count(*) AS pairs,
+           coalesce(round(sum(jac), 6), 0.0) AS sum_jaccard
+         FROM j WHERE jac >= 0.5""",
+    "q73_embedding_neighbors" ->
+      """SELECT a.vec_id AS query_id, count(*) AS n_neighbors
+         FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         WHERE a.vec_id < 5 AND list_cosine_similarity(
+           CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) >= 0.2
+         GROUP BY 1 ORDER BY 1""",
+    "q74_language_id" ->
+      """WITH norm AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ') AS toks FROM documents),
+         sc AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('der','die','und','das','nicht','ein','mit','ist'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','it','with'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que','los','una','por','con'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','des','est','une','que','dans'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+           FROM norm),
+         p AS (SELECT lang AS actual,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             ELSE CASE greatest(s_de*10+1, s_en*10+2, s_es*10+3, s_fr*10+4,
+                               s_zh*10+5) % 10
+               WHEN 1 THEN 'de' WHEN 2 THEN 'en' WHEN 3 THEN 'es'
+               WHEN 4 THEN 'fr' WHEN 5 THEN 'zh' END END AS predicted
+           FROM sc)
+         SELECT actual, predicted, count(*) AS cnt FROM p
+         GROUP BY 1, 2 ORDER BY actual, predicted""",
+    "q75_text_quality" ->
+      """WITH norm AS (SELECT source, text, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         t AS (SELECT source, text,
+             CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS ntok,
+             string_split(nt, ' ') AS toks FROM norm)
+         SELECT source,
+           round(avg(ntok), 6) AS avg_tokens,
+           round(avg(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+               / length(text) END), 6) AS avg_punct,
+           round(avg(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or',
+               'of','to','in','is','it','that','for','on','with','as')))
+               AS DOUBLE) / len(toks) END), 6) AS avg_stopword,
+           round(avg(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) END), 6) AS avg_wordlen
+         FROM t GROUP BY source ORDER BY source""",
+    "q76_multimodal_bytes" ->
+      """SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         count(DISTINCT md5(text)) AS distinct_digests,
+         max(octet_length(encode(text))) AS max_bytes,
+         count(*) AS feature_rows FROM documents""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon

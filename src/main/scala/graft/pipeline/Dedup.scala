@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators for training-data pipelines (BASELINE.json
+  * north-star surface): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy on the md5 fingerprint — one shuffle keyed
+  *    by digest, O(distinct) reducers;
+  *  - MinHash LSH: signature is computed per-row at scan speed (no UDFs),
+  *    then ONE explode to (band, bucket) rows and a bucket self-join —
+  *    the join key (band, bucket-hash) is uniform, so no skew; candidate
+  *    verification re-computes exact Jaccard only on candidates;
+  *  - SimHash: 64-bit fingerprint per row via the native SimHash64
+  *    expression; near-dups found by exact-match on rotated bit-bands
+  *    (Hamming-distance blocking), again a groupBy not a cross join;
+  *  - embedding near-dup: cosine via fused zip_with dot product; the
+  *    brute-force form is for verification, the hyperplane-LSH form is
+  *    the 100 TB path (buckets via sign bits, join within bucket). */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint:
+    * (fingerprint, cnt) with cnt > 1. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Keep one row per distinct normalized content (first by `keyCol`). */
+  def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Text.fingerprint(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: k independent minima of seeded xxhash64 over an
+    * already-materialized shingle array column (see Text.shinglesOf for
+    * why materialization matters). Pure Column expression. */
+  def minhashSignatureOf(shinglesCol: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shinglesCol, s => xxhash64(concat(s, lit("#"), i)))))
+
+  /** LSH candidate pairs: split the k-signature into `bands` bands of
+    * k/bands rows; two docs are candidates if any band hashes equal.
+    * Returns (id_a, id_b, jaccard) for verified pairs with exact shingle
+    * Jaccard >= threshold. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                      threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__t", Text.tokens(col("text")))
+      .withColumn("__sh", Text.shinglesOf(col("__t"), shingleN))
+      .withColumn("sig", minhashSignatureOf(col("__sh"), k))
+    val banded = sig.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", hash(col("band"), slice(col("sig"),
+        col("band") * rows + 1, lit(rows))))
+      .select(col("id"), col("band"), col("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(cand, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate id pairs. */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesOf(col("__t"), shingleN)).as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // joined twice (a and b sides)
+    pairs
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"),
+        Seq("id_a"))
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exhaustive n-gram Jaccard pairs >= threshold via shingle-inverted
+    * index: explode shingles, join docs sharing a shingle (the classic
+    * candidate generator — exact, no hashing). Quadratic only within
+    * shingle posting lists. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // the shingle-set relation feeds both posting sides and the size join;
+    // persist it (rows are (id, ~100 short strings) — tiny next to the
+    // shingling compute it saves 3x)
+    val sh = df.select(col(idCol).as("__id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesOf(col("__t"), shingleN)).as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__sz"))
+    val posting = sh.select(col("__id"), explode(col("__sh")).as("s"))
+    // |A ∩ B| falls out of the posting-list join directly (postings are
+    // distinct shingles), so jaccard = c / (|A| + |B| - c) with no array
+    // re-verification — one join + one groupBy, exact
+    posting.as("a").join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(sizes.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("__c").cast("double") / (col("sz_a") + col("sz_b") - col("__c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprints + Hamming-blocked near-dup pairs: candidates
+    * share at least one of `bands` 16-bit bands (guarantees recall for
+    * Hamming distance < bands); verified by bit_count(a^b) <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("id"), graft.functions.SimHash64(col("__t")).as("fp"))
+    val bands = 4 // 16 bits each
+    val banded = fp.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("key", struct(col("band"),
+        expr("shiftright(fp, band * 16) & 65535").as("bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b")).distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Brute-force
+    * within `df` (verification scale); use Similarity.lshBuckets for the
+    * production path. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

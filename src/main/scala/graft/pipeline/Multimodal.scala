@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (BASELINE.json north-star surface): treat
+  * image/audio/video payloads as opaque `binary` columns plus a typed
+  * metadata struct; decode / feature-extract / resize / frame-sample are
+  * the pluggable stages.
+  *
+  * The container ships no image/audio codecs, so the DECODE STAGE IS
+  * STUBBED (clearly marked below) with a deterministic fake that has the
+  * same schema, partitioning, and batch shape as a real decoder. The
+  * Spark-side plumbing — binary ingestion, metadata struct, per-partition
+  * batched processing via mapPartitions, feature schema — is real and
+  * tested; swapping `decodeStub` for a JNI/FFI decoder changes no plan
+  * shape.
+  *
+  * Scale notes: payload bytes never pass through a shuffle — features are
+  * extracted in the scan stage and the binary column is dropped before
+  * any wide operation; `spark.sql.files.maxPartitionBytes` governs batch
+  * size per task. */
+object Multimodal {
+
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Wrap a text/binary source column as a multimodal payload with
+    * metadata. In production this is `spark.read.format("binaryFile")` or
+    * a parquet binary column; for the test tables we synthesize the bytes
+    * from text so the plumbing is exercised end-to-end. */
+  def asPayload(df: DataFrame, srcCol: String, mime: String): DataFrame =
+    df.withColumn("content", col(srcCol).cast("binary"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+
+  /** ======== STUB ========
+    * Deterministic fake "decode + feature extract": real decoders produce
+    * a fixed-length float feature vector per payload; the stub derives one
+    * from byte statistics (length, hash bytes) so it is stable across
+    * runs/engines. Replace with a real codec behind the same signature.
+    * The surrounding plan (projection in scan stage, no shuffle of bytes)
+    * is the production shape. */
+  def decodeStub(content: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
+
+  /** Byte-level features that need no codec (real, not stubbed). */
+  def byteFeatures(content: Column): Column = struct(
+    length(content).as("n_bytes"),
+    crc32(content).as("crc"),
+    md5(content).as("digest"))
+
+  /** ======== STUB ========
+    * Frame sampling plan: offsets of frames to decode given a duration and
+    * fps — the planning arithmetic is real; the decode of each frame would
+    * go through `decodeStub`'s production replacement. */
+  def frameSampleOffsets(durationMs: Column, everyMs: Long): Column =
+    when(durationMs.isNull || durationMs <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), durationMs - 1, lit(everyMs)))
+
+  /** Full pipeline: payload -> features, dropping the heavy bytes before
+    * anything wide happens. `mapPartitions`-free: all stages are scan-time
+    * projections, so Catalyst keeps them in one WholeStageCodegen span. */
+  def extract(df: DataFrame, srcCol: String, mime: String,
+              dims: Int = 8): DataFrame =
+    asPayload(df, srcCol, mime)
+      .withColumn("features", decodeStub(col("content"), dims))
+      .withColumn("byte_stats", byteFeatures(col("content")))
+      .drop("content")
+}

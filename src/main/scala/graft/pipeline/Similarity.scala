@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (BASELINE.json north-star
+  * surface): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: queries are broadcast (they're the small side by
+  * definition); the corpus is never collected. Brute force is
+  * O(|corpus| * |queries| * d) of pure codegen'd arithmetic; the LSH
+  * variant prunes to bucket-colliding rows first (sign-bit buckets from
+  * deterministic seeded hyperplanes), turning the crossJoin into an
+  * equi-join — the shape that survives a billion-row corpus. */
+object Similarity {
+
+  /** Cosine similarity between two array<float/double> columns, computed
+    * in double via fused zip_with/aggregate — no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors per query: broadcast queries, score the whole
+    * corpus, window top-k per query. Rank is on (round(cos, 9) desc, id)
+    * so tiny float noise can't flip the ordering nondeterministically. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"))
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: unit-free sign
+    * basis derived from xxhash64(plane, dim) — no RNG state, same buckets
+    * on every run/cluster. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim) % 1000).cast("double") / 500.0 - 1.0
+
+  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val vd = vec.cast("array<double>")
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(zip_with(vd,
+        transform(sequence(lit(0), size(vd) - 1), i => planeComponent(p, i)),
+        (x, w) => x * w), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: only corpus rows in the query's LSH bucket are scored.
+    * Recall is tunable via `planes` (fewer planes = bigger buckets =
+    * higher recall, more compute). Multi-probe: also match buckets at
+    * Hamming distance 1 when `probe1` is set. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, planes: Int = 8, probe1: Boolean = true): DataFrame = {
+    val cb = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"),
+      lshBucket(col(corpusVec), planes).as("cb"))
+    val qb0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+      lshBucket(col(queryVec), planes).as("qb"))
+    // multi-probe: expand each query to its bucket + all 1-bit flips
+    val qb =
+      if (!probe1) qb0.withColumn("probe", col("qb"))
+      else qb0.withColumn("probe", explode(array(
+        (col("qb") +: (0 until planes).map(p =>
+          col("qb").bitwiseXOR(lit(1L << p)))): _*)))
+    val scored = cb.join(broadcast(qb), col("cb") === col("probe"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Count of neighbors above a cosine threshold per query (robust
+    * correctness surface: no rank ties to worry about). */
+  def neighborsAbove(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     threshold: Double): DataFrame =
+    corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"))
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .filter(col("cos") >= threshold && col("nn_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json
+  * north-star surface): normalization, tokenization, token counting,
+  * quality scoring, language-ID, fingerprinting. Everything is a codegen'd
+  * Column expression — no UDFs — so the operators run at scan speed and
+  * fuse with any other projection. SQL-restatable for oracle checks. */
+object Text {
+
+  /** Canonical normalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse runs, trim. The fingerprint/dedup key basis. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(normalize(c) === "", 0).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation
+    * marks, the standard cheap proxy when no tokenizer model ships with
+    * the engine. */
+  def approxBpeCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
+    * Callers building multi-stage pipelines must project `tokens(c)` to a
+    * named column first and pass that attribute here: Catalyst does not
+    * CSE inside lambda bodies, so nesting `tokens(c)` under the transform
+    * would re-run the normalize+split pipeline once per shingle per row
+    * (measured ~10x slowdown). */
+  def shinglesOf(t: Column, n: Int): Column =
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+
+  /** Convenience single-expression form (fine for one-shot projections;
+    * see shinglesOf for the pipeline-internal variant). */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  // ---- quality scoring (reference-style heuristics) ----
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / length(c))
+
+  def upperRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[A-Z]")).cast("double") / length(c))
+
+  def meanWordLength(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0)
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / size(t))
+  }
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, w => w.isin(stopwords: _*))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence + word-length sanity. Deterministic heuristic. */
+  def qualityScore(c: Column,
+                   minChars: Int = 50, maxChars: Int = 100000): Column = {
+    val lenOk = (length(c) >= minChars && length(c) <= maxChars).cast("double")
+    val punctOk = (punctRatio(c) <= 0.3).cast("double")
+    val stopOk = (stopwordRatio(c) >= 0.05).cast("double")
+    val wordOk = (meanWordLength(c).between(2.0, 12.0)).cast("double")
+    (lenOk + punctOk + stopOk + wordOk) / 4.0
+  }
+
+  // ---- language identification (marker-word heuristic) ----
+  /** Marker lexicons: high-frequency function words per language. The
+    * n-gram-profile approach of real LID distilled to a fuseable Column
+    * op: score(lang) = count of marker hits in the token set. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ein", "mit", "ist"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val t = tokens(c)
+    size(filter(t, w => w.isin(markers(lang): _*)))
+  }
+
+  /** Predicted language: argmax marker score, "und" when all zero.
+    * Ties break by language name order (deterministic). */
+  def languageId(c: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
+  }
+
+  // ---- fingerprinting ----
+  /** Content fingerprint: md5 of the normalized text (engine-portable). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Rolling min-hash fingerprint over k-gram shingles (winnowing-lite):
+    * min xxhash64 over shingles — robust to small edits at the tails. */
+  def rollingFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(shingles(c, n), s => xxhash64(s)))
+}

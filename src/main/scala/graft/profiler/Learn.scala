@@ -46,15 +46,20 @@ object Learn {
       val base = Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
         distinctOf(c).as(s"${c}__distinct"))
+      // exactDistinct also selects exact (sort-based, driver-heavy) vs
+      // t-digest approximate percentiles — flip it off at scale
+      def pct(p: Double): Column =
+        if (exactDistinct) expr(s"percentile($c, $p)")
+        else percentile_approx(col(c), lit(p), lit(10000))
       val numeric =
         if (isNumeric(f.dataType)) Seq(
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"),
           avg(col(c)).as(s"${c}__mean"),
           stddev_samp(col(c)).as(s"${c}__std"),
-          expr(s"percentile($c, 0.25)").as(s"${c}__q25"),
-          expr(s"percentile($c, 0.5)").as(s"${c}__q50"),
-          expr(s"percentile($c, 0.75)").as(s"${c}__q75"))
+          pct(0.25).as(s"${c}__q25"),
+          pct(0.5).as(s"${c}__q50"),
+          pct(0.75).as(s"${c}__q75"))
         else Seq(
           min(col(c).cast("string")).as(s"${c}__min"),
           max(col(c).cast("string")).as(s"${c}__max"))

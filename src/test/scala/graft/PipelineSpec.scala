@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and data"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("id", "text")
+
+  test("exact dedup by fingerprint") {
+    val groups = Dedup.exactDupGroups(docs, "text").collect()
+    assert(groups.length == 1 && groups(0).getLong(1) == 2) // docs 1 & 4
+    assert(Dedup.exactDedup(docs, "text", "id").count() == 4)
+  }
+
+  test("minhash LSH finds near-dups with exact-jaccard verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      k = 32, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exhaustive jaccard pairs agree with LSH on high threshold") {
+    val exact = Dedup.jaccardPairs(docs, "id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 4L))) // only the identical pair is >= 0.9
+  }
+
+  test("simhash expression: deterministic, near-dup small hamming") {
+    val fp = docs.select($"id", graft.functions.SimHash64(Text.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L)) // identical text, identical fingerprint
+    val h12 = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    val h13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(h12 < h13) // near-dup closer than unrelated
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine + brute-force topK + threshold counts") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 0L), (2, 1L))) // self first, then nearest
+    val nn = Similarity.neighborsAbove(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", 0.5)
+      .collect()
+    assert(nn.length == 1 && nn(0).getLong(1) == 1) // only vec 1 >= 0.5
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, planes = 4, probe1 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // recall@5 of the bucketed variant vs exact (multi-probe, few planes)
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("text analysis: tokens, quality, language id, fingerprints") {
+    val df = Seq(
+      ("The quick brown fox, and the lazy dog!", "en"),
+      ("el perro y el gato de la casa que los vio", "es"),
+      ("", "empty")).toDF("text", "tag")
+    val r = df.select(
+      Text.tokenCount($"text").as("tc"),
+      Text.approxBpeCount($"text").as("bpe"),
+      Text.qualityScore($"text", minChars = 10).as("q"),
+      Text.languageId($"text").as("lang"),
+      Text.fingerprint($"text").as("fp")).collect()
+    assert(r(0).getAs[Int]("tc") == 8)
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(1).getAs[String]("lang") == "es")
+    assert(r(2).getAs[Int]("tc") == 0)
+    assert(r(2).getAs[String]("lang") == "und")
+    assert(r(0).getAs[Double]("q") > 0.5)
+    assert(r(0).getAs[String]("fp").length == 32)
+  }
+
+  test("multimodal plumbing: payload schema, stub features, frame offsets") {
+    val x = Multimodal.extract(docs, "text", "text/plain", dims = 8)
+    assert(x.columns.contains("features") && x.columns.contains("byte_stats"))
+    assert(!x.columns.contains("content")) // bytes dropped before anything wide
+    val row = x.select($"features", $"byte_stats.n_bytes").head()
+    assert(row.getSeq[Double](0).size == 8)
+    assert(row.getSeq[Double](0).forall(v => v >= -1.0 && v <= 1.0))
+    // determinism across runs
+    val again = Multimodal.extract(docs, "text", "text/plain", dims = 8)
+      .select($"features").head().getSeq[Double](0)
+    assert(again == row.getSeq[Double](0))
+    val offsets = spark.range(1).select(
+      Multimodal.frameSampleOffsets(lit(1000L), 250L).as("o"))
+      .head().getSeq[Long](0)
+    assert(offsets == Seq(0L, 250L, 500L, 750L))
+  }
+}
