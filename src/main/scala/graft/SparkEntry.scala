@@ -488,6 +488,32 @@ object SparkEntry {
         count(when(size(col("features")) === 8, 1)).as("feature_rows"))
     }),
 
+    // ---- streaming windows, batch-legal form (§2.23) ----
+    "q80_tumbling_window" -> ((s, dir) => {
+      import graft.streaming.StreamValidate._
+      windowedAggregate(table(s, dir, "events"), "ts",
+        WindowConfig(Tumbling, "1 hour"),
+        keys = Seq(col("event_type")),
+        aggs = Seq(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value")))
+        .select(unix_micros(col("win.start")).as("win_start_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("win_start_us"), col("event_type"))
+    }),
+    "q81_session_window" -> ((s, dir) => {
+      import graft.streaming.StreamValidate._
+      val sessions = windowedAggregate(table(s, dir, "events"), "ts",
+        WindowConfig(Session, "", gap = Some("5 minutes")),
+        keys = Seq(col("user_id")),
+        aggs = Seq(count(lit(1)).as("n_events")))
+      sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("total_events"),
+        max(col("n_events")).as("max_session_events"),
+        count_distinct(col("user_id")).as("users_with_sessions"))
+    }),
+
     // ---- geospatial (§2.12) ----
     "q47_geo_checks" -> ((s, dir) => {
       val g = table(s, dir, "customer").select(
@@ -925,6 +951,25 @@ object SparkEntry {
          count(DISTINCT md5(text)) AS distinct_digests,
          max(octet_length(encode(text))) AS max_bytes,
          count(*) AS feature_rows FROM documents""",
+    "q80_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+         event_type, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "q81_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               >= INTERVAL '5 minutes' OR lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           max(n_events) AS max_session_events,
+           count(DISTINCT user_id) AS users_with_sessions
+         FROM g""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
