@@ -14,6 +14,24 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     df.show(50, truncate = false)
     println(s"[smoke] entry rows=${df.count()}")
+
+    // checkpoint + reporter surface: run a real checkpoint with console
+    // and workspace-persist actions against sf0.001 lineitem
+    import graft.validators._
+    import graft.checkpoint._
+    val ws = sys.env.getOrElse("GRAFT_WORKSPACE", "/tmp/graft-workspace")
+    val cp = Checkpoint("lineitem-smoke",
+      () => graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "lineitem"),
+      Seq(UniqueCheck(Seq("l_orderkey", "l_linenumber")),
+          RangeCheck("l_quantity", Some(1), Some(45)),
+          TrendCheck("l_shipdate", "l_quantity", -1.0, 1.0)),
+      actions = Seq(
+        ActionRule(ConsoleAction()),
+        ActionRule(PersistAction(ws, "smoke-run"),
+          when = s => s != CheckpointStatus.Error)))
+    val cr = cp.run()
+    println(s"[smoke] checkpoint status=${cr.status} elapsed=${cr.elapsedMillis}ms" +
+      cr.error.map(e => s" error=$e").getOrElse(""))
     spark.stop()
   }
 }

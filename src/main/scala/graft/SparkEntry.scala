@@ -514,6 +514,37 @@ object SparkEntry {
         count_distinct(col("user_id")).as("users_with_sessions"))
     }),
 
+    // ---- time-series (§2.16) + ML-feature (§2.20) ----
+    "q82_time_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .agg(
+          cnt(col("gap_us") > 600L * 1000000L).as("gaps_over_10min"),
+          max(col("gap_us")).as("max_gap_us"),
+          cnt(col("gap_us") === 0L).as("zero_gaps"))
+    }),
+    "q83_trend" -> ((s, dir) => {
+      val tDays = unix_micros(col("ts")).cast("double") / 86400e6
+      table(s, dir, "events").agg(
+        round(covar_samp(tDays, col("value")) / var_samp(tDays), 6)
+          .as("slope_per_day"),
+        round(corr(tDays, col("value")), 6).as("time_corr"))
+    }),
+    "q84_feature_corr" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("c_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_tax")), 6).as("c_price_tax"))
+    }),
+    "q85_time_completeness" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        count_distinct(date_trunc("day", col("ts"))).as("days_present"),
+        count_distinct(date_trunc("hour", col("ts"))).as("hours_present"))
+    }),
+
     // ---- geospatial (§2.12) ----
     "q47_geo_checks" -> ((s, dir) => {
       val g = table(s, dir, "customer").select(
@@ -970,6 +1001,25 @@ object SparkEntry {
            max(n_events) AS max_session_events,
            count(DISTINCT user_id) AS users_with_sessions
          FROM g""",
+    "q82_time_gaps" ->
+      """WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER
+             (ORDER BY ts, event_id)) AS gap_us FROM events)
+         SELECT count(*) FILTER (WHERE gap_us > 600 * 1000000) AS gaps_over_10min,
+           max(gap_us) AS max_gap_us,
+           count(*) FILTER (WHERE gap_us = 0) AS zero_gaps
+         FROM g""",
+    "q83_trend" ->
+      """WITH t AS (SELECT CAST(epoch_us(ts) AS DOUBLE) / 86400e6 AS td, value
+                    FROM events)
+         SELECT round(covar_samp(td, value) / var_samp(td), 6) AS slope_per_day,
+           round(corr(td, value), 6) AS time_corr FROM t""",
+    "q84_feature_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS c_qty_price,
+         round(corr(l_quantity, l_discount), 6) AS c_qty_disc,
+         round(corr(l_extendedprice, l_tax), 6) AS c_price_tax FROM lineitem""",
+    "q85_time_completeness" ->
+      """SELECT count(DISTINCT date_trunc('day', ts)) AS days_present,
+         count(DISTINCT date_trunc('hour', ts)) AS hours_present FROM events""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
