@@ -545,6 +545,60 @@ object SparkEntry {
         count_distinct(date_trunc("hour", col("ts"))).as("hours_present"))
     }),
 
+    "q86_sliding_window" -> ((s, dir) => {
+      import graft.streaming.StreamValidate._
+      windowedAggregate(table(s, dir, "events"), "ts",
+        WindowConfig(Sliding, "2 hours", slide = Some("1 hour")),
+        keys = Nil, aggs = Seq(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("cnt")).cast("long").as("total_rows"),
+          max(col("cnt")).as("max_cnt"))
+    }),
+    "q87_cvm_ad" -> ((s, dir) => {
+      import s.implicits._
+      val c = table(s, dir, "customer")
+      val cur = c.filter(col("c_custkey") % 2 === 0)
+      val ref = c.filter(col("c_custkey") % 2 === 1)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(graft.drift.Drift.cramerVonMises(cur, ref, "c_acctbal")),
+           r6(graft.drift.Drift.andersonDarling(cur, ref, "c_acctbal"))))
+        .toDF("cvm", "ad")
+    }),
+    "q88_grouped_dup_multiformat" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.agg(
+        (count(lit(1)) - count_distinct(struct(col("user_id"), col("ts"))))
+          .as("user_ts_dupes"),
+        cnt(coalesce(
+          try_to_timestamp(col("event_type"), lit("yyyy-MM-dd")),
+          try_to_timestamp(col("event_type"), lit("MM/dd/yyyy"))).isNull &&
+          col("event_type").isNotNull).as("unparseable_dates"))
+    }),
+    "q89_extremum_relation" -> ((s, dir) => {
+      table(s, dir, "part").agg(
+        cnt(abs(greatest(col("p_size").cast("double"), col("p_retailprice")) -
+          col("p_retailprice")) > 1e-9).as("max_not_price"),
+        cnt(abs(least(col("p_size").cast("double"), col("p_retailprice")) -
+          col("p_size").cast("double")) > 1e-9).as("min_not_size"))
+    }),
+    "q90_registry_suite" -> ((s, dir) => {
+      // suite described as data, materialized through the registry
+      val vs = Seq(
+        graft.validators.ValidatorRegistry.create("null",
+          Map("columns" -> "c_name,c_acctbal")),
+        graft.validators.ValidatorRegistry.create("range",
+          Map("column" -> "c_acctbal", "min" -> "0")),
+        graft.validators.ValidatorRegistry.create("unique",
+          Map("columns" -> "c_custkey")))
+      val df = table(s, dir, "customer")
+      val r = graft.core.SuiteRunner.run(df, vs,
+        graft.core.SuiteRunner.Config(datasetName = "customer"))
+      import s.implicits._
+      r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
+        .toDF("validator", "passed", "violations").orderBy("validator")
+    }),
+
     // ---- geospatial (§2.12) ----
     "q47_geo_checks" -> ((s, dir) => {
       val g = table(s, dir, "customer").select(
@@ -1020,6 +1074,62 @@ object SparkEntry {
     "q85_time_completeness" ->
       """SELECT count(DISTINCT date_trunc('day', ts)) AS days_present,
          count(DISTINCT date_trunc('hour', ts)) AS hours_present FROM events""",
+    "q86_sliding_window" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts)
+             - k * INTERVAL '1 hour' AS win_start
+           FROM events, unnest([0, 1]) AS t(k)),
+         g AS (SELECT win_start, count(*) AS cnt FROM w GROUP BY 1)
+         SELECT count(*) AS n_windows, CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt FROM g""",
+    "q87_cvm_ad" ->
+      """WITH m AS (SELECT c_acctbal AS v,
+             CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS s1,
+             CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS s2
+           FROM customer WHERE c_acctbal IS NOT NULL),
+         t AS (SELECT CAST(sum(s1) AS DOUBLE) AS n1,
+                      CAST(sum(s2) AS DOUBLE) AS n2 FROM m),
+         g AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM m GROUP BY v),
+         c AS (SELECT v, c1, c2,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1c,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2c
+           FROM g)
+         SELECT
+           round((SELECT n1*n2/pow(n1+n2, 2) FROM t) *
+             sum((c1+c2) * pow(f1c/(SELECT n1 FROM t) - f2c/(SELECT n2 FROM t), 2)),
+             6) AS cvm,
+           round((SELECT n1*n2/pow(n1+n2, 2) FROM t) *
+             sum(CASE WHEN ((f1c+f2c)/(SELECT n1+n2 FROM t)) *
+                 (1 - (f1c+f2c)/(SELECT n1+n2 FROM t)) <= 0 THEN 0
+               ELSE (c1+c2) * pow(f1c/(SELECT n1 FROM t) - f2c/(SELECT n2 FROM t), 2)
+                 / (((f1c+f2c)/(SELECT n1+n2 FROM t)) *
+                    (1 - (f1c+f2c)/(SELECT n1+n2 FROM t))) END), 6) AS ad
+         FROM c""",
+    "q88_grouped_dup_multiformat" ->
+      """SELECT count(*) - count(DISTINCT (user_id, ts)) AS user_ts_dupes,
+         count(*) FILTER (WHERE event_type IS NOT NULL AND
+           coalesce(try_strptime(event_type, '%Y-%m-%d'),
+                    try_strptime(event_type, '%m/%d/%Y')) IS NULL)
+           AS unparseable_dates
+         FROM events""",
+    "q89_extremum_relation" ->
+      """SELECT count(*) FILTER (WHERE abs(greatest(CAST(p_size AS DOUBLE),
+           p_retailprice) - p_retailprice) > 1e-9) AS max_not_price,
+         count(*) FILTER (WHERE abs(least(CAST(p_size AS DOUBLE), p_retailprice)
+           - CAST(p_size AS DOUBLE)) > 1e-9) AS min_not_size
+         FROM part""",
+    "q90_registry_suite" ->
+      """SELECT * FROM (
+         SELECT 'null[c_name,c_acctbal]' AS validator,
+           (count(*) - count(c_name)) + (count(*) - count(c_acctbal)) = 0 AS passed,
+           (count(*) - count(c_name)) + (count(*) - count(c_acctbal)) AS violations
+           FROM customer
+         UNION ALL SELECT 'range[c_acctbal]',
+           count(*) FILTER (WHERE c_acctbal < 0) = 0,
+           count(*) FILTER (WHERE c_acctbal < 0) FROM customer
+         UNION ALL SELECT 'unique[c_custkey]',
+           count(*) - count(DISTINCT c_custkey) = 0,
+           count(*) - count(DISTINCT c_custkey) FROM customer
+         ) ORDER BY validator""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon

@@ -155,6 +155,99 @@ object Drift {
       .head().getDouble(0)
   }
 
+  /** Per-distinct-value pooled CDF table used by CvM / AD: rows of
+    * (value, c1, c2, F1, F2, H) with H the pooled CDF. Bounded collect:
+    * only distinct values travel to the driver — callers document the
+    * moderate-cardinality contract (same practical bound the reference
+    * accepts for these statistics). */
+  private def pooledCdf(cur: DataFrame, ref: DataFrame, column: String)
+      : (Double, Double, Seq[(Double, Long, Long, Double, Double)]) = {
+    val a = cur.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).withColumn("s1", lit(1L)).withColumn("s2", lit(0L))
+    val b = ref.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull).withColumn("s1", lit(0L)).withColumn("s2", lit(1L))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = a.unionAll(b)
+      .groupBy(col("v")).agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+      .withColumn("F1c", sum(col("c1")).over(w))
+      .withColumn("F2c", sum(col("c2")).over(w))
+      .orderBy(col("v")).collect()
+    val n1 = rows.map(_.getAs[Long]("c1")).sum.toDouble
+    val n2 = rows.map(_.getAs[Long]("c2")).sum.toDouble
+    (n1, n2, rows.toSeq.map(r => (r.getAs[Double]("v"), r.getAs[Long]("c1"),
+      r.getAs[Long]("c2"), r.getAs[Long]("F1c") / n1, r.getAs[Long]("F2c") / n2)))
+  }
+
+  /** Two-sample Cramér-von Mises statistic:
+    * T = n1*n2/(n1+n2)^2 * Σ_pooled (F1(x)-F2(x))^2 (each pooled
+    * observation weighted by its multiplicity). */
+  def cramerVonMises(cur: DataFrame, ref: DataFrame, column: String): Double = {
+    val (n1, n2, rows) = pooledCdf(cur, ref, column)
+    val s = rows.map { case (_, c1, c2, f1, f2) =>
+      (c1 + c2) * (f1 - f2) * (f1 - f2)
+    }.sum
+    n1 * n2 / math.pow(n1 + n2, 2) * s
+  }
+
+  /** Two-sample Anderson-Darling statistic (weighted tail-sensitive CDF
+    * distance): A2 = (n1*n2/N) * Σ (F1-F2)^2 * (c1+c2) / (H(1-H) * N),
+    * skipping pooled-CDF endpoints where H(1-H)=0. */
+  def andersonDarling(cur: DataFrame, ref: DataFrame, column: String): Double = {
+    val (n1, n2, rows) = pooledCdf(cur, ref, column)
+    val nTot = n1 + n2
+    val s = rows.map { case (_, c1, c2, f1, f2) =>
+      val h = (f1 * n1 + f2 * n2) / nTot
+      val w = h * (1 - h)
+      if (w <= 0) 0.0 else (c1 + c2) * (f1 - f2) * (f1 - f2) / w
+    }.sum
+    n1 * n2 / (nTot * nTot) * s
+  }
+
+  /** Energy distance on bounded deterministic samples (the reference also
+    * computes the O(n^2) statistics on samples). Sample = first
+    * `sampleSize` rows by the column's own ordering — deterministic. */
+  def energyDistance(cur: DataFrame, ref: DataFrame, column: String,
+                     sampleSize: Int = 500): Double = {
+    def sample(df: DataFrame): Array[Double] =
+      df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+        .orderBy(col("v")).limit(sampleSize).collect().map(_.getDouble(0))
+    val x = sample(cur); val y = sample(ref)
+    def meanAbsDiff(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) {
+        var j = 0
+        while (j < b.length) { s += math.abs(a(i) - b(j)); j += 1 }
+        i += 1
+      }
+      s / (a.length.toDouble * b.length)
+    }
+    2 * meanAbsDiff(x, y) - meanAbsDiff(x, x) - meanAbsDiff(y, y)
+  }
+
+  /** Maximum Mean Discrepancy (RBF kernel, bandwidth = median pairwise
+    * distance heuristic) on bounded deterministic samples. */
+  def mmd(cur: DataFrame, ref: DataFrame, column: String,
+          sampleSize: Int = 500): Double = {
+    def sample(df: DataFrame): Array[Double] =
+      df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+        .orderBy(col("v")).limit(sampleSize).collect().map(_.getDouble(0))
+    val x = sample(cur); val y = sample(ref)
+    val all = x ++ y
+    val dists = for (i <- all.indices; j <- (i + 1) until all.length)
+      yield math.abs(all(i) - all(j))
+    val sorted = dists.sorted
+    val gamma = {
+      val med = if (sorted.isEmpty) 1.0 else sorted(sorted.length / 2)
+      if (med == 0) 1.0 else 1.0 / (2 * med * med)
+    }
+    def k(a: Double, b: Double) = math.exp(-gamma * (a - b) * (a - b))
+    def meanK(p: Array[Double], q: Array[Double]) =
+      p.flatMap(a => q.map(b => k(a, b))).sum / (p.length.toDouble * q.length)
+    meanK(x, x) + meanK(y, y) - 2 * meanK(x, y)
+  }
+
   /** Mean / variance / quantile drift: relative stat difference. */
   def statDrift(cur: DataFrame, ref: DataFrame, column: String,
                 stat: String): Double = {
