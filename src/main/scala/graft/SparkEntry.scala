@@ -36,6 +36,23 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship suite mirroring the reference's local-mixed-core-suite
+    // benchmark workload (not_null + unique + between + schema,
+    // BASELINE.md): ONE fused scan through SuiteRunner.
+    "q00_mixed_core_suite" -> ((s, dir) => {
+      import s.implicits._
+      val df = table(s, dir, "customer")
+      val r = SuiteRunner.run(df, Seq(
+        NullCheck(Seq("c_name")),
+        UniqueCheck(Seq("c_custkey")),
+        RangeCheck("c_acctbal", Some(-1000), Some(10000)),
+        ColumnExistsCheck(Seq("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment"))
+      ), SuiteRunner.Config(datasetName = "customer",
+        format = ResultFormat.BooleanOnly))
+      r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
+        .toDF("validator", "passed", "violations").orderBy("validator")
+    }),
     // ---- completeness (§2.2) ----
     "q01_null_metrics" -> ((s, dir) => {
       table(s, dir, "customer").agg(
@@ -615,6 +632,22 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q00_mixed_core_suite" ->
+      """SELECT * FROM (
+         SELECT 'null[c_name]' AS validator,
+           count(*) - count(c_name) = 0 AS passed,
+           count(*) - count(c_name) AS violations FROM customer
+         UNION ALL SELECT
+           'column_exists[c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment]',
+           true, 0
+         UNION ALL SELECT 'range[c_acctbal]',
+           count(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000) = 0,
+           count(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000)
+           FROM customer
+         UNION ALL SELECT 'unique[c_custkey]',
+           count(*) - count(DISTINCT c_custkey) = 0,
+           count(*) - count(DISTINCT c_custkey) FROM customer
+         ) ORDER BY validator""",
     "q01_null_metrics" ->
       """SELECT count(*) AS total,
          count(*) - count(c_name) AS c_name_nulls,
