@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row}
 import org.apache.spark.sql.functions._
 
 /** Executes a suite of validators against a DataFrame in at most two
@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   *   1. fuse every validator's `statsExprs` (+ row count) into one wide
   *      aggregate — partial aggregation per partition, tiny final merge;
   *   2. fuse every validator's `metricExprs` into a second wide aggregate
-  *      (skipped entirely when no validator declared stats AND scan 1
-  *      already carried the metric exprs — the common case is ONE scan);
+  *      (the common case — no stats validators — is ONE scan);
   *   3. for failed validators, at ResultFormat >= Basic, run
   *      `df.filter(failPredicate).limit(k)` sample jobs (bounded output).
   *
@@ -19,64 +18,235 @@ import org.apache.spark.sql.functions._
   * asking for the same metric share one aggregate column (reference
   * SharedMetricStore semantics, truthound `validators/metrics.py:109-254`).
   *
+  * Fallback tiers (reference ExpressionBatchExecutor,
+  * `validators/base.py:2538-2566`): if the fused aggregate fails (one bad
+  * expression — e.g. an ANSI cast error — must not lose every other
+  * validator's results), re-run per-validator; a validator whose own
+  * aggregate still fails gets an `execution_error` issue while the rest
+  * of the suite completes normally.
+  *
+  * Sampling (reference enterprise sampling + early termination,
+  * `validators/base.py:1374-1692`): `sampleFraction` runs the metric scan
+  * on a seeded sample and extrapolates counts; `earlyTerminationRows`
+  * aggregates a head sample first and skips the full scan when the
+  * observed failure rate already exceeds `earlyTerminationFailRate`.
+  *
   * Scale notes (100 TB): the fused aggregate is a map-side-combinable
   * global aggregation — each task reduces its partition to ONE row of
-  * ~hundreds of scalars, so the shuffle is O(partitions), not O(rows).
-  * No collect of data rows ever happens except the bounded `limit(k)`
-  * samples. Validators that need group-bys (duplicates via exact groupBy,
-  * top-k frequencies) express them as count_distinct/approx aggregates
-  * here, or run as dedicated operators outside the fused pass.
+  * scalars, so the shuffle is O(partitions), not O(rows). No collect of
+  * data rows ever happens except the bounded `limit(k)` samples.
   */
 object SuiteRunner {
 
   final case class Config(
       format: ResultFormat = ResultFormat.Basic,
       sampleSize: Int = 20,
-      datasetName: String = "dataset"
-  )
+      datasetName: String = "dataset",
+      /** run metrics on a seeded sample and extrapolate counts. */
+      sampleFraction: Option[Double] = None,
+      /** head-sample row count for early termination; None disables. */
+      earlyTerminationRows: Option[Int] = None,
+      earlyTerminationFailRate: Double = 0.5,
+      /** run DedicatedScan validators concurrently. */
+      parallelDedicated: Boolean = true)
 
-  def run(df: DataFrame, validators: Seq[Validator],
+  private val rowCountKey = MetricKey("row_count", "*")
+
+  def run(df0: DataFrame, validators: Seq[Validator],
           config: Config = Config()): ValidationRunResult = {
-    val schema = df.schema
+    val schema = df0.schema
     var scans = 0
+    var mode = "fused-batch"
+
+    // --- early termination: try the head sample first ---
+    config.earlyTerminationRows.foreach { n =>
+      val sample = df0.limit(n)
+      val (m, _, failedExec) = collectTiered(sample, validators, schema)
+      scans += 1
+      if (failedExec.isEmpty) {
+        val sampleTotal = m.long(rowCountKey)
+        if (sampleTotal >= n) { // sample saturated => data at least this big
+          val results = evaluateAll(validators, m, sampleTotal, Set.empty, schema)
+          val worstRatio = results.flatMap(_.issues).map(_.ratio)
+            .maxOption.getOrElse(0.0)
+          if (worstRatio >= config.earlyTerminationFailRate)
+            return ValidationRunResult(config.datasetName, sampleTotal,
+              results, executionMode = s"early-terminated@$n", scanCount = scans)
+        }
+      }
+    }
+
+    // --- sampling mode ---
+    val (df, scale) = config.sampleFraction match {
+      case Some(f) if f > 0 && f < 1 =>
+        mode = s"sampled@$f"
+        (df0.sample(withReplacement = false, f, seed = 42L), 1.0 / f)
+      case _ => (df0, 1.0)
+    }
 
     // --- Phase A: fused stats pass (only if some validator needs it) ---
-    val statsByV: Seq[(Validator, Seq[(MetricKey, Column)])] =
-      validators.map(v => v -> (if (v.schemaOnly) Nil else v.statsExprs(schema)))
-    val rowCountKey = MetricKey("row_count", "*")
-    val needsStats = statsByV.exists(_._2.nonEmpty)
-
+    val needsStats = validators.exists(v => !v.schemaOnly && v.statsExprs(schema).nonEmpty)
     val statsMetrics: Metrics = if (needsStats) {
       scans += 1
-      collectAgg(df, dedup(statsByV.flatMap(_._2) :+ (rowCountKey -> count(lit(1)))))
+      val exprs = dedup(validators.filterNot(_.schemaOnly)
+        .flatMap(_.statsExprs(schema)) :+ (rowCountKey -> count(lit(1))))
+      collectAgg(df, exprs)
     } else Metrics.empty
 
-    // --- Phase B: fused metric pass ---
-    val metricByV: Seq[(Validator, Seq[(MetricKey, Column)])] =
-      validators.map(v => v -> (if (v.schemaOnly) Nil else v.metricExprs(schema, statsMetrics)))
-    val allMetricExprs = dedup(
-      metricByV.flatMap(_._2) ++
-        (if (needsStats) Nil else Seq(rowCountKey -> count(lit(1)))))
-
-    val mainMetrics: Metrics =
-      if (allMetricExprs.nonEmpty) { scans += 1; collectAgg(df, allMetricExprs) }
-      else Metrics.empty
+    // --- Phase B: fused metric pass with tier fallback ---
+    scans += 1
+    val (mainMetrics, tier, failedExec) =
+      collectTiered(df, validators, schema, statsMetrics, needsStats)
+    if (tier > 1) mode += s"+tier$tier"
 
     val metrics = statsMetrics ++ mainMetrics
-    val total = metrics.long(rowCountKey)
+    val total0 = metrics.long(rowCountKey)
+    val total = if (scale == 1.0) total0 else math.round(total0 * scale)
 
-    // --- Evaluate (driver-side, with dependency skip semantics) ---
+    // --- Evaluate (driver-side, with dependency skip + parallel dedicated) ---
+    val results = evaluateAll(validators, scaled(metrics, scale), total,
+      failedExec, schema, Some(df), config)
+
+    // --- Enrichment: bounded failing-row samples ---
+    val enriched =
+      if (config.format.rank >= ResultFormat.Basic.rank)
+        results.map { r =>
+          if (r.passed) r
+          else validators.find(_.name == r.validator)
+            .flatMap(v => v.failPredicate(schema, metrics)) match {
+              case Some(pred) =>
+                scans += 1
+                val sample = df.filter(pred).limit(config.sampleSize)
+                  .collect().toSeq.map(rowToString)
+                r.copy(issues = r.issues.map(i => i.copy(sampleValues = sample)))
+              case _ => r
+            }
+        }
+      else results
+
+    ValidationRunResult(config.datasetName, total, enriched, mode, scans)
+  }
+
+  /** Attach the suite's metrics to a DataFrame as a Dataset.observe
+    * observation: validation rides along with the CALLER's own action —
+    * zero extra scans (reference §4#2 notes `observe` as the
+    * streaming-safe batched variant). Call the returned thunk AFTER an
+    * action has run on the returned DataFrame. */
+  def attach(df: DataFrame, validators: Seq[Validator],
+             name: String = "graft"): (DataFrame, () => ValidationRunResult) = {
+    val schema = df.schema
+    // CollectMetrics rejects DISTINCT aggregates (not mergeable across
+    // partial results) — demand the sketch-based variants up front
+    val distinctOffenders = validators.filterNot(_.schemaOnly).filter(v =>
+      v.metricExprs(schema, Metrics.empty).exists { case (_, c) =>
+        org.apache.spark.sql.graft.ColumnBridge.hasDistinctAgg(c)
+      })
+    require(distinctOffenders.isEmpty,
+      s"observed mode cannot use DISTINCT aggregates; replace with approx " +
+        s"variants (e.g. ApproxDistinctCheck): " +
+        distinctOffenders.map(_.name).mkString(", "))
+    val keyed = dedup(validators.filterNot(_.schemaOnly)
+      .flatMap(_.metricExprs(schema, Metrics.empty)) :+
+      (rowCountKey -> count(lit(1))))
+    val obs = Observation(name)
+    val aliased = keyed.zipWithIndex.map { case ((_, c), i) => c.as(s"m$i") }
+    val observed = df.observe(obs, aliased.head, aliased.tail: _*)
+    val resultThunk = () => {
+      val got = obs.get
+      val m = new Metrics(keyed.zipWithIndex.map { case ((k, _), i) =>
+        k -> got.getOrElse(s"m$i", null)
+      }.toMap)
+      val total = m.long(rowCountKey)
+      ValidationRunResult(name, total,
+        evaluateAll(validators, m, total, Set.empty, schema), "observed", 0)
+    }
+    (observed, resultThunk)
+  }
+
+  // ---- internals ----
+
+  /** Tiered metric collection: fused -> per-validator -> error-marked.
+    * Returns (metrics, tierUsed, validatorsWhoseMetricsFailed). */
+  private def collectTiered(df: DataFrame, validators: Seq[Validator],
+      schema: org.apache.spark.sql.types.StructType,
+      stats: Metrics = Metrics.empty,
+      statsAlreadyCounted: Boolean = false)
+      : (Metrics, Int, Set[String]) = {
+    val byValidator = validators.filterNot(_.schemaOnly)
+      .map(v => v -> v.metricExprs(schema, stats))
+    val fused = dedup(byValidator.flatMap(_._2) ++
+      (if (statsAlreadyCounted) Nil else Seq(rowCountKey -> count(lit(1)))))
+    if (fused.isEmpty) return (Metrics.empty, 1, Set.empty)
+    try (collectAgg(df, fused), 1, Set.empty)
+    catch {
+      case _: Exception =>
+        // tier 2: isolate per validator so one bad expression can't sink
+        // the suite; row count computed separately
+        var acc = Map.empty[MetricKey, Any]
+        val failed = scala.collection.mutable.Set.empty[String]
+        try {
+          val rc = df.agg(count(lit(1)).as("n")).head().getLong(0)
+          acc += rowCountKey -> rc
+        } catch { case _: Exception => }
+        byValidator.foreach { case (v, exprs) =>
+          if (exprs.nonEmpty) {
+            try {
+              val m = collectAgg(df, dedup(exprs))
+              acc ++= dedup(exprs).map(_._1).flatMap(k =>
+                m.get(k).map(k -> _))
+            } catch { case _: Exception => failed += v.name }
+          }
+        }
+        (new Metrics(acc), 2, failed.toSet)
+    }
+  }
+
+  private def evaluateAll(validators: Seq[Validator], metrics: Metrics,
+      total: Long, failedExec: Set[String],
+      schema: org.apache.spark.sql.types.StructType,
+      df: Option[DataFrame] = None,
+      config: Config = Config()): Seq[CheckResult] = {
     val failed = scala.collection.mutable.Set.empty[String]
-    val results = validators.map { v =>
+
+    // dedicated scans first (optionally concurrent — Spark schedules the
+    // jobs in parallel on the shared session)
+    val dedicated: Map[String, Seq[ValidationIssue]] = df match {
+      case Some(d) =>
+        val ds = validators.collect { case v: Validator with DedicatedScan => v }
+        if (ds.isEmpty) Map.empty
+        else if (config.parallelDedicated && ds.size > 1) {
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val futs = ds.map(v => v.name -> Future {
+            try v.asInstanceOf[DedicatedScan].runScan(d, total)
+            catch { case e: Exception =>
+              Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
+                Severity.Critical.label, "", String.valueOf(e.getMessage))) }
+          })
+          futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+        } else ds.map(v => v.name ->
+          (try v.asInstanceOf[DedicatedScan].runScan(d, total)
+           catch { case e: Exception =>
+             Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
+               Severity.Critical.label, "", String.valueOf(e.getMessage))) })).toMap
+      case None => Map.empty
+    }
+
+    validators.map { v =>
       val t0 = System.nanoTime()
       val res =
         if (v.dependencies.exists(failed.contains))
           CheckResult(v.name, v.category, passed = true, Nil, 0L) // skipped
+        else if (failedExec.contains(v.name))
+          CheckResult(v.name, v.category, passed = false,
+            Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
+              Severity.Critical.label, "", "metric computation failed")), 0L)
         else {
           val issues = v match {
             case _ if v.schemaOnly => v.schemaIssues(schema)
-            case d: DedicatedScan  => scans += 1; d.runScan(df, total)
-            case _                 => v.evaluate(metrics, total)
+            case _: DedicatedScan => dedicated.getOrElse(v.name, Nil)
+            case _                => v.evaluate(metrics, total)
           }
           CheckResult(v.name, v.category, issues.isEmpty, issues,
             (System.nanoTime() - t0) / 1000000)
@@ -84,29 +254,18 @@ object SuiteRunner {
       if (!res.passed) failed += v.name
       res
     }
-
-    // --- Enrichment: bounded failing-row samples ---
-    val enriched =
-      if (config.format.rank >= ResultFormat.Basic.rank)
-        results.map { r =>
-          if (r.passed) r
-          else {
-            val v = validators.find(_.name == r.validator).get
-            v.failPredicate(schema, metrics) match {
-              case Some(pred) =>
-                scans += 1 // bounded job, not a full scan in practice (limit pushdown)
-                val sample = df.filter(pred).limit(config.sampleSize)
-                  .collect().toSeq.map(rowToString)
-                r.copy(issues = r.issues.map(i => i.copy(sampleValues = sample)))
-              case None => r
-            }
-          }
-        }
-      else results
-
-    ValidationRunResult(config.datasetName, total, enriched,
-      executionMode = "fused-batch", scanCount = scans)
   }
+
+  /** Scale integer counts by the sampling factor (counts only — ratios,
+    * means and quantiles are scale-free). */
+  private def scaled(m: Metrics, scale: Double): Metrics =
+    if (scale == 1.0) m
+    else new Metrics(m.asMap.map {
+      case (k, v: java.lang.Long) if k.metric.endsWith("count") ||
+          k.metric.endsWith("violations") || k.metric == "row_count" =>
+        k -> java.lang.Long.valueOf(math.round(v.longValue() * scale))
+      case kv => kv
+    })
 
   /** One wide aggregate: single scan, partial+final agg. */
   private def collectAgg(df: DataFrame, exprs: Seq[(MetricKey, Column)]): Metrics = {

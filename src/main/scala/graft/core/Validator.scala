@@ -20,6 +20,7 @@ final class Metrics(private val m: Map[MetricKey, Any]) {
   def string(k: MetricKey): Option[String] = get(k).map(_.toString)
   def contains(k: MetricKey): Boolean = m.get(k).exists(_ != null)
   def size: Int = m.size
+  def asMap: Map[MetricKey, Any] = m
   def ++(other: Metrics): Metrics = new Metrics(m ++ other.m)
 }
 object Metrics { val empty = new Metrics(Map.empty) }

@@ -12,4 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Whether the column tree contains a DISTINCT aggregate (Spark 4 keeps
+    * unanalyzed Columns as ColumnNode trees, so catalyst-side checks see
+    * only an opaque wrapper; walk the node tree instead). */
+  def hasDistinctAgg(c: Column): Boolean = {
+    import org.apache.spark.sql.internal._
+    def walk(n: ColumnNodeLike): Boolean = n match {
+      case f: UnresolvedFunction => f.isDistinct || f.arguments.exists(walk)
+      case a: Alias              => walk(a.child)
+      case w: Cast               => walk(w.child)
+      case _                     => false
+    }
+    walk(c.node)
+  }
 }
