@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.validators._
+import graft.profiler._
+import graft.reporters.Reporters
+
+/** CLI entrypoint (reference: truthound Typer CLI, `cli.py:22-117` —
+  * `truthound check|profile|scan|compare ...`). spark-submit-able:
+  *
+  *   graft.Cli check   <path> [--checks null:c1,c2;range:c:0:100] [--format json|md|html|console]
+  *   graft.Cli profile <path>
+  *   graft.Cli learn   <path> <baseline-out>
+  *   graft.Cli check-auto <path> <baseline>      (suite synthesized from baseline)
+  *   graft.Cli scan    <path>                    (PII sweep)
+  *   graft.Cli compare <pathA> <pathB> <column>  (drift report)
+  *
+  * Exit code 0 = all checks passed, 1 = issues found, 2 = usage/error.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { usage(); sys.exit(2) }
+    val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code =
+      try dispatch(spark, args.toList)
+      catch { case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}"); 2 }
+    spark.stop()
+    sys.exit(code)
+  }
+
+  private def load(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (path.endsWith(".json") || path.endsWith(".ndjson"))
+      spark.read.json(path)
+    else spark.read.parquet(path)
+
+  private def dispatch(spark: SparkSession, args: List[String]): Int =
+    args match {
+      case "check" :: path :: rest =>
+        val checks = argOf(rest, "--checks")
+          .map(parseChecks).getOrElse(defaultChecks(spark, path))
+        val result = SuiteRunner.run(load(spark, path), checks,
+          SuiteRunner.Config(datasetName = path))
+        emit(result, argOf(rest, "--format").getOrElse("console"))
+        if (result.passed) 0 else 1
+
+      case "profile" :: path :: _ =>
+        val b = Learn.learn(load(spark, path))
+        println(f"rows: ${b.rowCount}")
+        b.columns.foreach { c =>
+          println(f"${c.name}%-20s ${c.dtype}%-10s nulls=${c.nullCount}%-8d " +
+            f"distinct=${c.distinctCount}%-8d " +
+            c.mean.map(m => f"mean=$m%.4f ").getOrElse("") +
+            c.min.map(v => s"min=$v ").getOrElse("") +
+            c.max.map(v => s"max=$v").getOrElse(""))
+        }
+        0
+
+      case "learn" :: path :: out :: _ =>
+        Learn.save(spark, Learn.learn(load(spark, path)), out)
+        println(s"baseline written to $out"); 0
+
+      case "check-auto" :: path :: baselinePath :: rest =>
+        val baseline = Learn.load(spark, baselinePath)
+        val result = SuiteRunner.run(load(spark, path),
+          TableSchemaCheck(baseline) +: AutoSuite.build(baseline),
+          SuiteRunner.Config(datasetName = path))
+        emit(result, argOf(rest, "--format").getOrElse("console"))
+        if (result.passed) 0 else 1
+
+      case "scan" :: path :: _ =>
+        val report = Pii.scan(load(spark, path))
+        if (report.flagged.isEmpty) { println("no PII detected"); 0 }
+        else {
+          report.flagged.foreach(h =>
+            println(f"${h.column}%-20s ${h.pattern}%-14s ${h.count}%8d hits " +
+              f"(${h.ratio * 100}%.2f%%)"))
+          1
+        }
+
+      case "compare" :: a :: b :: column :: _ =>
+        val (da, db) = (load(spark, a), load(spark, b))
+        val stats = da.selectExpr(s"min($column) as lo", s"max($column) as hi").head()
+        val (lo, hi) = (stats.getAs[Any]("lo").toString.toDouble,
+          stats.getAs[Any]("hi").toString.toDouble)
+        val pq = graft.drift.Drift.binnedPq(da, db, column, 20, lo, hi)
+        println(f"psi         = ${graft.drift.Drift.psi(pq)}%.6f")
+        println(f"js          = ${graft.drift.Drift.jsDivergence(pq)}%.6f")
+        println(f"tv          = ${graft.drift.Drift.totalVariation(pq)}%.6f")
+        println(f"hellinger   = ${graft.drift.Drift.hellinger(pq)}%.6f")
+        println(f"ks          = ${graft.drift.Drift.ksStatistic(da, db, column)}%.6f")
+        println(f"wasserstein = ${graft.drift.Drift.wasserstein(da, db, column)}%.6f")
+        0
+
+      case _ => usage(); 2
+    }
+
+  /** `--checks "null:c1,c2;range:col:0:100;unique:id;format:email_col:email"` */
+  private def parseChecks(spec: String): Seq[Validator] =
+    spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+      s.split(":").toList match {
+        case "null" :: cols :: Nil =>
+          ValidatorRegistry.create("null", Map("columns" -> cols))
+        case "unique" :: cols :: Nil =>
+          ValidatorRegistry.create("unique", Map("columns" -> cols))
+        case "range" :: c :: lo :: hi :: Nil =>
+          ValidatorRegistry.create("range", Map("column" -> c, "min" -> lo, "max" -> hi))
+        case "outlier" :: c :: Nil =>
+          ValidatorRegistry.create("outlier", Map("column" -> c))
+        case "format" :: c :: f :: Nil =>
+          ValidatorRegistry.create("format", Map("column" -> c, "format" -> f))
+        case "type" :: c :: Nil =>
+          ValidatorRegistry.create("type", Map("column" -> c))
+        case other =>
+          throw new IllegalArgumentException(s"bad check spec: $s")
+      }
+    }
+
+  /** Zero-config default: learn a quick baseline and auto-build the suite
+    * (th.check with validators=None semantics). */
+  private def defaultChecks(spark: SparkSession, path: String): Seq[Validator] =
+    AutoSuite.build(Learn.learn(load(spark, path)))
+
+  private def emit(r: ValidationRunResult, format: String): Unit =
+    format match {
+      case "json"    => println(Reporters.json(r))
+      case "md"      => println(Reporters.markdown(r))
+      case "html"    => println(Reporters.html(r))
+      case _         => print(Reporters.console(r))
+    }
+
+  private def argOf(args: List[String], key: String): Option[String] =
+    args.sliding(2).collectFirst { case `key` :: v :: Nil => v }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.Cli <command> ...
+      |  check <path> [--checks spec] [--format console|json|md|html]
+      |  check-auto <path> <baseline> [--format ...]
+      |  profile <path>
+      |  learn <path> <baseline-out>
+      |  scan <path>
+      |  compare <pathA> <pathB> <column>""".stripMargin)
+}
