@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.core._
+import graft.validators._
+
+/** Property layer (SURVEY §5: the reference has no property-based tests;
+  * ScalaCheck adds it here). Each property cross-checks a distributed
+  * metric against a plain-Scala reference computation on arbitrary data. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val smallInts: Gen[List[Int]] =
+    Gen.nonEmptyListOf(Gen.choose(-50, 50)).map(_.take(200))
+
+  property("null count matches injected nulls") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0, 100))).map(_.take(200))) {
+      xs =>
+        val df = xs.toDF("v")
+        val r = SuiteRunner.run(df, Seq(NullCheck(Seq("v"))),
+          SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+        val expected = xs.count(_.isEmpty).toLong
+        val got = r.checks.head.issues.headOption.map(_.count).getOrElse(0L)
+        got == expected
+    }
+
+  property("range violations match manual count") =
+    forAll(smallInts, Gen.choose(-40, 0), Gen.choose(1, 40)) { (xs, lo, hi) =>
+      val df = xs.toDF("v")
+      val r = SuiteRunner.run(df,
+        Seq(RangeCheck("v", Some(lo.toDouble), Some(hi.toDouble))),
+        SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+      val expected = xs.count(x => x < lo || x > hi).toLong
+      r.checks.head.issues.headOption.map(_.count).getOrElse(0L) == expected
+    }
+
+  property("duplicate rows = n - distinct") =
+    forAll(smallInts) { xs =>
+      val df = xs.toDF("v")
+      val r = SuiteRunner.run(df, Seq(UniqueCheck(Seq("v"))),
+        SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+      val expected = (xs.size - xs.distinct.size).toLong
+      r.checks.head.issues.headOption.map(_.count).getOrElse(0L) == expected
+    }
+
+  private def luhnRef(s: String): Boolean =
+    s.length >= 2 && s.forall(_.isDigit) && {
+      val sum = s.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+
+  property("Luhn expression agrees with reference implementation") =
+    forAll(Gen.listOfN(12, Gen.numChar).map(_.mkString)) { digits =>
+      val df = Seq(digits).toDF("c")
+      val got = df.select(Checksums.luhnValid(
+        org.apache.spark.sql.functions.col("c")).as("ok"))
+        .head().getBoolean(0)
+      got == luhnRef(digits)
+    }
+
+  property("PSI of identical distributions is ~0; TV symmetric bound") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.take(300))) { xs =>
+      val a = xs.toDF("v"); val b = xs.toDF("v")
+      val pq = graft.drift.Drift.binnedPq(a, b, "v", 10, 0, 10)
+      val psi = graft.drift.Drift.psi(pq)
+      val tv = graft.drift.Drift.totalVariation(pq)
+      math.abs(psi) < 1e-9 && tv >= 0 && tv <= 1
+    }
+
+  property("entropy within [0, ln k]") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 4)).map(_.take(300))) { xs =>
+      val df = xs.toDF("v")
+      val h = df.groupBy("v").count()
+        .agg(graft.ops.Exprs.entropyFromCounts("count")).head().getDouble(0)
+      val k = xs.distinct.size
+      h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9
+    }
+
+  property("SimHash deterministic and permutation-sensitive only to tokens") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      .map(_.take(30))) { tokens =>
+      val df = Seq((1, tokens), (2, tokens)).toDF("id", "toks")
+      val fps = df.select(graft.functions.SimHash64(
+        org.apache.spark.sql.functions.col("toks"))).collect().map(_.getLong(0))
+      fps(0) == fps(1)
+    }
+
+  property("jaccard pairs match brute-force on tiny corpora") =
+    forAll(Gen.listOfN(5, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = graft.pipeline.Dedup.jaccardPairs(df, "id", "text", 2, 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toMap
+      def shingles(t: String): Set[String] =
+        t.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSet
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        si = shingles(docs(i)); sj = shingles(docs(j))
+        uni = (si ++ sj).size if uni > 0
+        jac = si.intersect(sj).size.toDouble / uni if jac >= 0.4
+      } yield ((i.toLong, j.toLong),
+        BigDecimal(jac).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toMap
+      got == expected
+    }
+}
