@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 
 /** BetweenValidator / RangeValidator: value ∈ [min, max]. */
 final case class RangeCheck(column: String, min: Option[Double], max: Option[Double],
-    inclusive: Boolean = true) extends Validator {
+    inclusive: Boolean = true, mostly: Double = 1.0) extends Validator {
   val name = s"range[$column]"
   val category = "distribution"
   private val k = MetricKey("range_violations", column, s"$min..$max/$inclusive")
@@ -27,9 +27,13 @@ final case class RangeCheck(column: String, min: Option[Double], max: Option[Dou
     Seq(k -> count(when(pred, 1)))
   def evaluate(m: Metrics, total: Long) = {
     val n = m.long(k)
-    if (n > 0)
+    // "mostly" semantics (reference validators/base.py:1196-1234): the
+    // check passes while pass_ratio >= mostly
+    val allowed = math.floor((1.0 - mostly) * total).toLong
+    if (n > allowed)
       Seq(issue(column, "out_of_range", n, total, Severity.High,
-        expected = s"[${min.getOrElse("-inf")},${max.getOrElse("+inf")}]"))
+        expected = s"[${min.getOrElse("-inf")},${max.getOrElse("+inf")}]" +
+          (if (mostly < 1.0) s" mostly>=$mostly" else "")))
     else Nil
   }
   override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
@@ -54,7 +58,7 @@ final case class SignCheck(column: String, allowZero: Boolean = false)
 
 /** InSetValidator / NotInSetValidator. */
 final case class SetMembershipCheck(column: String, values: Seq[Any],
-    negate: Boolean = false) extends Validator {
+    negate: Boolean = false, mostly: Double = 1.0) extends Validator {
   val name = s"${if (negate) "not_in_set" else "in_set"}[$column]"
   val category = "distribution"
   private val k = MetricKey("set_violations", column,
@@ -67,7 +71,8 @@ final case class SetMembershipCheck(column: String, values: Seq[Any],
     Seq(k -> count(when(pred, 1)))
   def evaluate(m: Metrics, total: Long) = {
     val n = m.long(k)
-    if (n > 0) Seq(issue(column, if (negate) "forbidden_value" else "value_not_in_set",
+    val allowed = math.floor((1.0 - mostly) * total).toLong
+    if (n > allowed) Seq(issue(column, if (negate) "forbidden_value" else "value_not_in_set",
       n, total, Severity.Medium,
       expected = values.mkString("{", ",", "}"))) else Nil
   }

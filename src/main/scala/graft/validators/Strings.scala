@@ -27,7 +27,7 @@ object RegexSafety {
 
 /** RegexValidator: non-null values must match `pattern`. */
 final case class RegexCheck(column: String, pattern: String,
-    negate: Boolean = false) extends Validator {
+    negate: Boolean = false, mostly: Double = 1.0) extends Validator {
   RegexSafety.require(pattern)
   val name = s"regex[$column]"
   val category = "string"
@@ -40,7 +40,8 @@ final case class RegexCheck(column: String, pattern: String,
     Seq(k -> count(when(pred, 1)))
   def evaluate(m: Metrics, total: Long) = {
     val n = m.long(k)
-    if (n > 0) Seq(issue(column, if (negate) "regex_forbidden_match" else "regex_mismatch",
+    val allowed = math.floor((1.0 - mostly) * total).toLong
+    if (n > allowed) Seq(issue(column, if (negate) "regex_forbidden_match" else "regex_mismatch",
       n, total, Severity.Medium, expected = pattern)) else Nil
   }
   override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
@@ -105,7 +106,8 @@ object Formats {
 }
 
 /** Email/Url/Uuid/Ip/Phone/AlphanumericValidator via the format library. */
-final case class FormatCheck(column: String, format: String) extends Validator {
+final case class FormatCheck(column: String, format: String,
+    mostly: Double = 1.0) extends Validator {
   private val pattern = Formats.all.getOrElse(format,
     throw new IllegalArgumentException(s"unknown format $format"))
   val name = s"format_$format[$column]"
@@ -116,7 +118,8 @@ final case class FormatCheck(column: String, format: String) extends Validator {
     Seq(k -> count(when(pred, 1)))
   def evaluate(m: Metrics, total: Long) = {
     val n = m.long(k)
-    if (n > 0) Seq(issue(column, s"invalid_$format", n, total, Severity.Medium,
+    val allowed = math.floor((1.0 - mostly) * total).toLong
+    if (n > allowed) Seq(issue(column, s"invalid_$format", n, total, Severity.Medium,
       expected = pattern)) else Nil
   }
   override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
