@@ -616,6 +616,53 @@ object SparkEntry {
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
 
+    "q91_localization" -> ((s, dir) => {
+      // synthetic RRN-shaped strings derived from keys: deterministic
+      // structure-validation surface for the localization regexes
+      val c = table(s, dir, "customer").withColumn("rrn_like",
+        concat(lpad((col("c_custkey") % 1000000).cast("string"), 6, "0"),
+          lit("-"), ((col("c_custkey") % 8) + 1).cast("string"),
+          lpad((col("c_custkey") % 999999).cast("string"), 6, "0")))
+      c.agg(
+        cnt(col("rrn_like").rlike(graft.validators.LocalFormats.koreanRrn))
+          .as("rrn_structural"),
+        cnt(graft.validators.LocalFormats.koreanRrnValid(col("rrn_like")))
+          .as("rrn_checksum_valid"),
+        cnt(col("rrn_like").rlike(graft.validators.LocalFormats.japanesePostal))
+          .as("jp_postal_shaped"))
+    }),
+    "q92_token_counts" -> ((s, dir) => {
+      import graft.pipeline.{Text => T}
+      table(s, dir, "documents").agg(
+        sum(T.tokenCount(col("text"))).cast("long").as("total_tokens"),
+        sum(T.approxBpeCount(col("text"))).cast("long").as("total_bpeish"),
+        max(T.tokenCount(col("text"))).as("max_tokens"))
+    }),
+    "q93_completeness_ratio" -> ((s, dir) => {
+      table(s, dir, "orders").agg(
+        round(count(col("o_orderpriority")).cast("double") / count(lit(1)), 6)
+          .as("priority_completeness"),
+        cnt(col("o_orderstatus") === "O").as("default_status_count"),
+        round(cnt(col("o_orderstatus") === "O").cast("double") / count(lit(1)), 6)
+          .as("default_status_ratio"))
+    }),
+    "q94_chain_comparison" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+        cnt(col("l_discount") > col("l_tax") ||
+            col("l_tax") > col("l_quantity")).as("chain_disc_tax_qty_viol"),
+        cnt(col("l_quantity") > col("l_extendedprice"))
+          .as("chain_qty_price_viol"))
+    }),
+    "q95_conditional_null" -> ((s, dir) => {
+      // ConditionalNullValidator shape: props may be null only for 'error'
+      // events (none are null -> 0, but the expression shape is exercised)
+      table(s, dir, "events").agg(
+        cnt(col("props").isNull && col("event_type") =!= "error")
+          .as("null_outside_condition"),
+        cnt(col("value").isNull && col("event_type") === "purchase")
+          .as("null_purchase_values"))
+    }),
+
     // ---- geospatial (§2.12) ----
     "q47_geo_checks" -> ((s, dir) => {
       val g = table(s, dir, "customer").select(
@@ -1163,6 +1210,53 @@ object SparkEntry {
            count(*) - count(DISTINCT c_custkey) = 0,
            count(*) - count(DISTINCT c_custkey) FROM customer
          ) ORDER BY validator""",
+    "q91_localization" ->
+      """WITH r AS (SELECT lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0')
+             || '-' || CAST((c_custkey % 8) + 1 AS VARCHAR)
+             || lpad(CAST(c_custkey % 999999 AS VARCHAR), 6, '0') AS rrn_like
+           FROM customer),
+         d AS (SELECT rrn_like, replace(rrn_like, '-', '') AS ds FROM r)
+         SELECT
+           count(*) FILTER (WHERE regexp_matches(rrn_like,
+             '^[0-9]{6}-[1-8][0-9]{6}$')) AS rrn_structural,
+           count(*) FILTER (WHERE regexp_matches(rrn_like,
+             '^[0-9]{6}-[1-8][0-9]{6}$') AND
+             (11 - (list_sum(list_transform(range(0, 12), i ->
+               (ascii(substr(ds, CAST(i + 1 AS INT), 1)) - 48) *
+               [2,3,4,5,6,7,8,9,2,3,4,5][CAST(i + 1 AS INT)])) % 11)) % 10
+               = ascii(substr(ds, 13, 1)) - 48) AS rrn_checksum_valid,
+           count(*) FILTER (WHERE regexp_matches(rrn_like,
+             '^[0-9]{3}-[0-9]{4}$')) AS jp_postal_shaped
+         FROM d""",
+    "q92_token_counts" ->
+      """WITH t AS (SELECT text, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt FROM documents)
+         SELECT CAST(sum(CASE WHEN nt = '' THEN 0
+             ELSE len(string_split(nt, ' ')) END) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
+           max(CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END)
+             AS max_tokens
+         FROM t""",
+    "q93_completeness_ratio" ->
+      """SELECT round(CAST(count(o_orderpriority) AS DOUBLE) / count(*), 6)
+           AS priority_completeness,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS default_status_count,
+         round(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+           / count(*), 6) AS default_status_ratio
+         FROM orders""",
+    "q94_chain_comparison" ->
+      """SELECT count(*) FILTER (WHERE l_discount > l_tax OR l_tax > l_quantity)
+           AS chain_disc_tax_qty_viol,
+         count(*) FILTER (WHERE l_quantity > l_extendedprice)
+           AS chain_qty_price_viol
+         FROM lineitem""",
+    "q95_conditional_null" ->
+      """SELECT count(*) FILTER (WHERE props IS NULL AND event_type <> 'error')
+           AS null_outside_condition,
+         count(*) FILTER (WHERE value IS NULL AND event_type = 'purchase')
+           AS null_purchase_values
+         FROM events""",
     "q47_geo_checks" ->
       """WITH g AS (SELECT CAST((c_custkey % 180) - 90 AS DOUBLE) AS lat,
                            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon

@@ -54,6 +54,25 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "report.html")))
   }
 
+  test("multi-table runner: parallel per-table suites + cross checks") {
+    import graft.core.MultiTableRunner
+    import graft.core.MultiTableRunner.TableSuite
+    val orders = Seq((1, 10.0), (2, 20.0)).toDF("oid", "total")
+    val items = Seq((1, 5.0), (1, 5.0), (9, 1.0)).toDF("oid", "amt")
+    val r = MultiTableRunner.run(
+      Seq(TableSuite("orders", orders, Seq(UniqueCheck(Seq("oid")))),
+          TableSuite("items", items, Seq(SignCheck("amt")))),
+      crossValidators = Seq(ForeignKeyCheck("items", Seq("oid"),
+        "orders", Seq("oid"), broadcastParent = true)))
+    assert(r.perTable("orders").passed)
+    assert(r.perTable("items").passed)
+    assert(!r.crossTable.get.passed) // oid 9 orphan
+    val seq = MultiTableRunner.run(
+      Seq(TableSuite("orders", orders, Seq(UniqueCheck(Seq("oid"))))),
+      parallel = false)
+    assert(seq.passed)
+  }
+
   test("severity threshold controls pass/fail classification") {
     val cp = Checkpoint("low-sev", () => df,
       Seq(DefaultValueCheck("id", 2, maxRatio = 0.5)), // Low severity issue
