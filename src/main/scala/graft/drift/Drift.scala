@@ -43,15 +43,23 @@ object Drift {
       r.getAs[Long]("c2") / math.max(n2, 1)))
   }
 
-  /** Categorical distribution join: (value, p, q, c1, c2). */
-  def categoricalPq(cur: DataFrame, ref: DataFrame, column: String)
+  /** Categorical distribution join: (value, p, q, c1, c2). The driver
+    * collect is bounded by `maxCategories` — a column with more distinct
+    * values than that is not categorical; fail loudly instead of OOMing
+    * the driver at scale (use the binned numeric path instead). */
+  def categoricalPq(cur: DataFrame, ref: DataFrame, column: String,
+                    maxCategories: Int = 100000)
       : Seq[(String, Double, Double, Long, Long)] = {
     val h1 = cur.groupBy(col(column).cast("string").as("v"))
       .agg(count(lit(1)).as("c1"))
     val h2 = ref.groupBy(col(column).cast("string").as("v"))
       .agg(count(lit(1)).as("c2"))
     val joined = h1.join(h2, Seq("v"), "full_outer")
-      .na.fill(0L, Seq("c1", "c2")).orderBy("v").collect()
+      .na.fill(0L, Seq("c1", "c2")).orderBy("v")
+      .limit(maxCategories + 1).collect()
+    require(joined.length <= maxCategories,
+      s"$column has >$maxCategories distinct values — not categorical; " +
+        "use binnedPq for numeric drift")
     val n1 = joined.map(_.getAs[Long]("c1")).sum.toDouble
     val n2 = joined.map(_.getAs[Long]("c2")).sum.toDouble
     joined.toSeq.map(r => (r.getAs[String]("v"),
@@ -168,11 +176,15 @@ object Drift {
       .filter(col("v").isNotNull).withColumn("s1", lit(0L)).withColumn("s2", lit(1L))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val maxDistinct = 1000000
     val rows = a.unionAll(b)
       .groupBy(col("v")).agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
       .withColumn("F1c", sum(col("c1")).over(w))
       .withColumn("F2c", sum(col("c2")).over(w))
-      .orderBy(col("v")).collect()
+      .orderBy(col("v")).limit(maxDistinct + 1).collect()
+    require(rows.length <= maxDistinct,
+      s"$column has >$maxDistinct distinct values — exact CvM/AD would " +
+        "collect unboundedly; bin the column first")
     val n1 = rows.map(_.getAs[Long]("c1")).sum.toDouble
     val n2 = rows.map(_.getAs[Long]("c2")).sum.toDouble
     (n1, n2, rows.toSeq.map(r => (r.getAs[Double]("v"), r.getAs[Long]("c1"),
