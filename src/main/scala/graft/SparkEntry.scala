@@ -479,8 +479,9 @@ object SparkEntry {
     "q74_language_id" -> ((s, dir) => {
       import graft.pipeline.{Text => T}
       table(s, dir, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
         .groupBy(col("lang").as("actual"),
-          T.languageId(col("text")).as("predicted"))
+          T.languageIdOf(col("__toks")).as("predicted"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("actual"), col("predicted"))
     }),

@@ -91,19 +91,25 @@ object Text {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "que", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  def langScore(c: Column, lang: String): Column = {
-    val t = tokens(c)
-    size(filter(t, w => w.isin(markers(lang): _*)))
-  }
+  def langScore(c: Column, lang: String): Column =
+    langScoreOf(tokens(c), lang)
+
+  def langScoreOf(toks: Column, lang: String): Column =
+    size(filter(toks, w => w.isin(markers(lang): _*)))
 
   /** Predicted language: argmax marker score, "und" when all zero.
-    * Ties break by language name order (deterministic). */
-  def languageId(c: Column): Column = {
+    * Ties break by language name order (deterministic). Prefer
+    * `languageIdOf` over a materialized token column in pipelines — the
+    * five per-language scores would otherwise each re-tokenize (no CSE
+    * inside lambdas). */
+  def languageIdOf(toks: Column): Column = {
     val langs = markers.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
+    val scored = langs.map(l => struct(langScoreOf(toks, l).as("s"), lit(l).as("l")))
     val best = greatest(scored: _*)
     when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
   }
+
+  def languageId(c: Column): Column = languageIdOf(tokens(c))
 
   // ---- fingerprinting ----
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
