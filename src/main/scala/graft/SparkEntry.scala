@@ -617,6 +617,16 @@ object SparkEntry {
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
 
+    "q77_curation_pipeline" -> ((s, dir) => {
+      // full curation chain: token floor -> exact dedup -> near-dedup
+      graft.pipeline.Curate(
+          table(s, dir, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text")
+        .minTokens(10)
+        .dedupExact()
+        .dedupNear(threshold = 0.5)
+        .summary
+    }),
     "q91_localization" -> ((s, dir) => {
       // synthetic RRN-shaped strings derived from keys: deterministic
       // structure-validation surface for the localization regexes
@@ -1211,6 +1221,35 @@ object SparkEntry {
            count(*) - count(DISTINCT c_custkey) = 0,
            count(*) - count(DISTINCT c_custkey) FROM customer
          ) ORDER BY validator""",
+    "q77_curation_pipeline" ->
+      """WITH norm AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents WHERE doc_id < 1000),
+         kept0 AS (SELECT doc_id, text, nt,
+             CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS ntok
+           FROM norm),
+         kept1 AS (SELECT * FROM kept0 WHERE ntok >= 10),
+         -- exact dedup: keep lowest doc_id per md5(nt)
+         kept2 AS (SELECT * FROM (SELECT *, row_number() OVER
+             (PARTITION BY md5(nt) ORDER BY doc_id) AS rn FROM kept1)
+           WHERE rn = 1),
+         sh AS (SELECT doc_id, nt, ntok, list_distinct(list_transform(
+             range(1, greatest(len(string_split(nt, ' ')) - 1, 1)),
+             i -> array_to_string(string_split(nt, ' ')[i:i+2], ' '))) AS s
+           FROM kept2),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cnt AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT da, db FROM cnt
+           JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+           WHERE CAST(c AS DOUBLE) / (len(x.s) + len(y.s) - c) >= 0.5),
+         survivors AS (SELECT * FROM kept2 WHERE doc_id NOT IN
+           (SELECT db FROM pairs))
+         SELECT count(*) AS docs,
+           CAST(sum(ntok) AS BIGINT) AS tokens,
+           count(DISTINCT md5(nt)) AS distinct_fp
+         FROM survivors""",
     "q91_localization" ->
       """WITH r AS (SELECT lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0')
              || '-' || CAST((c_custkey % 8) + 1 AS VARCHAR)

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable training-data curation pipeline: the north-star operators
+  * (quality scoring, dedup, language-ID, token accounting) chained the way
+  * a 100 TB corpus pass actually runs them:
+  *
+  *   Curate(docs, "doc_id", "text")
+  *     .minQuality(0.5)
+  *     .dedupExact()
+  *     .dedupNear(threshold = 0.8)
+  *     .keepLanguages("en", "es")
+  *     .df                        // surviving documents
+  *
+  * Ordering matters at scale and is fixed here deliberately: cheap
+  * row-local filters (quality, language) run at scan speed and shrink the
+  * corpus BEFORE the shuffling dedup stages; exact dedup (one hash
+  * shuffle) runs before near-dup (candidate join).
+  *
+  * Near-dup removal semantics (deterministic, non-iterative): a document
+  * is dropped iff it appears as the HIGHER id of any qualifying pair —
+  * the lowest id of each near-dup cluster survives. This is the standard
+  * single-pass rule (no transitive union-find), SQL-restatable. */
+final case class Curate(df: DataFrame, idCol: String, textCol: String,
+    stages: Seq[String] = Nil) {
+
+  def minQuality(threshold: Double, minChars: Int = 50): Curate =
+    copy(df = df.filter(Text.qualityScore(col(textCol), minChars) >= threshold),
+      stages = stages :+ s"quality>=$threshold")
+
+  def minTokens(n: Int): Curate =
+    copy(df = df.filter(Text.tokenCount(col(textCol)) >= n),
+      stages = stages :+ s"tokens>=$n")
+
+  def keepLanguages(langs: String*): Curate =
+    copy(df = df.withColumn("__toks", Text.tokens(col(textCol)))
+      .filter(Text.languageIdOf(col("__toks")).isin(langs: _*))
+      .drop("__toks"),
+      stages = stages :+ s"lang in ${langs.mkString(",")}")
+
+  /** Exact dedup on the normalized-content fingerprint, keep lowest id. */
+  def dedupExact(): Curate =
+    copy(df = Dedup.exactDedup(df, textCol, idCol),
+      stages = stages :+ "dedup_exact")
+
+  /** Near-dup removal: drop the higher id of every pair with n-gram
+    * Jaccard >= threshold (exhaustive generator; swap in minhashLshPairs
+    * for corpora where the posting join is too big). */
+  def dedupNear(threshold: Double = 0.8, shingleN: Int = 3,
+                useLsh: Boolean = false): Curate = {
+    val pairs =
+      if (useLsh) Dedup.minhashLshPairs(df, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      else Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val doomed = pairs.select(col("id_b").as("__drop")).distinct()
+    copy(df = df.join(doomed, df(idCol) === col("__drop"), "left_anti"),
+      stages = stages :+ s"dedup_near>=$threshold${if (useLsh) "(lsh)" else ""}")
+  }
+
+  /** Summary metrics of the surviving corpus (one aggregate). */
+  def summary: DataFrame =
+    df.agg(
+      count(lit(1)).as("docs"),
+      sum(Text.tokenCount(col(textCol))).cast("long").as("tokens"),
+      count_distinct(Text.fingerprint(col(textCol))).as("distinct_fp"))
+}

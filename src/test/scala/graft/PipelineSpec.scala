@@ -99,6 +99,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0).getAs[String]("fp").length == 32)
   }
 
+  test("curation pipeline chains quality/dedup/language stages") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the creek"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and runs to the river"), // exact dup of 1
+      (4L, "el perro y el gato de la casa que los vio ayer por la tarde juntos"),
+      (5L, "tiny")
+    ).toDF("id", "text")
+    val curated = Curate(corpus, "id", "text")
+      .minTokens(5)          // drops 5
+      .dedupExact()          // drops 3
+      .dedupNear(0.5)        // drops 2 (keeps lowest id 1)
+    assert(curated.df.select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 4L))
+    assert(curated.stages == Seq("tokens>=5", "dedup_exact", "dedup_near>=0.5"))
+    val en = Curate(corpus, "id", "text").keepLanguages("en")
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 2L, 3L)) // spanish + tiny dropped
+    val s = curated.summary.head()
+    assert(s.getLong(0) == 2)
+  }
+
   test("multimodal plumbing: payload schema, stub features, frame offsets") {
     val x = Multimodal.extract(docs, "text", "text/plain", dims = 8)
     assert(x.columns.contains("features") && x.columns.contains("byte_stats"))
