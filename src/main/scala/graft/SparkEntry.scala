@@ -481,7 +481,7 @@ object SparkEntry {
       table(s, dir, "documents")
         .withColumn("__toks", T.tokens(col("text")))
         .groupBy(col("lang").as("actual"),
-          T.languageIdOf(col("__toks")).as("predicted"))
+          T.languageIdOf(col("text"), col("__toks")).as("predicted"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("actual"), col("predicted"))
     }),
@@ -1083,7 +1083,7 @@ object SparkEntry {
            CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) >= 0.2
          GROUP BY 1 ORDER BY 1""",
     "q74_language_id" ->
-      """WITH norm AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
+      """WITH norm AS (SELECT doc_id, lang, text, string_split(trim(regexp_replace(
              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
              ' ') AS toks FROM documents),
          sc AS (SELECT doc_id, lang,
@@ -1091,7 +1091,7 @@ object SparkEntry {
            len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','it','with'))) AS s_en,
            len(list_filter(toks, x -> x IN ('el','la','de','que','los','una','por','con'))) AS s_es,
            len(list_filter(toks, x -> x IN ('le','la','les','des','est','une','que','dans'))) AS s_fr,
-           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+           len(regexp_extract_all(text, '的|是|了|在|我|有|和|不')) AS s_zh
            FROM norm),
          p AS (SELECT lang AS actual,
            CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'

@@ -59,14 +59,19 @@ object SuiteRunner {
     var mode = "fused-batch"
 
     // --- early termination: try the head sample first ---
+    // only single-pass, non-dedicated validators participate: two-pass
+    // validators would see empty stats (garbage fences) and dedicated
+    // scans would run full jobs, defeating the point
     config.earlyTerminationRows.foreach { n =>
+      val etValidators = validators.filter(v => v.schemaOnly ||
+        (v.statsExprs(schema).isEmpty && !v.isInstanceOf[DedicatedScan]))
       val sample = df0.limit(n)
-      val (m, _, failedExec) = collectTiered(sample, validators, schema)
+      val (m, _, failedExec) = collectTiered(sample, etValidators, schema)
       scans += 1
-      if (failedExec.isEmpty) {
+      if (failedExec.isEmpty && etValidators.nonEmpty) {
         val sampleTotal = m.long(rowCountKey)
         if (sampleTotal >= n) { // sample saturated => data at least this big
-          val results = evaluateAll(validators, m, sampleTotal, Set.empty, schema)
+          val results = evaluateAll(etValidators, m, sampleTotal, Set.empty, schema)
           val worstRatio = results.flatMap(_.issues).map(_.ratio)
             .maxOption.getOrElse(0.0)
           if (worstRatio >= config.earlyTerminationFailRate)
@@ -145,6 +150,11 @@ object SuiteRunner {
       s"observed mode cannot use DISTINCT aggregates; replace with approx " +
         s"variants (e.g. ApproxDistinctCheck): " +
         distinctOffenders.map(_.name).mkString(", "))
+    val twoPass = validators.filterNot(_.schemaOnly)
+      .filter(_.statsExprs(schema).nonEmpty)
+    require(twoPass.isEmpty,
+      "observed mode cannot run two-pass validators (their stats pass " +
+        "needs its own scan): " + twoPass.map(_.name).mkString(", "))
     val keyed = dedup(validators.filterNot(_.schemaOnly)
       .flatMap(_.metricExprs(schema, Metrics.empty)) :+
       (rowCountKey -> count(lit(1))))
@@ -172,12 +182,18 @@ object SuiteRunner {
       stats: Metrics = Metrics.empty,
       statsAlreadyCounted: Boolean = false)
       : (Metrics, Int, Set[String]) = {
-    val byValidator = validators.filterNot(_.schemaOnly)
-      .map(v => v -> v.metricExprs(schema, stats))
+    // a validator whose metricExprs CONSTRUCTION throws (bad param match,
+    // bad column ref) is isolated here too, not just execution failures
+    val constructed = validators.filterNot(_.schemaOnly).map { v =>
+      try Right(v -> v.metricExprs(schema, stats))
+      catch { case e: Exception => Left(v.name) }
+    }
+    val constructFailed = constructed.collect { case Left(n) => n }.toSet
+    val byValidator = constructed.collect { case Right(ve) => ve }
     val fused = dedup(byValidator.flatMap(_._2) ++
       (if (statsAlreadyCounted) Nil else Seq(rowCountKey -> count(lit(1)))))
-    if (fused.isEmpty) return (Metrics.empty, 1, Set.empty)
-    try (collectAgg(df, fused), 1, Set.empty)
+    if (fused.isEmpty) return (Metrics.empty, 1, constructFailed)
+    try (collectAgg(df, fused), 1, constructFailed)
     catch {
       case _: Exception =>
         // tier 2: isolate per validator so one bad expression can't sink
@@ -197,7 +213,7 @@ object SuiteRunner {
             } catch { case _: Exception => failed += v.name }
           }
         }
-        (new Metrics(acc), 2, failed.toSet)
+        (new Metrics(acc), 2, constructFailed ++ failed)
     }
   }
 
@@ -206,8 +222,6 @@ object SuiteRunner {
       schema: org.apache.spark.sql.types.StructType,
       df: Option[DataFrame] = None,
       config: Config = Config()): Seq[CheckResult] = {
-    val failed = scala.collection.mutable.Set.empty[String]
-
     // dedicated scans first (optionally concurrent — Spark schedules the
     // jobs in parallel on the shared session)
     val dedicated: Map[String, Seq[ValidationIssue]] = df match {
@@ -233,36 +247,68 @@ object SuiteRunner {
       case None => Map.empty
     }
 
-    validators.map { v =>
+    // evaluate everything first, then apply skip-conditions to a fixpoint
+    // (order-independent: a dependency listed AFTER its dependent still
+    // triggers the skip; transitive failures propagate)
+    val evaluated: Seq[CheckResult] = validators.map { v =>
       val t0 = System.nanoTime()
-      val res =
-        if (v.dependencies.exists(failed.contains))
-          CheckResult(v.name, v.category, passed = true, Nil, 0L) // skipped
-        else if (failedExec.contains(v.name))
-          CheckResult(v.name, v.category, passed = false,
-            Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
-              Severity.Critical.label, "", "metric computation failed")), 0L)
-        else {
-          val issues = v match {
+      if (failedExec.contains(v.name))
+        CheckResult(v.name, v.category, passed = false,
+          Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
+            Severity.Critical.label, "", "metric computation failed")), 0L)
+      else {
+        val issues =
+          try v match {
             case _ if v.schemaOnly => v.schemaIssues(schema)
             case _: DedicatedScan => dedicated.getOrElse(v.name, Nil)
             case _                => v.evaluate(metrics, total)
+          } catch {
+            case e: Exception =>
+              Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
+                Severity.Critical.label, "", String.valueOf(e.getMessage)))
           }
-          CheckResult(v.name, v.category, issues.isEmpty, issues,
-            (System.nanoTime() - t0) / 1000000)
+        CheckResult(v.name, v.category, issues.isEmpty, issues,
+          (System.nanoTime() - t0) / 1000000)
+      }
+    }
+    val failedNames = scala.collection.mutable.Set(
+      evaluated.filterNot(_.passed).map(_.validator): _*)
+    val byName = validators.map(v => v.name -> v).toMap
+    var changed = true
+    val skipped = scala.collection.mutable.Set.empty[String]
+    while (changed) {
+      changed = false
+      validators.foreach { v =>
+        if (!skipped.contains(v.name) &&
+            v.dependencies.exists(failedNames.contains)) {
+          skipped += v.name
+          failedNames -= v.name // a skipped check is neither pass nor fail
+          changed = true
         }
-      if (!res.passed) failed += v.name
-      res
+      }
+    }
+    evaluated.map { r =>
+      if (skipped.contains(r.validator))
+        r.copy(passed = true, issues = Seq(ValidationIssue(r.validator, "*",
+          "skipped_dependency_failed", 0, total, Severity.Low.label,
+          "", byName(r.validator).dependencies.mkString(","))))
+      else r
     }
   }
 
-  /** Scale integer counts by the sampling factor (counts only — ratios,
-    * means and quantiles are scale-free). */
+  /** Scale integer counts by the sampling factor. Every Long metric is a
+    * row count and extrapolates linearly EXCEPT cardinality-derived ones
+    * (distinct counts, and dupes = total - distinct): cardinality does not
+    * scale linearly, so distinct/dupe-based checks are unsupported under
+    * sampling and keep their raw sample values (documented limitation —
+    * the reference's sampled mode has the same caveat). Doubles (means,
+    * quantiles, ratios) are scale-free. */
   private def scaled(m: Metrics, scale: Double): Metrics =
     if (scale == 1.0) m
     else new Metrics(m.asMap.map {
-      case (k, v: java.lang.Long) if k.metric.endsWith("count") ||
-          k.metric.endsWith("violations") || k.metric == "row_count" =>
+      case (k, v: java.lang.Long)
+          if !k.metric.contains("distinct") && !k.metric.contains("dupes") &&
+             !k.metric.startsWith("max_ts") =>
         k -> java.lang.Long.valueOf(math.round(v.longValue() * scale))
       case kv => kv
     })

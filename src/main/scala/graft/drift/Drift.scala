@@ -22,7 +22,9 @@ object Drift {
     * clamped at edges; nulls dropped. */
   def histogram(df: DataFrame, column: String, bins: Int,
                 lo: Double, hi: Double): DataFrame = {
-    val w = (hi - lo) / bins
+    // degenerate range (constant column): one bucket, zero drift —
+    // avoids NaN bucket ids / ANSI cast failures
+    val w = if (hi > lo) (hi - lo) / bins else 1.0
     val b = least(greatest(floor((col(column) - lo) / w), lit(0)),
       lit(bins - 1)).cast("int")
     df.filter(col(column).isNotNull)
@@ -221,9 +223,17 @@ object Drift {
     * `sampleSize` rows by the column's own ordering — deterministic. */
   def energyDistance(cur: DataFrame, ref: DataFrame, column: String,
                      sampleSize: Int = 500): Double = {
-    def sample(df: DataFrame): Array[Double] =
-      df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
-        .orderBy(col("v")).limit(sampleSize).collect().map(_.getDouble(0))
+    def sample(df: DataFrame): Array[Double] = {
+      // seeded row sampling (representative under heavy ties where
+      // value-hash ordering would collapse to a few distinct values);
+      // deterministic for a fixed input partitioning
+      val base = df.select(col(column).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = base.count()
+      val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
+      base.sample(withReplacement = false, fraction, seed = 42L)
+        .limit(sampleSize).collect().map(_.getDouble(0))
+    }
     val x = sample(cur); val y = sample(ref)
     def meanAbsDiff(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0
@@ -242,9 +252,17 @@ object Drift {
     * distance heuristic) on bounded deterministic samples. */
   def mmd(cur: DataFrame, ref: DataFrame, column: String,
           sampleSize: Int = 500): Double = {
-    def sample(df: DataFrame): Array[Double] =
-      df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
-        .orderBy(col("v")).limit(sampleSize).collect().map(_.getDouble(0))
+    def sample(df: DataFrame): Array[Double] = {
+      // seeded row sampling (representative under heavy ties where
+      // value-hash ordering would collapse to a few distinct values);
+      // deterministic for a fixed input partitioning
+      val base = df.select(col(column).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = base.count()
+      val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
+      base.sample(withReplacement = false, fraction, seed = 42L)
+        .limit(sampleSize).collect().map(_.getDouble(0))
+    }
     val x = sample(cur); val y = sample(ref)
     val all = x ++ y
     val dists = for (i <- all.indices; j <- (i + 1) until all.length)

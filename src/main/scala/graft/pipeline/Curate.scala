@@ -36,7 +36,7 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
 
   def keepLanguages(langs: String*): Curate =
     copy(df = df.withColumn("__toks", Text.tokens(col(textCol)))
-      .filter(Text.languageIdOf(col("__toks")).isin(langs: _*))
+      .filter(Text.languageIdOf(col(textCol), col("__toks")).isin(langs: _*))
       .drop("__toks"),
       stages = stages :+ s"lang in ${langs.mkString(",")}")
 

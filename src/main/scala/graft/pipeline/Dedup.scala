@@ -67,11 +67,18 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    verifyJaccard(cand, df, idCol, textCol, shingleN)
+    val result = verifyJaccard(cand, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize eagerly so the intermediate can be dropped
+    banded.unpersist()
+    result
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate id pairs. */
+  /** Exact n-gram Jaccard similarity for given candidate id pairs.
+    * The shingle relation persisted here is dropped by callers that
+    * materialize the result (minhashLshPairs); direct callers evaluating
+    * lazily keep it cached for reuse. */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
@@ -111,7 +118,7 @@ object Dedup {
     // |A ∩ B| falls out of the posting-list join directly (postings are
     // distinct shingles), so jaccard = c / (|A| + |B| - c) with no array
     // re-verification — one join + one groupBy, exact
-    posting.as("a").join(posting.as("b"),
+    val result = posting.as("a").join(posting.as("b"),
         col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("__c"))
@@ -123,6 +130,10 @@ object Dedup {
         col("__c").cast("double") / (col("sz_a") + col("sz_b") - col("__c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize eagerly so the shingle cache can be dropped
+    sh.unpersist()
+    result
   }
 
   /** SimHash fingerprints + Hamming-blocked near-dup pairs: candidates

@@ -98,18 +98,26 @@ object Text {
     size(filter(toks, w => w.isin(markers(lang): _*)))
 
   /** Predicted language: argmax marker score, "und" when all zero.
-    * Ties break by language name order (deterministic). Prefer
-    * `languageIdOf` over a materialized token column in pipelines — the
-    * five per-language scores would otherwise each re-tokenize (no CSE
-    * inside lambdas). */
-  def languageIdOf(toks: Column): Column = {
+    * Ties break by language name order (deterministic). Takes BOTH the
+    * raw column and a materialized token column: CJK markers must be
+    * scored on the raw text (normalize() strips non-latin characters, so
+    * a token-only scorer could never return "zh"), while latin markers
+    * score on tokens. Prefer this over `languageId` in pipelines — the
+    * per-language scores would otherwise each re-tokenize (no CSE inside
+    * lambdas). */
+  def languageIdOf(raw: Column, toks: Column): Column = {
     val langs = markers.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScoreOf(toks, l).as("s"), lit(l).as("l")))
+    val scored = langs.map { l =>
+      val sc =
+        if (l == "zh") regexp_count(raw, lit(markers("zh").mkString("|")))
+        else langScoreOf(toks, l)
+      struct(sc.as("s"), lit(l).as("l"))
+    }
     val best = greatest(scored: _*)
     when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
   }
 
-  def languageId(c: Column): Column = languageIdOf(tokens(c))
+  def languageId(c: Column): Column = languageIdOf(c, tokens(c))
 
   // ---- fingerprinting ----
   /** Content fingerprint: md5 of the normalized text (engine-portable). */

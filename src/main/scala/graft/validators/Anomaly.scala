@@ -27,6 +27,7 @@ final case class MadOutlierCheck(column: String, k: Double = 3.0,
     if (exact) expr(s"percentile($sql, 0.5)")
     else expr(s"percentile_approx($sql, 0.5, 10000)")
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val med = df.agg(pct(column)).head().getDouble(0)
     val mad = df.agg(pct(s"abs($column - $med)")).head().getDouble(0)
     if (mad == 0.0) return Nil
@@ -179,6 +180,7 @@ final case class MahalanobisCheck(columns: Seq[String], threshold: Double,
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val d = columns.size
     val aggs = columns.map(c => avg(col(c))) ++
       (for (i <- 0 until d; j <- 0 until d)

@@ -81,6 +81,8 @@ final case class DateOrderCheck(startCol: String, endCol: String,
   * (e.g. all 7 weekdays seen — gap smell for periodic feeds). */
 final case class DatePartCoverageCheck(column: String, part: String,
     expectedCount: Int) extends Validator {
+  require(Set("dayofweek", "month", "hour", "day").contains(part),
+    s"unsupported date part: $part")
   val name = s"date_part_coverage[$column,$part]"
   val category = "datetime"
   private val k = MetricKey("date_part_distinct", column, part)

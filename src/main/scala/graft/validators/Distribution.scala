@@ -176,6 +176,7 @@ final case class MonotonicCheck(column: String, orderBy: String,
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val w = (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
              else Window.partitionBy()).orderBy(col(orderBy))
     val prev = lag(col(column), 1).over(w)
@@ -200,6 +201,7 @@ final case class MostCommonValueCheck(column: String, expected: Set[String])
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val top = df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(column).asc_nulls_last).limit(1).collect()
     top.headOption match {

@@ -60,6 +60,7 @@ final case class HistogramShapeCheck(column: String, lo: Double, hi: Double,
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val bins = expectedRatios.size
     val counts = graft.drift.Drift.histogram(df, column, bins, lo, hi)
       .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("cnt")).toMap
@@ -127,6 +128,7 @@ final case class TableSizeCheck(maxBytes: Long = Long.MaxValue,
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val cols = df.columns.length
     val ratio = if (cols == 0) 0.0 else total.toDouble / cols

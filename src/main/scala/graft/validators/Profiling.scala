@@ -44,6 +44,7 @@ final case class EntropyCheck(column: String, lo: Double, hi: Double)
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val h = df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .agg(graft.ops.Exprs.entropyFromCounts("cnt").as("h"))
       .head().getDouble(0)
@@ -63,6 +64,7 @@ final case class ValueFrequencyCheck(column: String, maxRatio: Double)
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val top = df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt")).limit(1).collect()
     top.headOption match {

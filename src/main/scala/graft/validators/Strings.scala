@@ -146,6 +146,8 @@ final case class JsonParseableCheck(column: String) extends Validator {
 /** ConsistentCasingValidator: column must be uniformly lower/upper/title. */
 final case class CasingCheck(column: String, casing: String = "lower")
     extends Validator {
+  require(Set("lower", "upper", "title").contains(casing),
+    s"unsupported casing: $casing")
   val name = s"casing[$column]"
   val category = "string"
   private val k = MetricKey("casing_violations", column, casing)

@@ -25,6 +25,7 @@ final case class TimeGapCheck(tsCol: String, minGapSec: Option[Double],
   def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val w = (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
              else Window.partitionBy()).orderBy(col(tsCol))
     val ts = col(tsCol).cast("timestamp") // NTZ-robust
@@ -61,21 +62,39 @@ final case class DuplicateTimestampCheck(tsCol: String,
   * at least one observation (gap smell). Bucket count vs expected count. */
 final case class TimeCompletenessCheck(tsCol: String, bucket: String = "day",
     minCoverage: Double = 1.0) extends Validator with DedicatedScan {
+  require(Set("hour", "day", "week", "month").contains(bucket),
+    s"unsupported bucket: $bucket")
   val name = s"time_completeness[$tsCol]"
   val category = "timeseries"
   def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val r = df.agg(
       count_distinct(date_trunc(bucket, col(tsCol))).as("present"),
       min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi")).head()
     val present = r.getLong(0)
+    if (r.isNullAt(1)) return Nil
     val (lo, hi) = (r.getTimestamp(1), r.getTimestamp(2))
-    val unit = bucket match {
-      case "hour" => 3600000L; case "day" => 86400000L; case "week" => 604800000L
-      case "month" => 2592000000L
+    // calendar-aligned bucket count (epoch division would anchor weeks on
+    // Thursday and months on 30 days, disagreeing with date_trunc)
+    import java.time.temporal.ChronoUnit
+    val (lz, hz) = (lo.toInstant.atZone(java.time.ZoneOffset.UTC),
+      hi.toInstant.atZone(java.time.ZoneOffset.UTC))
+    val expected = bucket match {
+      case "hour" => ChronoUnit.HOURS.between(lz.truncatedTo(ChronoUnit.HOURS),
+        hz.truncatedTo(ChronoUnit.HOURS)) + 1
+      case "day" => ChronoUnit.DAYS.between(lz.toLocalDate, hz.toLocalDate) + 1
+      case "week" =>
+        import java.time.DayOfWeek
+        val lw = lz.toLocalDate.`with`(
+          java.time.temporal.TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        val hw = hz.toLocalDate.`with`(
+          java.time.temporal.TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        ChronoUnit.WEEKS.between(lw, hw) + 1
+      case "month" => ChronoUnit.MONTHS.between(
+        lz.toLocalDate.withDayOfMonth(1), hz.toLocalDate.withDayOfMonth(1)) + 1
     }
-    val expected = (hi.getTime / unit) - (lo.getTime / unit) + 1
     val coverage = if (expected == 0) 1.0 else present.toDouble / expected
     if (coverage < minCoverage)
       Seq(issue(tsCol, "missing_time_buckets", expected - present, total,
@@ -116,6 +135,8 @@ final case class TrendCheck(tsCol: String, valueCol: String,
 final case class SeasonalityCheck(tsCol: String, valueCol: String,
     part: String = "hour", maxProfileRatio: Double = 1.0)
     extends Validator with DedicatedScan {
+  require(Set("hour", "dayofweek", "month", "day").contains(part),
+    s"unsupported date part: $part")
   val name = s"seasonality[$valueCol,$part]"
   val category = "timeseries"
   def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) = Nil
@@ -125,6 +146,7 @@ final case class SeasonalityCheck(tsCol: String, valueCol: String,
     case "month" => month(c); case "day" => dayofmonth(c)
   }
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
     val overall = df.agg(var_samp(col(valueCol))).head().getDouble(0)
     if (overall == 0.0) return Nil
     val profileVar = df.groupBy(partOf(col(tsCol)).as("p"))
