@@ -87,17 +87,30 @@ object Cli {
         }
 
       case "compare" :: a :: b :: column :: _ =>
+        // per-dtype dispatch, reference th.compare() style: categorical
+        // columns get frequency-table statistics, numeric get CDF/binned
         val (da, db) = (load(spark, a), load(spark, b))
-        val stats = da.selectExpr(s"min($column) as lo", s"max($column) as hi").head()
-        val (lo, hi) = (stats.getAs[Any]("lo").toString.toDouble,
-          stats.getAs[Any]("hi").toString.toDouble)
-        val pq = graft.drift.Drift.binnedPq(da, db, column, 20, lo, hi)
-        println(f"psi         = ${graft.drift.Drift.psi(pq)}%.6f")
-        println(f"js          = ${graft.drift.Drift.jsDivergence(pq)}%.6f")
-        println(f"tv          = ${graft.drift.Drift.totalVariation(pq)}%.6f")
-        println(f"hellinger   = ${graft.drift.Drift.hellinger(pq)}%.6f")
-        println(f"ks          = ${graft.drift.Drift.ksStatistic(da, db, column)}%.6f")
-        println(f"wasserstein = ${graft.drift.Drift.wasserstein(da, db, column)}%.6f")
+        val isNumeric = da.schema(column).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        if (!isNumeric) {
+          val cells = graft.drift.Drift.categoricalPq(da, db, column)
+          val pq = cells.zipWithIndex.map { case ((_, p, q, _, _), i) => (i, p, q) }
+          println(f"chi2        = ${graft.drift.Drift.chiSquare(cells)}%.6f")
+          println(f"js          = ${graft.drift.Drift.jsDivergence(pq)}%.6f")
+          println(f"tv          = ${graft.drift.Drift.totalVariation(pq)}%.6f")
+        } else {
+          val stats = da.selectExpr(s"min($column) as lo", s"max($column) as hi").head()
+          val (lo, hi) = (stats.getAs[Any]("lo").toString.toDouble,
+            stats.getAs[Any]("hi").toString.toDouble)
+          val pq = graft.drift.Drift.binnedPq(da, db, column, 20, lo, hi)
+          println(f"psi         = ${graft.drift.Drift.psi(pq)}%.6f")
+          println(f"js          = ${graft.drift.Drift.jsDivergence(pq)}%.6f")
+          println(f"tv          = ${graft.drift.Drift.totalVariation(pq)}%.6f")
+          println(f"hellinger   = ${graft.drift.Drift.hellinger(pq)}%.6f")
+          println(f"ks          = ${graft.drift.Drift.ksStatistic(da, db, column)}%.6f")
+          println(f"ks_binned   = ${graft.drift.Drift.ksBinned(da, db, column, 20, lo, hi)}%.6f")
+          println(f"wasserstein = ${graft.drift.Drift.wasserstein(da, db, column)}%.6f")
+        }
         0
 
       case _ => usage(); 2

@@ -112,7 +112,11 @@ object SuiteRunner {
     val results = evaluateAll(validators, scaled(metrics, scale), total,
       failedExec, schema, Some(df), config)
 
-    // --- Enrichment: bounded failing-row samples ---
+    // --- Enrichment (reference result-format phases 2-3,
+    // `validators/base.py:1933-1959`): Basic adds bounded failing-row
+    // samples; Summary additionally adds the top failing-value
+    // frequencies of each issue's column — both bounded follow-up jobs
+    // run only for failed checks ---
     val enriched =
       if (config.format.rank >= ResultFormat.Basic.rank)
         results.map { r =>
@@ -121,9 +125,25 @@ object SuiteRunner {
             .flatMap(v => v.failPredicate(schema, metrics)) match {
               case Some(pred) =>
                 scans += 1
-                val sample = df.filter(pred).limit(config.sampleSize)
+                val failing = df.filter(pred)
+                val sample = failing.limit(config.sampleSize)
                   .collect().toSeq.map(rowToString)
-                r.copy(issues = r.issues.map(i => i.copy(sampleValues = sample)))
+                val issues2 =
+                  if (config.format.rank >= ResultFormat.Summary.rank)
+                    r.issues.map { i =>
+                      val freq =
+                        if (schema.fieldNames.contains(i.column)) {
+                          scans += 1
+                          failing.groupBy(col(i.column))
+                            .agg(count(lit(1)).as("cnt"))
+                            .orderBy(desc("cnt")).limit(5).collect().toSeq
+                            .map(row => s"${row.get(0)} x${row.getLong(1)}")
+                        } else Nil
+                      i.copy(sampleValues = sample ++
+                        (if (freq.nonEmpty) "top failing values:" +: freq else Nil))
+                    }
+                  else r.issues.map(_.copy(sampleValues = sample))
+                r.copy(issues = issues2)
               case _ => r
             }
         }

@@ -278,6 +278,20 @@ object Drift {
     meanK(x, x) + meanK(y, y) - 2 * meanK(x, y)
   }
 
+  /** Binned approximate KS: max CDF gap over equal-width bin boundaries.
+    * The 100 TB path — shuffle O(bins), no per-distinct-value state; error
+    * vs exact KS is bounded by the largest single-bin mass. */
+  def ksBinned(cur: DataFrame, ref: DataFrame, column: String,
+               bins: Int, lo: Double, hi: Double): Double = {
+    val pq = binnedPq(cur, ref, column, bins, lo, hi).sortBy(_._1)
+    var (f1, f2, best) = (0.0, 0.0, 0.0)
+    pq.foreach { case (_, p, q) =>
+      f1 += p; f2 += q
+      best = math.max(best, math.abs(f1 - f2))
+    }
+    best
+  }
+
   /** Mean / variance / quantile drift: relative stat difference. */
   def statDrift(cur: DataFrame, ref: DataFrame, column: String,
                 stat: String): Double = {

@@ -92,6 +92,24 @@ class ReviewFixSpec extends AnyFunSuite {
     assert(math.abs(graft.drift.Drift.energyDistance(small, big, "v")) < 2.0)
   }
 
+  test("Summary format adds top failing-value frequencies") {
+    val df = (Seq.fill(8)("dup") ++ Seq("a", "b")).toDF("v")
+    val r = SuiteRunner.run(df, Seq(SetMembershipCheck("v", Seq("a", "b"))),
+      SuiteRunner.Config(format = ResultFormat.Summary))
+    val sv = r.checks.head.issues.head.sampleValues
+    assert(sv.exists(_.contains("top failing values:")))
+    assert(sv.exists(_.contains("dup x8")))
+  }
+
+  test("binned KS approximates exact KS") {
+    import graft.drift.Drift
+    val a = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val c = (1 to 2000).map(i => (i % 100).toDouble + 30).toDF("v")
+    val exact = Drift.ksStatistic(a, c, "v")
+    val binned = Drift.ksBinned(a, c, "v", 50, 0, 130)
+    assert(math.abs(exact - binned) < 0.05, s"exact $exact binned $binned")
+  }
+
   test("time completeness uses calendar weeks (Wed-Fri is one week)") {
     val df = Seq("2024-01-03 10:00:00", "2024-01-05 10:00:00") // Wed + Fri
       .toDF("s").withColumn("ts", col("s").cast("timestamp"))
