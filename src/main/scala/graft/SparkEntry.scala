@@ -627,6 +627,13 @@ object SparkEntry {
         .dedupNear(threshold = 0.5)
         .summary
     }),
+    "q96_json_schema" -> ((s, dir) => {
+      table(s, dir, "events").agg(
+        cnt(col("props").isNotNull &&
+          get_json_object(col("props"), "$.k").isNull).as("missing_k"),
+        cnt(get_json_object(col("props"), "$.k").isNotNull).as("has_k"),
+        cnt(get_json_object(col("props"), "$.nope").isNotNull).as("has_nope"))
+    }),
     "q91_localization" -> ((s, dir) => {
       // synthetic RRN-shaped strings derived from keys: deterministic
       // structure-validation surface for the localization regexes
@@ -1250,6 +1257,14 @@ object SparkEntry {
            CAST(sum(ntok) AS BIGINT) AS tokens,
            count(DISTINCT md5(nt)) AS distinct_fp
          FROM survivors""",
+    "q96_json_schema" ->
+      """SELECT count(*) FILTER (WHERE props IS NOT NULL AND
+           json_extract(props, '$.k') IS NULL) AS missing_k,
+         count(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+           AS has_k,
+         count(*) FILTER (WHERE json_extract(props, '$.nope') IS NOT NULL)
+           AS has_nope
+         FROM events""",
     "q91_localization" ->
       """WITH r AS (SELECT lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0')
              || '-' || CAST((c_custkey % 8) + 1 AS VARCHAR)

@@ -143,6 +143,28 @@ final case class JsonParseableCheck(column: String) extends Validator {
   override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
 }
 
+/** JsonSchemaValidator (lite): JSON documents must contain the required
+  * paths with non-null values (`$.key` JSONPath form). get_json_object is
+  * codegen'd; full JSON-Schema validation would need a UDF — the required
+  * keys + parseability combination covers the reference's practical use. */
+final case class JsonRequiredKeysCheck(column: String, paths: Seq[String])
+    extends Validator {
+  val name = s"json_keys[$column]"
+  val category = "string"
+  private val k = MetricKey("json_missing_keys", column, paths.mkString("|"))
+  private def pred: Column =
+    col(column).isNotNull &&
+      paths.map(p => get_json_object(col(column), p).isNull).reduce(_ || _)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(column, "missing_json_keys", n, total,
+      Severity.Medium, expected = paths.mkString(","))) else Nil
+  }
+  override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
+}
+
 /** ConsistentCasingValidator: column must be uniformly lower/upper/title. */
 final case class CasingCheck(column: String, casing: String = "lower")
     extends Validator {

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.validators._
+
+/** Scale-discipline assertions: the properties that must survive a 1000x
+  * scale-up, checked on sf0.1 (the largest local fixture). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("a 27-validator suite stays within the two-scan bound at sf0.1") {
+    val li = graft.ops.Exprs.table(spark, "/root/testdata/sf0.1", "lineitem")
+    val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val suite: Seq[Validator] =
+      numeric.map(c => NullCheck(Seq(c))) ++                     // 4
+      numeric.map(c => RangeCheck(c, Some(-1e9), Some(1e9))) ++  // 4
+      numeric.map(c => MeanBetweenCheck(c, -1e9, 1e9)) ++        // 4
+      numeric.map(c => ZScoreOutlierCheck(c, z = 6.0)) ++        // 4 (two-pass)
+      Seq(
+        UniqueCheck(Seq("l_orderkey", "l_linenumber")),
+        SetMembershipCheck("l_returnflag", Seq("A", "N", "R")),
+        SetMembershipCheck("l_linestatus", Seq("O", "F")),
+        ColumnPairCheck("l_discount", "l_quantity", "<="),
+        ChainComparisonCheck(Seq("l_discount", "l_tax", "l_quantity")),
+        CorrelationCheck("l_quantity", "l_extendedprice"),
+        RowCountCheck(min = 1),
+        ColumnExistsCheck(Seq("l_orderkey")),
+        FeatureScaleCheck("l_discount", maxAbs = 1.0),
+        GroupedDuplicateCheck(Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber")),
+        CardinalityCheck("l_linestatus", "binary"))
+    assert(suite.size == 27)
+    val t0 = System.nanoTime()
+    val r = SuiteRunner.run(li, suite,
+      SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"27 validators over ${r.rowCount} rows: ${r.scanCount} scans, $sec%.2f s")
+    assert(r.rowCount == 600000)
+    // two-pass validators present => exactly 2 scans, regardless of count
+    assert(r.scanCount == 2, s"scans=${r.scanCount}")
+    assert(sec < 60.0)
+  }
+
+  test("single-pass-only suite is exactly one scan") {
+    val c = graft.ops.Exprs.table(spark, "/root/testdata/sf0.1", "customer")
+    val r = SuiteRunner.run(c, Seq(
+      NullCheck(Seq("c_name")), UniqueCheck(Seq("c_custkey")),
+      RangeCheck("c_acctbal", Some(-1e6), Some(1e6)),
+      SetMembershipCheck("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
+      SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+    assert(r.scanCount == 1, s"scans=${r.scanCount}")
+    assert(r.passed)
+  }
+}
