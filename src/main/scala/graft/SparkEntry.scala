@@ -627,6 +627,26 @@ object SparkEntry {
         .dedupNear(threshold = 0.5)
         .summary
     }),
+    "q97_bloom_fk" -> ((s, dir) => {
+      // scalable FK path: definite bloom rejects are guaranteed orphans;
+      // exact anti-join runs only on might-contain survivors — the total
+      // must equal the plain anti-join orphan count
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val orphans = graft.profiler.Sketches.orphanCount(
+        li, "l_orderkey", o, "o_orderkey", expectedItems = 100000)
+      import s.implicits._
+      Seq(orphans).toDF("orphans_via_bloom_path")
+    }),
+    "q98_hll_tolerance" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val r = o.agg(
+        count_distinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx")).head()
+      val (exact, approx) = (r.getLong(0), r.getLong(1))
+      import s.implicits._
+      Seq((exact, math.abs(approx - exact).toDouble / exact <= 0.05))
+        .toDF("exact_custkeys", "hll_within_5pct")
+    }),
     "q96_json_schema" -> ((s, dir) => {
       table(s, dir, "events").agg(
         cnt(col("props").isNotNull &&
@@ -1257,6 +1277,15 @@ object SparkEntry {
            CAST(sum(ntok) AS BIGINT) AS tokens,
            count(DISTINCT md5(nt)) AS distinct_fp
          FROM survivors""",
+    "q97_bloom_fk" ->
+      """SELECT count(*) AS orphans_via_bloom_path FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""",
+    "q98_hll_tolerance" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+         abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+           / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05
+           AS hll_within_5pct
+         FROM orders""",
     "q96_json_schema" ->
       """SELECT count(*) FILTER (WHERE props IS NOT NULL AND
            json_extract(props, '$.k') IS NULL) AS missing_k,

@@ -65,18 +65,28 @@ object SuiteRunner {
     config.earlyTerminationRows.foreach { n =>
       val etValidators = validators.filter(v => v.schemaOnly ||
         (v.statsExprs(schema).isEmpty && !v.isInstanceOf[DedicatedScan]))
-      val sample = df0.limit(n)
-      val (m, _, failedExec) = collectTiered(sample, etValidators, schema)
-      scans += 1
-      if (failedExec.isEmpty && etValidators.nonEmpty) {
-        val sampleTotal = m.long(rowCountKey)
-        if (sampleTotal >= n) { // sample saturated => data at least this big
-          val results = evaluateAll(etValidators, m, sampleTotal, Set.empty, schema)
-          val worstRatio = results.flatMap(_.issues).map(_.ratio)
-            .maxOption.getOrElse(0.0)
-          if (worstRatio >= config.earlyTerminationFailRate)
-            return ValidationRunResult(config.datasetName, sampleTotal,
-              results, executionMode = s"early-terminated@$n", scanCount = scans)
+      if (etValidators.nonEmpty) { // never pay the sample scan for nothing
+        val sample = df0.limit(n)
+        val (m, _, failedExec) = collectTiered(sample, etValidators, schema)
+        scans += 1
+        if (failedExec.isEmpty) {
+          val sampleTotal = m.long(rowCountKey)
+          if (sampleTotal >= n) { // sample saturated => data at least this big
+            val results = evaluateAll(etValidators, m, sampleTotal, Set.empty, schema)
+            val worstRatio = results.flatMap(_.issues).map(_.ratio)
+              .maxOption.getOrElse(0.0)
+            if (worstRatio >= config.earlyTerminationFailRate) {
+              // validators excluded from the sample pass are reported as
+              // visibly skipped, not silently dropped
+              val skippedResults = validators.filterNot(etValidators.contains)
+                .map(v => CheckResult(v.name, v.category, passed = true,
+                  Seq(ValidationIssue(v.name, "*", "skipped_early_termination",
+                    0, sampleTotal, Severity.Low.label, "", "")), 0L))
+              return ValidationRunResult(config.datasetName, sampleTotal,
+                results ++ skippedResults,
+                executionMode = s"early-terminated@$n", scanCount = scans)
+            }
+          }
         }
       }
     }
@@ -139,8 +149,13 @@ object SuiteRunner {
                             .orderBy(desc("cnt")).limit(5).collect().toSeq
                             .map(row => s"${row.get(0)} x${row.getLong(1)}")
                         } else Nil
+                      // label is explicit: frequencies are over the
+                      // VALIDATOR-level failing-row set (a multi-column
+                      // validator's rows may fail on a sibling column)
                       i.copy(sampleValues = sample ++
-                        (if (freq.nonEmpty) "top failing values:" +: freq else Nil))
+                        (if (freq.nonEmpty)
+                          s"top ${i.column} values among failing rows:" +: freq
+                         else Nil))
                     }
                   else r.issues.map(_.copy(sampleValues = sample))
                 r.copy(issues = issues2)
@@ -291,18 +306,21 @@ object SuiteRunner {
           (System.nanoTime() - t0) / 1000000)
       }
     }
-    val failedNames = scala.collection.mutable.Set(
-      evaluated.filterNot(_.passed).map(_.validator): _*)
+    val failedNames = evaluated.filterNot(_.passed).map(_.validator).toSet
     val byName = validators.map(v => v.name -> v).toMap
     var changed = true
     val skipped = scala.collection.mutable.Set.empty[String]
     while (changed) {
       changed = false
       validators.foreach { v =>
+        // skip when a dependency either failed or was itself skipped —
+        // checking the union keeps the fixpoint independent of listing
+        // order (a dependency that both failed and got skipped still
+        // propagates)
         if (!skipped.contains(v.name) &&
-            v.dependencies.exists(failedNames.contains)) {
+            v.dependencies.exists(d =>
+              failedNames.contains(d) || skipped.contains(d))) {
           skipped += v.name
-          failedNames -= v.name // a skipped check is neither pass nor fail
           changed = true
         }
       }
@@ -328,7 +346,7 @@ object SuiteRunner {
     else new Metrics(m.asMap.map {
       case (k, v: java.lang.Long)
           if !k.metric.contains("distinct") && !k.metric.contains("dupes") &&
-             !k.metric.startsWith("max_ts") =>
+             !k.metric.startsWith("max_ts") && !k.metric.startsWith("abs_max") =>
         k -> java.lang.Long.valueOf(math.round(v.longValue() * scale))
       case kv => kv
     })

@@ -224,15 +224,18 @@ object Drift {
   def energyDistance(cur: DataFrame, ref: DataFrame, column: String,
                      sampleSize: Int = 500): Double = {
     def sample(df: DataFrame): Array[Double] = {
-      // seeded row sampling (representative under heavy ties where
-      // value-hash ordering would collapse to a few distinct values);
-      // deterministic for a fixed input partitioning
+      // seeded row sampling (representative under heavy ties), collected
+      // in full (expected ~2x sampleSize) then deterministically shuffled
+      // and truncated — a limit() would bias toward early partitions on
+      // range-partitioned data
       val base = df.select(col(column).cast("double").as("v"))
         .filter(col("v").isNotNull)
       val n = base.count()
       val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
-      base.sample(withReplacement = false, fraction, seed = 42L)
-        .limit(sampleSize).collect().map(_.getDouble(0))
+      val collected = base.sample(withReplacement = false, fraction, seed = 42L)
+        .collect().map(_.getDouble(0))
+      new scala.util.Random(42).shuffle(collected.toSeq)
+        .take(sampleSize).toArray
     }
     val x = sample(cur); val y = sample(ref)
     def meanAbsDiff(a: Array[Double], b: Array[Double]): Double = {
@@ -253,15 +256,18 @@ object Drift {
   def mmd(cur: DataFrame, ref: DataFrame, column: String,
           sampleSize: Int = 500): Double = {
     def sample(df: DataFrame): Array[Double] = {
-      // seeded row sampling (representative under heavy ties where
-      // value-hash ordering would collapse to a few distinct values);
-      // deterministic for a fixed input partitioning
+      // seeded row sampling (representative under heavy ties), collected
+      // in full (expected ~2x sampleSize) then deterministically shuffled
+      // and truncated — a limit() would bias toward early partitions on
+      // range-partitioned data
       val base = df.select(col(column).cast("double").as("v"))
         .filter(col("v").isNotNull)
       val n = base.count()
       val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
-      base.sample(withReplacement = false, fraction, seed = 42L)
-        .limit(sampleSize).collect().map(_.getDouble(0))
+      val collected = base.sample(withReplacement = false, fraction, seed = 42L)
+        .collect().map(_.getDouble(0))
+      new scala.util.Random(42).shuffle(collected.toSeq)
+        .take(sampleSize).toArray
     }
     val x = sample(cur); val y = sample(ref)
     val all = x ++ y

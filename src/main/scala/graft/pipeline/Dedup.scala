@@ -67,18 +67,26 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val result = verifyJaccard(cand, df, idCol, textCol, shingleN)
+    // build the verification shingle relation HERE so it can be released
+    // (verifyJaccard's internal one would have no unpersist path)
+    val sh = df.select(col(idCol).as("__id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesOf(col("__t"), shingleN)).as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = verifyJaccardWith(cand, sh)
       .filter(col("jaccard") >= threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize eagerly so the intermediate can be dropped
+    result.count() // materialize eagerly so the intermediates can be dropped
     banded.unpersist()
+    sh.unpersist()
     result
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs.
-    * The shingle relation persisted here is dropped by callers that
-    * materialize the result (minhashLshPairs); direct callers evaluating
-    * lazily keep it cached for reuse. */
+    * Lazily-evaluating direct callers keep the internal shingle cache for
+    * reuse; pipelines that need deterministic release should build the
+    * shingle relation themselves and use verifyJaccardWith. */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
@@ -86,6 +94,12 @@ object Dedup {
       .select(col("__id"),
         array_distinct(Text.shinglesOf(col("__t"), shingleN)).as("__sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // joined twice (a and b sides)
+    verifyJaccardWith(pairs, sh)
+  }
+
+  /** Jaccard verification against a caller-owned (id, shingle-set)
+    * relation — the caller controls its persistence lifecycle. */
+  def verifyJaccardWith(pairs: DataFrame, sh: DataFrame): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"),
         Seq("id_a"))

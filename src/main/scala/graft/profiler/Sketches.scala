@@ -53,4 +53,27 @@ object Sketches {
       x != null && bfB.value.mightContainLong(x))
     df.filter(mightContain(col(probeCol).cast("long")))
   }
+
+  /** Orphan count via the bloom path, CORRECTLY: rows the bloom
+    * definitively rejects are guaranteed orphans (no false negatives on
+    * membership means no false POSITIVES on orphan-hood for rejects);
+    * only the might-contain survivors need the exact anti-join. Total =
+    * definite rejects + anti-join orphans among survivors. */
+  def orphanCount(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  expectedItems: Long = 1000000L): Long = {
+    val bf = bloom(parent, parentKey, expectedItems)
+    val bfB = child.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((x: java.lang.Long) =>
+      x != null && bfB.value.mightContainLong(x))
+    val keyed = child.filter(col(childKey).isNotNull)
+    val definiteOrphans =
+      keyed.filter(!mightContain(col(childKey).cast("long"))).count()
+    val survivors = keyed.filter(mightContain(col(childKey).cast("long")))
+    val residual = survivors.join(
+      org.apache.spark.sql.functions.broadcast(
+        parent.select(col(parentKey)).distinct()),
+      survivors(childKey) === col(parentKey), "left_anti").count()
+    definiteOrphans + residual
+  }
 }

@@ -149,6 +149,7 @@ final case class JsonParseableCheck(column: String) extends Validator {
   * keys + parseability combination covers the reference's practical use. */
 final case class JsonRequiredKeysCheck(column: String, paths: Seq[String])
     extends Validator {
+  require(paths.nonEmpty, "at least one JSONPath required")
   val name = s"json_keys[$column]"
   val category = "string"
   private val k = MetricKey("json_missing_keys", column, paths.mkString("|"))

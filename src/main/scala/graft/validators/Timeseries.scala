@@ -79,8 +79,11 @@ final case class TimeCompletenessCheck(tsCol: String, bucket: String = "day",
     // calendar-aligned bucket count (epoch division would anchor weeks on
     // Thursday and months on 30 days, disagreeing with date_trunc)
     import java.time.temporal.ChronoUnit
-    val (lz, hz) = (lo.toInstant.atZone(java.time.ZoneOffset.UTC),
-      hi.toInstant.atZone(java.time.ZoneOffset.UTC))
+    // date_trunc truncates in the session timezone — the expected-bucket
+    // math must use the same zone or coverage is wrong off-UTC
+    val zone = java.time.ZoneId.of(
+      df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    val (lz, hz) = (lo.toInstant.atZone(zone), hi.toInstant.atZone(zone))
     val expected = bucket match {
       case "hour" => ChronoUnit.HOURS.between(lz.truncatedTo(ChronoUnit.HOURS),
         hz.truncatedTo(ChronoUnit.HOURS)) + 1

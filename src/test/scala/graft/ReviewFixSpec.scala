@@ -97,7 +97,7 @@ class ReviewFixSpec extends AnyFunSuite {
     val r = SuiteRunner.run(df, Seq(SetMembershipCheck("v", Seq("a", "b"))),
       SuiteRunner.Config(format = ResultFormat.Summary))
     val sv = r.checks.head.issues.head.sampleValues
-    assert(sv.exists(_.contains("top failing values:")))
+    assert(sv.exists(_.contains("values among failing rows:")))
     assert(sv.exists(_.contains("dup x8")))
   }
 
