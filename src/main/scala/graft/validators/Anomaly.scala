@@ -169,6 +169,82 @@ final case class MultiZScoreCheck(columns: Seq[String], z: Double = 3.0,
   }
 }
 
+/** PCAAnomalyValidator (reference `anomaly/multivariate.py`): rows whose
+  * reconstruction residual outside the top-k principal subspace exceeds
+  * `maxResidual` are anomalies. Covariance from fused aggregates; the
+  * small d x d eigendecomposition runs on the driver (cyclic Jacobi);
+  * the residual is a quadratic form evaluated distributed in pass 2. */
+final case class PcaAnomalyCheck(columns: Seq[String], k: Int,
+    maxResidual: Double, maxRatio: Double = 0.0)
+    extends Validator with DedicatedScan {
+  require(columns.size >= 2 && k >= 1 && k < columns.size)
+  val name = s"pca_anomaly[${columns.mkString(",")}]"
+  val category = "anomaly"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val d = columns.size
+    val aggs = columns.map(c => avg(col(c))) ++
+      (for (i <- 0 until d; j <- 0 until d)
+        yield covar_samp(col(columns(i)), col(columns(j))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    if (row.isNullAt(0)) return Nil
+    val mu = (0 until d).map(row.getDouble)
+    val cov = Array.tabulate(d, d)((i, j) => row.getDouble(d + i * d + j))
+    val (vals, vecs) = jacobiEigen(cov)
+    // residual projector: I - V_k V_k' over the top-k eigenvectors
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    val proj = Array.tabulate(d, d) { (i, j) =>
+      val vv = order.map(e => vecs(i)(e) * vecs(j)(e)).sum
+      (if (i == j) 1.0 else 0.0) - vv
+    }
+    val centered = columns.zipWithIndex.map { case (c, i) => col(c) - mu(i) }
+    val residual = (for (i <- 0 until d; j <- 0 until d)
+      yield centered(i) * centered(j) * proj(i)(j)).reduce(_ + _)
+    val n = df.filter(residual > maxResidual).count()
+    val ratio = if (total == 0) 0.0 else n.toDouble / total
+    if (ratio > maxRatio && n > 0)
+      Seq(issue(columns.mkString(","), "pca_residual_outliers", n, total,
+        Severity.Medium, expected = s"residual<=$maxResidual")) else Nil
+  }
+  /** Cyclic Jacobi eigendecomposition for small symmetric matrices:
+    * returns (eigenvalues, eigenvectors as columns of V). */
+  private def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 50) {
+      var off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) off += a(p)(q) * a(p)(q)
+      if (off < 1e-18) sweep = 50
+      else {
+        for (p <- 0 until d; q <- (p + 1) until d if math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1.0 / math.sqrt(t * t + 1); val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+          }
+        }
+        sweep += 1
+      }
+    }
+    ((0 until d).map(i => a(i)(i)).toArray, v)
+  }
+}
+
 /** MahalanobisValidator: distance^2 = (x-mu)' Sigma^-1 (x-mu) > chi2
   * threshold. Covariance matrix from fused pairwise covar aggregates;
   * inverse on the driver (d x d, d small); second pass counts. */

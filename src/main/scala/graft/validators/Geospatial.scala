@@ -84,6 +84,48 @@ final case class GeoDistanceCheck(latCol: String, lonCol: String,
   }
 }
 
+/** CountryValidator (reference `geospatial/boundary.py`): points must fall
+  * inside the bounding boxes of allowed countries. The box table is tiny —
+  * broadcast join, or for the fused path a disjunction of box predicates. */
+object CountryBoxes {
+  /** (country, minLat, maxLat, minLon, maxLon) — coarse bounding boxes. */
+  val boxes: Map[String, (Double, Double, Double, Double)] = Map(
+    "US" -> (24.5, 49.4, -125.0, -66.9),
+    "KR" -> (33.0, 38.7, 124.6, 131.9),
+    "JP" -> (24.0, 45.6, 122.9, 153.9),
+    "DE" -> (47.3, 55.1, 5.9, 15.0),
+    "FR" -> (41.3, 51.1, -5.1, 9.6),
+    "BR" -> (-33.8, 5.3, -73.9, -34.8))
+
+  def inCountry(lat: Column, lon: Column, country: String): Column = {
+    val (la, lb, lo, hi) = boxes(country)
+    lat.between(la, lb) && lon.between(lo, hi)
+  }
+}
+
+/** Points must fall inside at least one allowed country's box. */
+final case class CountryCheck(latCol: String, lonCol: String,
+    allowed: Seq[String]) extends Validator {
+  allowed.foreach(c => require(CountryBoxes.boxes.contains(c),
+    s"unknown country: $c"))
+  val name = s"country[$latCol,$lonCol]"
+  val category = "geospatial"
+  private val k = MetricKey("country_violations", s"$latCol/$lonCol",
+    allowed.mkString("|"))
+  private def pred: Column =
+    col(latCol).isNotNull && col(lonCol).isNotNull &&
+      !allowed.map(c => CountryBoxes.inCountry(col(latCol), col(lonCol), c))
+        .reduce(_ || _)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(s"$latCol,$lonCol", "outside_allowed_countries",
+      n, total, Severity.Medium, expected = allowed.mkString(","))) else Nil
+  }
+  override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
+}
+
 /** Localization validators (reference: truthound `validators/localization/`,
   * 9 classes — korean.py, japanese.py, chinese.py). Regex structure +
   * weighted-checksum math via higher-order functions, mirroring the

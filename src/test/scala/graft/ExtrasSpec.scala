@@ -63,6 +63,27 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("country bounding-box check") {
+    val df = Seq((37.5, 127.0), (48.9, 2.3), (0.0, 0.0))
+      .toDF("lat", "lon") // Seoul, Paris, null island
+    val r = SuiteRunner.run(df, Seq(CountryCheck("lat", "lon", Seq("KR", "FR"))))
+    assert(r.checks.head.issues.head.count == 1) // only (0,0) outside
+    intercept[IllegalArgumentException] { CountryCheck("lat", "lon", Seq("XX")) }
+  }
+
+  test("PCA anomaly flags off-subspace points") {
+    // data on the line y=2x with one point far off the line
+    val pts = (1 to 200).map(i => (i.toDouble, 2.0 * i)) :+ (100.0, -100.0)
+    val df = pts.toDF("x", "y")
+    val r = SuiteRunner.run(df, Seq(PcaAnomalyCheck(Seq("x", "y"), 1, 100.0)))
+    assert(!r.checks.head.passed)
+    assert(r.checks.head.issues.head.count == 1)
+    // clean data on the line passes
+    val clean = (1 to 200).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    assert(SuiteRunner.run(clean,
+      Seq(PcaAnomalyCheck(Seq("x", "y"), 1, 100.0))).passed)
+  }
+
   test("CvM / AD / energy / MMD detectors separate shifted samples") {
     val a = (1 to 300).map(_ % 50 / 5.0).toDF("v")
     val b = (1 to 300).map(_ % 50 / 5.0).toDF("v")
