@@ -61,6 +61,21 @@ object Pii {
   def partialMask(c: Column, keep: Int = 2, stars: Int = 6): Column =
     concat(substring(c, 1, keep), lit("*" * stars))
 
+  /** Format-preserving deterministic fake (reference maskers' "fake"
+    * strategy without a faker dependency): same kind of value, derived
+    * from a hash of the original so equal inputs map to equal fakes
+    * (join keys survive masking) while the original is unrecoverable
+    * beyond the hash. */
+  def fakeMask(c: Column, kind: String): Column = {
+    val h = pmod(xxhash64(c), lit(1000000L)).cast("string")
+    kind match {
+      case "email" => concat(lit("user"), h, lit("@example.com"))
+      case "phone" => concat(lit("+1555"), lpad(h, 7, "0"))
+      case "name"  => concat(lit("Person_"), h)
+      case _ => throw new IllegalArgumentException(s"unknown fake kind: $kind")
+    }
+  }
+
   /** Mask all columns flagged by a scan, by strategy name. */
   def maskFlagged(df: DataFrame, report: PiiReport,
                   strategy: String = "redact"): DataFrame =

@@ -57,6 +57,19 @@ class ProfilerDriftSpec extends AnyFunSuite {
     assert(hashed.select("contact").as[String].collect().forall(_.length == 64))
   }
 
+  test("fake masking is deterministic and format-preserving") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("alice@real.com", "bob@real.com", "alice@real.com").toDF("e")
+    val fakes = df.select(Pii.fakeMask(col("e"), "email").as("f"))
+      .collect().map(_.getString(0))
+    assert(fakes(0) == fakes(2)) // equal inputs -> equal fakes
+    assert(fakes(0) != fakes(1))
+    assert(fakes.forall(f => f.startsWith("user") && f.endsWith("@example.com")))
+    intercept[IllegalArgumentException] {
+      df.select(Pii.fakeMask(col("e"), "ssn")).collect()
+    }
+  }
+
   test("sketches: HLL estimate, bloom pre-filter") {
     val df = (1 to 1000).toDF("k")
     val est = df.agg(Sketches.approxDistinct($"k", 0.02)).head().getLong(0)
