@@ -67,8 +67,8 @@ object SuiteRunner {
         (v.statsExprs(schema).isEmpty && !v.isInstanceOf[DedicatedScan]))
       if (etValidators.nonEmpty) { // never pay the sample scan for nothing
         val sample = df0.limit(n)
-        val (m, _, failedExec) = collectTiered(sample, etValidators, schema)
-        scans += 1
+        val (m, _, failedExec, extraEt) = collectTiered(sample, etValidators, schema)
+        scans += 1 + extraEt
         if (failedExec.isEmpty) {
           val sampleTotal = m.long(rowCountKey)
           if (sampleTotal >= n) { // sample saturated => data at least this big
@@ -109,9 +109,9 @@ object SuiteRunner {
     } else Metrics.empty
 
     // --- Phase B: fused metric pass with tier fallback ---
-    scans += 1
-    val (mainMetrics, tier, failedExec) =
+    val (mainMetrics, tier, failedExec, extraScans) =
       collectTiered(df, validators, schema, statsMetrics, needsStats)
+    scans += 1 + extraScans
     if (tier > 1) mode += s"+tier$tier"
 
     val metrics = statsMetrics ++ mainMetrics
@@ -216,7 +216,7 @@ object SuiteRunner {
       schema: org.apache.spark.sql.types.StructType,
       stats: Metrics = Metrics.empty,
       statsAlreadyCounted: Boolean = false)
-      : (Metrics, Int, Set[String]) = {
+      : (Metrics, Int, Set[String], Int) = {
     // a validator whose metricExprs CONSTRUCTION throws (bad param match,
     // bad column ref) is isolated here too, not just execution failures
     val constructed = validators.filterNot(_.schemaOnly).map { v =>
@@ -227,9 +227,11 @@ object SuiteRunner {
     val byValidator = constructed.collect { case Right(ve) => ve }
     val fused = dedup(byValidator.flatMap(_._2) ++
       (if (statsAlreadyCounted) Nil else Seq(rowCountKey -> count(lit(1)))))
-    if (fused.isEmpty) return (Metrics.empty, 1, constructFailed)
-    try (collectAgg(df, fused), 1, constructFailed)
-    catch {
+    if (fused.isEmpty) return (Metrics.empty, 1, constructFailed, 0)
+    try {
+      val (m, extra) = collectSplitDistinct(df, fused)
+      (m, 1, constructFailed, extra)
+    } catch {
       case _: Exception =>
         // tier 2: isolate per validator so one bad expression can't sink
         // the suite; row count computed separately
@@ -248,7 +250,7 @@ object SuiteRunner {
             } catch { case _: Exception => failed += v.name }
           }
         }
-        (new Metrics(acc), 2, constructFailed ++ failed)
+        (new Metrics(acc), 2, constructFailed ++ failed, byValidator.size)
     }
   }
 
@@ -350,6 +352,28 @@ object SuiteRunner {
         k -> java.lang.Long.valueOf(math.round(v.longValue() * scale))
       case kv => kv
     })
+
+  /** Fused collection that avoids Spark's Expand blow-up: two or more
+    * DISTINCT aggregates in one Aggregate make the planner EXPAND the
+    * input N-fold (verified on the physical plan), so the scan volume
+    * multiplies by the number of distinct groups. Instead, the first
+    * distinct metric stays fused with all plain metrics (one distinct is
+    * Expand-free) and each EXTRA distinct runs as its own job — which
+    * column-prunes to a single column, far cheaper than an N-fold Expand
+    * of the full row at scale. */
+  private def collectSplitDistinct(df: DataFrame,
+      exprs: Seq[(MetricKey, Column)]): (Metrics, Int) = {
+    val (distincts, plain) = exprs.partition { case (_, c) =>
+      org.apache.spark.sql.graft.ColumnBridge.hasDistinctAgg(c)
+    }
+    if (distincts.size <= 1) (collectAgg(df, exprs), 0)
+    else {
+      val first = collectAgg(df, plain ++ distincts.take(1))
+      (distincts.drop(1).foldLeft(first) { (acc, d) =>
+        acc ++ collectAgg(df, Seq(d))
+      }, distincts.size - 1)
+    }
+  }
 
   /** One wide aggregate: single scan, partial+final agg. */
   private def collectAgg(df: DataFrame, exprs: Seq[(MetricKey, Column)]): Metrics = {

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * bounded pass collects `allowedValues` for low-cardinality columns
   * (`schema.py:340-363`). At 100 TB switch `exactDistinct` off: HLL++
   * `approx_count_distinct` replaces exact distinct counting and everything
-  * else stays one map-side-combinable pass. */
+  * else stays one map-side-combinable pass. The exact mode's N per-column
+  * count_distincts force Spark's Expand (input multiplied N-fold) — it is
+  * the oracle-scale path only; approx mode is Expand-free. */
 final case class ColumnBaseline(
     name: String, dtype: String, nullable: Boolean,
     nullCount: Long, distinctCount: Long, nullRatio: Double, uniqueRatio: Double,
