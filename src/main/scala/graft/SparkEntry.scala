@@ -647,6 +647,21 @@ object SparkEntry {
       Seq((exact, math.abs(approx - exact).toDouble / exact <= 0.05))
         .toDF("exact_custkeys", "hll_within_5pct")
     }),
+    "q99_country_boxes" -> ((s, dir) => {
+      val g = table(s, dir, "customer").select(
+        ((col("c_custkey") % 140) - 70).cast("double").as("lat"),
+        ((col("c_custkey") % 360) - 180).cast("double").as("lon"))
+      val allowed = Seq("US", "DE", "FR")
+      val inAllowed = allowed.map(c =>
+        graft.validators.CountryBoxes.inCountry(col("lat"), col("lon"), c))
+        .reduce(_ || _)
+      g.agg(
+        cnt(!inAllowed).as("outside_allowed"),
+        cnt(graft.validators.CountryBoxes.inCountry(col("lat"), col("lon"), "US"))
+          .as("in_us"),
+        cnt(graft.validators.CountryBoxes.inCountry(col("lat"), col("lon"), "DE"))
+          .as("in_de"))
+    }),
     "q96_json_schema" -> ((s, dir) => {
       table(s, dir, "events").agg(
         cnt(col("props").isNotNull &&
@@ -1286,6 +1301,20 @@ object SparkEntry {
            / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05
            AS hll_within_5pct
          FROM orders""",
+    "q99_country_boxes" ->
+      """WITH g AS (SELECT CAST((c_custkey % 140) - 70 AS DOUBLE) AS lat,
+                           CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
+                    FROM customer)
+         SELECT count(*) FILTER (WHERE NOT (
+             (lat BETWEEN 24.5 AND 49.4 AND lon BETWEEN -125.0 AND -66.9) OR
+             (lat BETWEEN 47.3 AND 55.1 AND lon BETWEEN 5.9 AND 15.0) OR
+             (lat BETWEEN 41.3 AND 51.1 AND lon BETWEEN -5.1 AND 9.6)))
+           AS outside_allowed,
+         count(*) FILTER (WHERE lat BETWEEN 24.5 AND 49.4
+           AND lon BETWEEN -125.0 AND -66.9) AS in_us,
+         count(*) FILTER (WHERE lat BETWEEN 47.3 AND 55.1
+           AND lon BETWEEN 5.9 AND 15.0) AS in_de
+         FROM g""",
     "q96_json_schema" ->
       """SELECT count(*) FILTER (WHERE props IS NOT NULL AND
            json_extract(props, '$.k') IS NULL) AS missing_k,
