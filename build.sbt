@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `runMain graft.Bench`
+// as JSON; sbt's "[success] Total time ..." trailer broke that in r01
+// (BENCH_r01.json parsed:null). Suppress it, and emit forked-run output
+// raw (no "[info] " logger prefix) so the bench JSON line is the final
+// line of stdout and parseable as-is.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,7 +38,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and suspenders for the driver's last-line parse: also persist
+    // the JSON to a file (r01 lost q00–q05 timings to stdout tail
+    // truncation when the parse fell back to raw-tail capture).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // Print AFTER spark.stop() so no executor/shutdown logging can land
+    // between the JSON line and process exit.
+    println(line)
   }
 }

@@ -106,6 +106,19 @@ object Text {
     * per-language scores would otherwise each re-tokenize (no CSE inside
     * lambdas). */
   def languageIdOf(raw: Column, toks: Column): Column = {
+    val best = langBest(raw, toks)
+    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
+  }
+
+  /** Argmax {s: score, l: lang} struct over the marker scores. Prefer
+    * materializing THIS as a named column (one `withColumn`) and deriving
+    * the label from the projected attribute: `languageIdOf` references the
+    * greatest(...) twice (score test + label), and Catalyst will not
+    * common-subexpression a non-trivial expression used twice inside a
+    * grouping key — r01's q74 paid the full 5-language scorer 2× per row
+    * (9.7 s, 22% of the whole bench). Field extraction from a projected
+    * attribute is collapse-safe and single-eval. */
+  def langBest(raw: Column, toks: Column): Column = {
     val langs = markers.keys.toSeq.sorted
     val scored = langs.map { l =>
       val sc =
@@ -113,8 +126,7 @@ object Text {
         else langScoreOf(toks, l)
       struct(sc.as("s"), lit(l).as("l"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
+    greatest(scored: _*)
   }
 
   def languageId(c: Column): Column = languageIdOf(c, tokens(c))

@@ -43,11 +43,19 @@ object Learn {
     def distinctOf(c: String): Column =
       if (exactDistinct) count_distinct(struct(col(c)))
       else approx_count_distinct(col(c), rsd)
+    // Expand guard (same lesson as SuiteRunner.collectSplitDistinct): 2+
+    // exact DISTINCT aggregates in ONE Aggregate make Spark Expand the
+    // input N-fold. Keep the FIRST column's exact distinct fused (a single
+    // distinct is Expand-free); run each remaining column's distinct as
+    // its own column-pruned job. Approx (HLL) mode has no Expand — all
+    // fused.
+    val fuseDistinct: String => Boolean =
+      if (!exactDistinct) _ => true
+      else fields.headOption.map(_.name).toSet
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = f.name
-      val base = Seq(
-        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        distinctOf(c).as(s"${c}__distinct"))
+      val base = Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls")) ++
+        (if (fuseDistinct(c)) Seq(distinctOf(c).as(s"${c}__distinct")) else Nil)
       // exactDistinct also selects exact (sort-based, driver-heavy) vs
       // t-digest approximate percentiles — flip it off at scale
       def pct(p: Double): Column =
@@ -74,6 +82,13 @@ object Learn {
       base ++ numeric ++ strings
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // split-off exact distincts: one column-pruned scan per column —
+    // N-1 cheap single-column jobs instead of an N-fold Expand of the row
+    val splitDistinct: Map[String, Long] =
+      fields.filterNot(f => fuseDistinct(f.name)).map { f =>
+        f.name -> df.select(col(f.name))
+          .agg(count_distinct(struct(col(f.name)))).head().getLong(0)
+      }.toMap
     def get[T](n: String): Option[T] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
@@ -85,7 +100,7 @@ object Learn {
     val prelim = fields.map { f =>
       val c = f.name
       val nulls = row.getAs[Long](s"${c}__nulls")
-      val distinct = row.getAs[Long](s"${c}__distinct")
+      val distinct = splitDistinct.getOrElse(c, row.getAs[Long](s"${c}__distinct"))
       ColumnBaseline(
         name = c, dtype = f.dataType.simpleString, nullable = nulls > 0,
         nullCount = nulls, distinctCount = distinct,

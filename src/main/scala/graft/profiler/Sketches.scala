@@ -70,9 +70,14 @@ object Sketches {
     val definiteOrphans =
       keyed.filter(!mightContain(col(childKey).cast("long"))).count()
     val survivors = keyed.filter(mightContain(col(childKey).cast("long")))
+    // Exact residual check over the bloom survivors: a PLAIN anti-join —
+    // no forced broadcast of the parent. The bloom path exists precisely
+    // because the parent may be too big to broadcast; forcing it here
+    // would re-create the driver OOM the sketch was meant to avoid. AQE
+    // still converts to broadcast at runtime when the parent turns out
+    // small. The bloom has already cut the probe side to ~fpp of rows.
     val residual = survivors.join(
-      org.apache.spark.sql.functions.broadcast(
-        parent.select(col(parentKey)).distinct()),
+      parent.select(col(parentKey)).distinct(),
       survivors(childKey) === col(parentKey), "left_anti").count()
     definiteOrphans + residual
   }

@@ -11,54 +11,45 @@ import org.apache.spark.sql.types._
   * functions (transform/aggregate over char arrays) — fully codegen-able,
   * no UDFs, so the checks fuse into the single validation scan. */
 object Checksums {
-  /** Luhn validity as a Column over a digit-string column. */
+  /** Luhn validity as a Column over a digit-string column. Pure Column-API
+    * higher-order functions, so it composes over COMPUTED columns too (a
+    * {C}-string template would only accept bare attribute refs). */
   def luhnValid(c: Column): Column = {
     val digitsOnly = c.rlike("^[0-9]{2,}$")
-    val sumExpr =
-      "aggregate(transform(sequence(0, length({C}) - 1), i -> " +
-        "CASE WHEN i % 2 = 1 THEN " +
-        "  IF((ascii(substr(reverse({C}), i + 1, 1)) - 48) * 2 > 9, " +
-        "     (ascii(substr(reverse({C}), i + 1, 1)) - 48) * 2 - 9, " +
-        "     (ascii(substr(reverse({C}), i + 1, 1)) - 48) * 2) " +
-        "ELSE ascii(substr(reverse({C}), i + 1, 1)) - 48 END), 0, " +
-        "(acc, x) -> acc + x) % 10 = 0"
-    digitsOnly && exprOn(sumExpr, c)
+    val rev = reverse(c)
+    val terms = transform(sequence(lit(0), length(c) - 1), i => {
+      val d = ascii(rev.substr(i + lit(1), lit(1))) - lit(48)
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    val s = aggregate(terms, lit(0), (acc, x) => acc + x)
+    digitsOnly && s % 10 === 0
   }
 
   /** ISBN-10 validity: sum(i * d_i, i=1..10) % 11 == 0, 'X' = 10 as last. */
   def isbn10Valid(c: Column): Column = {
     val shape = c.rlike("^[0-9]{9}[0-9Xx]$")
-    val sumExpr =
-      "aggregate(transform(sequence(0, 9), i -> " +
-        "(i + 1) * (CASE WHEN i = 9 AND upper(substr({C}, 10, 1)) = 'X' THEN 10 " +
-        "ELSE ascii(substr({C}, i + 1, 1)) - 48 END)), 0, " +
-        "(acc, x) -> acc + x) % 11 = 0"
-    shape && exprOn(sumExpr, c)
+    val terms = transform(sequence(lit(0), lit(9)), i =>
+      (i + 1) * when(i === 9 && upper(c.substr(lit(10), lit(1))) === "X", lit(10))
+        .otherwise(ascii(c.substr(i + lit(1), lit(1))) - lit(48)))
+    val s = aggregate(terms, lit(0), (acc, x) => acc + x)
+    shape && s % 11 === 0
   }
 
   /** IBAN mod-97: move first 4 chars to the end, letters->10..35, running
     * mod so no big-int is needed (fold keeps acc < 97). */
   def ibanValid(c: Column): Column = {
     val shape = c.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}$")
-    val rearranged = "concat(substr({C}, 5), substr({C}, 1, 4))"
-    val foldExpr =
-      s"aggregate(split($rearranged, ''), 0, (acc, ch) -> " +
-        "CASE WHEN ch BETWEEN '0' AND '9' THEN (acc * 10 + (ascii(ch) - 48)) % 97 " +
-        "WHEN ch BETWEEN 'A' AND 'Z' THEN (acc * 100 + (ascii(ch) - 55)) % 97 " +
-        "ELSE acc END) = 1"
-    shape && exprOn(foldExpr, c)
+    val rearranged = concat(c.substr(lit(5), length(c)), c.substr(lit(1), lit(4)))
+    val folded = aggregate(split(rearranged, ""), lit(0), (acc, ch) =>
+      when(ch.between("0", "9"), (acc * 10 + (ascii(ch) - 48)) % 97)
+        .when(ch.between("A", "Z"), (acc * 100 + (ascii(ch) - 55)) % 97)
+        .otherwise(acc))
+    shape && folded === 1
   }
 
   val swiftBic = "^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$"
   val euVat = "^[A-Z]{2}[A-Z0-9]{2,12}$"
-
-  /** Substitute the column's SQL into a {C}-templated expression.
-    * Column must be a simple name (validator columns always are). */
-  private def exprOn(template: String, c: Column): Column = {
-    val sql = c.toString
-    require(sql.matches("[A-Za-z0-9_.`]+"), s"expected simple column ref: $sql")
-    expr(template.replace("{C}", sql))
-  }
 }
 
 /** LuhnValidator / CreditCardValidator: non-null values must pass Luhn. */

@@ -163,11 +163,13 @@ final case class QuantileCheck(column: String, p: Double, lo: Double, hi: Double
 }
 
 /** IncreasingValidator / DecreasingValidator: monotone sequence along an
-  * explicit ordering. Runs as a dedicated scan (needs a window). At scale,
-  * ALWAYS pass `partitionBy` (e.g. per-series key) — a global orderBy
-  * window collapses to one task; with partitions the check distributes and
-  * only per-partition boundaries are unchecked (documented approximation)
-  * unless the data is range-partitioned on the order key. */
+  * explicit ordering. Runs as a dedicated scan (needs a window). With
+  * `partitionBy` (per-series key) the lag window distributes by key. The
+  * UNKEYED form no longer collapses to one global-window task: for
+  * double-orderable columns it runs the distributed range-partitioned
+  * adjacent-pair scan (one shuffle, P tasks, P−1 boundary pairs fixed up
+  * on the driver — `graft.ops.SeqScan`); only non-numeric values fall
+  * back to the single-task window, and loudly. */
 final case class MonotonicCheck(column: String, orderBy: String,
     increasing: Boolean = true, strict: Boolean = false,
     partitionBy: Seq[String] = Nil) extends Validator with DedicatedScan {
@@ -177,14 +179,30 @@ final case class MonotonicCheck(column: String, orderBy: String,
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
     if (total == 0) return Nil
-    val w = (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
-             else Window.partitionBy()).orderBy(col(orderBy))
-    val prev = lag(col(column), 1).over(w)
-    val viol =
-      if (increasing) { if (strict) col(column) <= prev else col(column) < prev }
-      else            { if (strict) col(column) >= prev else col(column) > prev }
-    val n = df.withColumn("__viol", when(prev.isNotNull && viol, 1).otherwise(0))
-      .agg(sum(col("__viol"))).head().getLong(0)
+    val inc = increasing; val str = strict
+    def pairViol(pv: Option[Double], cv: Option[Double]): Boolean =
+      pv.nonEmpty && cv.nonEmpty && {
+        if (inc) { if (str) cv.get <= pv.get else cv.get < pv.get }
+        else     { if (str) cv.get >= pv.get else cv.get > pv.get }
+      }
+    val distributable = partitionBy.isEmpty &&
+      graft.ops.SeqScan.doubleOrderable(df.schema(orderBy).dataType) &&
+      graft.ops.SeqScan.doubleOrderable(df.schema(column).dataType)
+    val n =
+      if (distributable)
+        graft.ops.SeqScan.adjacentViolations(df, col(orderBy), col(column),
+          (_, pv, _, cv) => pairViol(pv, cv))
+      else {
+        val w = (if (partitionBy.nonEmpty)
+                   Window.partitionBy(partitionBy.map(col): _*)
+                 else Window.partitionBy()).orderBy(col(orderBy))
+        val prev = lag(col(column), 1).over(w)
+        val viol =
+          if (increasing) { if (strict) col(column) <= prev else col(column) < prev }
+          else            { if (strict) col(column) >= prev else col(column) > prev }
+        df.withColumn("__viol", when(prev.isNotNull && viol, 1).otherwise(0))
+          .agg(sum(col("__viol"))).head().getLong(0)
+      }
     if (n > 0)
       Seq(issue(column, if (increasing) "not_increasing" else "not_decreasing",
         n, total, Severity.Medium)) else Nil

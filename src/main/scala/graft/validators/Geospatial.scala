@@ -141,14 +141,16 @@ object LocalFormats {
   val chineseId = "^[0-9]{17}[0-9Xx]$"
 
   /** Korean RRN check digit: weights 2..9,2..5 over first 12 digits,
-    * check = (11 - sum % 11) % 10. */
+    * check = (11 - sum % 11) % 10. Pure Column-API (zip_with/aggregate),
+    * so it composes over computed columns — the earlier {c.toString} SQL
+    * interpolation silently broke on anything but a bare attribute. */
   def koreanRrnValid(c: Column): Column = {
     val digits = regexp_replace(c, "-", "")
-    val weights = "array(2,3,4,5,6,7,8,9,2,3,4,5)"
-    val sumExpr = expr(
-      s"aggregate(zip_with(transform(sequence(0, 11), i -> " +
-        s"ascii(substr(regexp_replace(${c.toString}, '-', ''), i + 1, 1)) - 48), " +
-        s"$weights, (d, w) -> d * w), 0, (acc, x) -> acc + x)")
+    val weights = array((Seq(2, 3, 4, 5, 6, 7, 8, 9, 2, 3, 4, 5)).map(lit): _*)
+    val ds = transform(sequence(lit(0), lit(11)),
+      i => ascii(digits.substr(i + lit(1), lit(1))) - lit(48))
+    val sumExpr = aggregate(zip_with(ds, weights, (d, w) => d * w),
+      lit(0), (acc, x) => acc + x)
     val check = (lit(11) - (sumExpr % 11)) % 10
     c.rlike(koreanRrn) &&
       check === (ascii(substring(digits, 13, 1)) - 48)

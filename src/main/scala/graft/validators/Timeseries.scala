@@ -26,15 +26,27 @@ final case class TimeGapCheck(tsCol: String, minGapSec: Option[Double],
   def evaluate(m: Metrics, total: Long) = Nil
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
     if (total == 0) return Nil
-    val w = (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
-             else Window.partitionBy()).orderBy(col(tsCol))
     val ts = col(tsCol).cast("timestamp") // NTZ-robust
-    val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(w))
-    val gapSec = gap.cast("double") / 1e6
-    val viol = (minGapSec.map(gapSec < _).toSeq ++ maxGapSec.map(gapSec > _).toSeq)
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val n = df.withColumn("__g", when(gap.isNotNull && viol, 1).otherwise(0))
-      .agg(sum(col("__g"))).head().getLong(0)
+    val n = if (partitionBy.isEmpty) {
+      // Unkeyed series: distributed range-partitioned adjacent-pair scan
+      // (one shuffle) instead of a single-task global window. Gap math in
+      // seconds: epoch micros / 1e6, identical to the windowed form.
+      val (lo, hi) = (minGapSec, maxGapSec)
+      graft.ops.SeqScan.adjacentViolations(df,
+        unix_micros(ts).cast("double") / 1e6, lit(0.0),
+        (po, _, co, _) => po.nonEmpty && co.nonEmpty && {
+          val g = co.get - po.get
+          lo.exists(g < _) || hi.exists(g > _)
+        })
+    } else {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsCol))
+      val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(w))
+      val gapSec = gap.cast("double") / 1e6
+      val viol = (minGapSec.map(gapSec < _).toSeq ++ maxGapSec.map(gapSec > _).toSeq)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      df.withColumn("__g", when(gap.isNotNull && viol, 1).otherwise(0))
+        .agg(sum(col("__g"))).head().getLong(0)
+    }
     if (n > 0)
       Seq(issue(tsCol, "gap_out_of_bounds", n, total, Severity.Medium,
         expected = s"[${minGapSec.getOrElse(0.0)},${maxGapSec.getOrElse("inf")}]s"))
