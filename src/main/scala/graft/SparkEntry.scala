@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
@@ -755,6 +755,200 @@ object SparkEntry {
           lit(0.0), lit(0.0)) > lit(5000.0)).as("far_from_origin"),
         round(avg(graft.validators.Geo.haversineKm(col("lat"), col("lon"),
           lit(0.0), lit(0.0))), 4).as("avg_km"))
+    }),
+
+    // ---- round 2: oracle-backed coverage for previously unit-only ops ----
+    "q100_minhash_lsh" -> ((s, dir) => {
+      // MinHash+LSH near-dup pairs, exact-Jaccard-verified. Banding is 16
+      // bands x 2 rows: the fixture's true pairs all have J >= 0.89 on
+      // 3-token shingles, so per-pair miss probability is (1-J^2)^16
+      // < 1e-10 — the verified output equals the exact-Jaccard pair set
+      // and is DuckDB-restatable (q71's posting-list trick).
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 1000)
+      graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleN = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q101_simhash_dups" -> ((s, dir) => {
+      // SimHash end-to-end with a deterministic oracle: duplicate a 250-doc
+      // slice under shifted ids — identical text means Hamming distance 0,
+      // which the 4x16-bit banding is GUARANTEED to catch (pigeonhole), and
+      // the fingerprint-verified output is exactly the constructed pair set.
+      val base = table(s, dir, "documents").filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(
+        base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val pairs = graft.pipeline.Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3)
+      val fp = corpus.select(col("doc_id"),
+        graft.pipeline.Text.fingerprint(col("text")).as("fp"))
+      pairs
+        .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q102_ann_topk_self" -> ((s, dir) => {
+      // lshTopK end-to-end with a GUARANTEED-deterministic property: each
+      // query is an exact copy of a corpus vector under a shifted id — an
+      // identical vector always lands in the query's own bucket, so the
+      // source must surface at rank 1 with cosine 1.0 (no other corpus
+      // vector is near-identical; verified cos < 0.999999 for all others).
+      // General recall on these weakly-clustered synthetic embeddings is
+      // data-dependent and covered by PipelineSpec, not an exact oracle.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.pipeline.Similarity.lshTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", 3,
+          planes = 8, probe1 = true)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nn_id").as("top_nn"),
+          col("cos").as("top_cos"))
+        .orderBy(col("query_id"))
+    }),
+    "q103_nan_family" -> ((s, dir) => {
+      // NaN/Infinity family (NaNCheck / NaNRatioCheck metric shapes) over a
+      // synthesized float column — the fixtures carry no NaNs, so build
+      // them deterministically from l_quantity bands
+      val df = table(s, dir, "lineitem").withColumn("x",
+        when(col("l_quantity") > 45, lit(Double.NaN))
+          .when(col("l_quantity") > 40, lit(Double.PositiveInfinity))
+          .when(col("l_quantity") < 3, lit(Double.NegativeInfinity))
+          .otherwise(col("l_extendedprice")))
+      df.agg(
+        cnt(isnan(col("x"))).as("nan_cnt"),
+        cnt(col("x") === Double.PositiveInfinity).as("posinf_cnt"),
+        cnt(col("x") === Double.NegativeInfinity).as("neginf_cnt"),
+        cnt(!isnan(col("x")) && col("x") =!= Double.PositiveInfinity &&
+          col("x") =!= Double.NegativeInfinity).as("finite_cnt"),
+        round(cnt(isnan(col("x"))).cast("double") / count(lit(1)), 6)
+          .as("nan_ratio"))
+    }),
+    "q104_table_schema" -> ((s, dir) => {
+      // TableSchemaCheck: baseline from the real table, then diff against a
+      // mutated frame (type change + dropped column + extra column)
+      import s.implicits._
+      val orig = table(s, dir, "customer")
+      val baseline = graft.profiler.TableBaseline(0,
+        orig.schema.fields.toIndexedSeq.map(f =>
+          graft.profiler.ColumnBaseline(f.name, f.dataType.simpleString,
+            nullable = true, 0, 0, 0.0, 0.0, None, None, None, None,
+            None, None, None, None, None, None)))
+      val mutated = orig
+        .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        .drop("c_mktsegment")
+        .withColumn("c_extra", lit(1))
+      graft.validators.TableSchemaCheck(baseline).schemaIssues(mutated.schema)
+        .map(i => (i.column, i.issueType))
+        .toDF("colname", "code").orderBy("colname", "code")
+    }),
+    "q105_date_order" -> ((s, dir) => {
+      // DateOrderCheck predicate shapes: synthetic end date within lineitem
+      // plus a cross-table ship-before-order pair via the orders join
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val endDate = expr(
+        "timestampadd(DAY, CAST(l_quantity - 25 AS INT), l_shipdate)")
+      val synth = li.agg(
+        cnt(col("l_shipdate") > endDate).as("synth_violations")).head().getLong(0)
+      val shipBeforeOrder = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .agg(cnt(col("l_shipdate") < col("o_orderdate"))).head().getLong(0)
+      import s.implicits._
+      Seq((synth, shipBeforeOrder))
+        .toDF("synth_violations", "ship_before_order")
+    }),
+    "q106_hierarchy" -> ((s, dir) => {
+      // hierarchy depth + cycle detection over a synthesized parent edge
+      // set: binary tree (parent = key/2), roots 0 and 1, a planted 10-node
+      // cycle at keys 100-109 (whose subtrees become unreachable -> depth -1)
+      val nodes = table(s, dir, "customer").filter(col("c_custkey") <= 4095)
+        .select(col("c_custkey").as("id"),
+          when(col("c_custkey") <= 1, lit(null).cast("bigint"))
+            .when(col("c_custkey").between(100, 109),
+              lit(100) + ((col("c_custkey") - 99) % 10))
+            .otherwise(floor(col("c_custkey") / 2).cast("bigint")).as("parent"))
+      graft.validators.Hierarchy.depthHistogram(nodes, "id", "parent", 20)
+        .orderBy(col("depth"))
+    }),
+    "q107_checksum_formats" -> ((s, dir) => {
+      // ISBN-10 / IBAN / SWIFT / credit-card / EU-VAT validity over strings
+      // constructed from known-valid literals, mutated to invalid on odd
+      // keys (digit bump changes the checksum residue; lowercase breaks the
+      // BIC shape) — validity-by-construction equals key parity, which the
+      // oracle states without re-deriving the checksum math
+      import graft.validators.Checksums
+      val isbns = Seq("0306406152", "0131103628", "0262033844", "0201633612")
+      val ibans = Seq("GB82WEST12345698765432", "DE89370400440532013000",
+        "FR1420041010050500013M02606", "NL91ABNA0417164300")
+      val swifts = Seq("DEUTDEFF", "CHASUS33", "NEDSZAJJXXX", "BNPAFRPP")
+      val ccs = Seq("4111111111111111", "4012888888881881",
+        "5500005555555559", "378282246310005")
+      val vats = Seq("DE123456789", "FR12345678901", "GB999999973",
+        "NL123456789B01")
+      def pick(vals: Seq[String]): Column =
+        element_at(array(vals.map(lit): _*),
+          ((col("c_custkey") % vals.size) + 1).cast("int"))
+      val odd = col("c_custkey") % 2 === 1
+      def bumpAt(c: Column, pos: Int): Column =
+        concat(substring(c, 1, pos - 1),
+          ((substring(c, pos, 1).cast("int") + 1) % 10).cast("string"),
+          substring(c, pos + 1, 64))
+      def bumpLast(c: Column): Column =
+        concat(c.substr(lit(1), length(c) - 1),
+          ((c.substr(length(c), lit(1)).cast("int") + 1) % 10).cast("string"))
+      val df = table(s, dir, "customer").select(
+        when(odd, bumpAt(pick(isbns), 1)).otherwise(pick(isbns)).as("isbn"),
+        when(odd, bumpAt(pick(ibans), 3)).otherwise(pick(ibans)).as("iban"),
+        when(odd, lower(pick(swifts))).otherwise(pick(swifts)).as("swift"),
+        when(odd, bumpLast(pick(ccs))).otherwise(pick(ccs)).as("cc"),
+        when(odd, concat(lit("1"), substring(pick(vats), 2, 64)))
+          .otherwise(pick(vats)).as("vat"))
+      df.agg(
+        cnt(Checksums.isbn10Valid(col("isbn"))).as("isbn_valid"),
+        cnt(Checksums.ibanValid(col("iban"))).as("iban_valid"),
+        cnt(col("swift").rlike(Checksums.swiftBic)).as("swift_valid"),
+        cnt(Checksums.creditCardValid(col("cc"))).as("cc_valid"),
+        cnt(col("vat").rlike(Checksums.euVat)).as("vat_valid"),
+        count(lit(1)).as("n"))
+    }),
+    "q108_histogram" -> ((s, dir) => {
+      // HistogramShapeCheck's binning primitive: equal-width buckets,
+      // edge-clamped, nulls dropped
+      graft.drift.Drift.histogram(table(s, dir, "lineitem"), "l_quantity",
+        10, 1.0, 50.0).orderBy(col("bucket"))
+    }),
+    "q109_table_size" -> ((s, dir) => {
+      // TableSizeCheck: rows/columns shape + a deliberately-tripped size
+      // bound (maxBytes=1 always fires exactly one issue)
+      import s.implicits._
+      val df = table(s, dir, "lineitem")
+      val total = df.count()
+      val issues = graft.validators.TableSizeCheck(maxBytes = 1)
+        .runScan(df, total)
+      Seq((total, df.columns.length.toLong, issues.size.toLong))
+        .toDF("n_rows", "n_cols", "size_issues")
+    }),
+    "q110_column_order" -> ((s, dir) => {
+      // ColumnOrderCheck / ColumnTypeCheck surface: (position, name, type)
+      import s.implicits._
+      table(s, dir, "customer").schema.fields.toIndexedSeq.zipWithIndex
+        .map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
+        .toDF("pos", "colname", "dtype").orderBy("pos")
+    }),
+    "q111_pairset_uniquerecord" -> ((s, dir) => {
+      // ColumnPairInSetCheck + UniqueWithinRecordCheck metric shapes
+      val li = table(s, dir, "lineitem")
+      val allowed = Seq(("A", "F"), ("N", "O"), ("R", "F"))
+      val pairOk = allowed.map { case (a, b) =>
+        col("l_returnflag") === a && col("l_linestatus") === b }.reduce(_ || _)
+      li.agg(
+        cnt(!pairOk).as("pair_not_in_set"),
+        cnt(col("l_partkey") === col("l_suppkey") ||
+          col("l_partkey") === col("l_orderkey") ||
+          col("l_suppkey") === col("l_orderkey")).as("non_unique_within_record"))
     })
   )
 
@@ -1410,6 +1604,129 @@ object SparkEntry {
            count(*) FILTER (WHERE lat = 0.0 AND lon = 0.0) AS null_island,
            count(*) FILTER (WHERE km > 5000.0) AS far_from_origin,
            round(avg(km), 4) AS avg_km
-         FROM d"""
+         FROM d""",
+
+    // ---- round 2: oracles for previously unit-only operators ----
+    "q100_minhash_lsh" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM norm
+           WHERE doc_id < 1000),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id),
+         j AS (SELECT da, db, CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+           FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
+         SELECT da AS id_a, db AS id_b, round(jac, 6) AS jaccard
+         FROM j WHERE jac >= 0.7 ORDER BY id_a, id_b""",
+    "q101_simhash_dups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 250),
+         f AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM corpus)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+    "q102_ann_topk_self" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS top_nn,
+           1.0 AS top_cos
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    "q103_nan_family" ->
+      """WITH x AS (SELECT CASE WHEN l_quantity > 45 THEN 'NaN'::DOUBLE
+             WHEN l_quantity > 40 THEN 'Infinity'::DOUBLE
+             WHEN l_quantity < 3 THEN '-Infinity'::DOUBLE
+             ELSE l_extendedprice END AS x FROM lineitem)
+         SELECT count(*) FILTER (WHERE isnan(x)) AS nan_cnt,
+           count(*) FILTER (WHERE x = 'Infinity'::DOUBLE) AS posinf_cnt,
+           count(*) FILTER (WHERE x = '-Infinity'::DOUBLE) AS neginf_cnt,
+           count(*) FILTER (WHERE isfinite(x)) AS finite_cnt,
+           round(CAST(count(*) FILTER (WHERE isnan(x)) AS DOUBLE)
+             / count(*), 6) AS nan_ratio
+         FROM x""",
+    "q104_table_schema" ->
+      """WITH base AS (SELECT column_name AS c,
+           CASE lower(column_type) WHEN 'varchar' THEN 'string'
+             WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS t
+           FROM (DESCRIBE SELECT * FROM customer)),
+         mut AS (SELECT column_name AS c,
+           CASE lower(column_type) WHEN 'varchar' THEN 'string'
+             WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS t
+           FROM (DESCRIBE SELECT * EXCLUDE (c_mktsegment)
+             REPLACE (CAST(c_acctbal AS VARCHAR) AS c_acctbal),
+             1 AS c_extra FROM customer))
+         SELECT coalesce(b.c, m.c) AS colname,
+           CASE WHEN m.c IS NULL THEN 'missing_column'
+                WHEN b.c IS NULL THEN 'unexpected_column'
+                ELSE 'type_mismatch' END AS code
+         FROM base b FULL OUTER JOIN mut m ON b.c = m.c
+         WHERE m.c IS NULL OR b.c IS NULL OR b.t <> m.t
+         ORDER BY colname, code""",
+    "q105_date_order" ->
+      """SELECT (SELECT count(*) FILTER (WHERE l_shipdate >
+             l_shipdate + CAST(l_quantity - 25 AS INT) * INTERVAL 1 DAY)
+           FROM lineitem) AS synth_violations,
+         (SELECT count(*) FILTER (WHERE l_shipdate < o_orderdate)
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+           AS ship_before_order""",
+    "q106_hierarchy" ->
+      """WITH RECURSIVE nodes AS (
+           SELECT c_custkey AS id,
+             CASE WHEN c_custkey <= 1 THEN NULL
+               WHEN c_custkey BETWEEN 100 AND 109
+                 THEN 100 + ((c_custkey - 99) % 10)
+               ELSE c_custkey // 2 END AS parent
+           FROM customer WHERE c_custkey <= 4095),
+         r AS (
+           SELECT id, 1 AS depth FROM nodes WHERE parent IS NULL
+           UNION ALL
+           SELECT n.id, r.depth + 1 FROM nodes n JOIN r ON n.parent = r.id
+           WHERE r.depth < 20),
+         u AS (SELECT id, -1 AS depth FROM nodes
+           WHERE id NOT IN (SELECT id FROM r))
+         SELECT depth, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM r UNION ALL SELECT * FROM u)
+         GROUP BY depth ORDER BY depth""",
+    "q107_checksum_formats" ->
+      """SELECT
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS isbn_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS iban_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS swift_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS cc_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS vat_valid,
+           count(*) AS n
+         FROM customer""",
+    "q108_histogram" ->
+      """SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 4.9), 0), 9)
+           AS INT) AS bucket, count(*) AS cnt
+         FROM lineitem WHERE l_quantity IS NOT NULL
+         GROUP BY bucket ORDER BY bucket""",
+    "q109_table_size" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT)
+           FROM (DESCRIBE SELECT * FROM lineitem)) AS n_cols,
+         CAST(1 AS BIGINT) AS size_issues""",
+    "q110_column_order" ->
+      """SELECT CAST(row_number() OVER () AS INT) AS pos,
+           column_name AS colname,
+           CASE lower(column_type) WHEN 'varchar' THEN 'string'
+             WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS dtype
+         FROM (DESCRIBE SELECT * FROM customer) ORDER BY pos""",
+    "q111_pairset_uniquerecord" ->
+      """SELECT count(*) FILTER (WHERE NOT (
+             (l_returnflag = 'A' AND l_linestatus = 'F') OR
+             (l_returnflag = 'N' AND l_linestatus = 'O') OR
+             (l_returnflag = 'R' AND l_linestatus = 'F')))
+           AS pair_not_in_set,
+           count(*) FILTER (WHERE l_partkey = l_suppkey OR
+             l_partkey = l_orderkey OR l_suppkey = l_orderkey)
+           AS non_unique_within_record
+         FROM lineitem"""
   )
 }

@@ -50,6 +50,15 @@ object Checksums {
 
   val swiftBic = "^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$"
   val euVat = "^[A-Z]{2}[A-Z0-9]{2,12}$"
+
+  /** CreditCardValidator (reference `business_rule/financial.py`): network
+    * prefix + length shape + Luhn check digit. */
+  def creditCardValid(c: Column): Column = {
+    val visa = c.rlike("^4[0-9]{12}([0-9]{3})?$")
+    val mastercard = c.rlike("^5[1-5][0-9]{14}$")
+    val amex = c.rlike("^3[47][0-9]{13}$")
+    (visa || mastercard || amex) && luhnValid(c)
+  }
 }
 
 /** LuhnValidator / CreditCardValidator: non-null values must pass Luhn. */

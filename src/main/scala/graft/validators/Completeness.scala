@@ -130,3 +130,23 @@ final case class NaNCheck(columns: Seq[String], allowNaN: Boolean = false,
         Seq(issue(c, "infinite_values", inf, total, Severity.High)) else Nil)
     }
 }
+
+/** NaNRatioValidator (reference `validators/completeness/nan.py` ratio
+  * form): NaN share of a float column must stay under `maxRatio`. */
+final case class NaNRatioCheck(column: String, maxRatio: Double)
+    extends Validator {
+  val name = s"nan_ratio[$column]"
+  val category = "completeness"
+  private val k = MetricKey("nan_count", column)
+  private val kTotal = MetricKey("row_count", "*")
+  def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) =
+    Seq(k -> count(when(isnan(col(column)), 1)),
+        kTotal -> count(lit(1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val nan = m.long(k)
+    val ratio = if (total == 0) 0.0 else nan.toDouble / total
+    if (ratio > maxRatio)
+      Seq(issue(column, "nan_ratio_exceeded", nan, total, Severity.High,
+        expected = s"<=$maxRatio", actual = f"$ratio%.6f")) else Nil
+  }
+}

@@ -203,3 +203,75 @@ final case class GroupedAggregateCompareCheck(tableA: String, tableB: String,
     else Nil
   }
 }
+
+/** Hierarchy traversal ops shared by validators and query surfaces
+  * (reference: truthound `validators/referential/hierarchy.py` — depth +
+  * cycle analysis over (id, parent) edges).
+  *
+  * Scale design: iterative frontier joins (one equi-join per level, depth
+  * is bounded), never a driver-side graph build. Nodes NOT reached from a
+  * root within `maxDepth` levels are either on/under a cycle or deeper
+  * than the cap — both validation failures, reported as unreached. */
+object Hierarchy {
+  /** (id, depth) for every node reachable from a root (parent IS NULL =
+    * depth 1) in <= maxDepth levels. */
+  def depths(df: DataFrame, idCol: String, parentCol: String,
+             maxDepth: Int): DataFrame = {
+    val edges = df.select(col(idCol).as("id"), col(parentCol).as("parent"))
+    // localCheckpoint (eager) per level: truncates the growing lineage so
+    // level k doesn't recompute levels 1..k-1, and the blocks are GC-owned
+    // (no persist/unpersist bookkeeping to leak across calls)
+    var frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+      edges.filter(col("parent").isNull)
+        .select(col("id"), lit(1).as("depth")))
+    var all = Seq(frontier)
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      // shuffle_hash, not broadcast: broadcasting a checkpointed frontier
+      // re-serializes it through the driver every level (and tripped
+      // broadcast-build OOMs in long sessions); a shuffled hash join keeps
+      // the loop executor-side
+      val next = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+        edges.join(frontier.select(col("id").as("__pid"),
+            col("depth")).hint("shuffle_hash"), col("parent") === col("__pid"))
+          .select(col("id"), (col("depth") + 1).as("depth")))
+      all = all :+ next
+      frontier = next
+      d += 1
+    }
+    all.map(f => f: DataFrame).reduce(_ unionAll _)
+  }
+
+  /** (depth, cnt) histogram of reachable nodes plus a depth = -1 row for
+    * unreached nodes (cycle members/descendants or depth > maxDepth).
+    *
+    * Requires the edge relation to be a FUNCTION (one parent per id — the
+    * usual parent-pointer shape): then every node is reached at most once
+    * and unreached = total − Σ level counts, so the histogram falls out of
+    * the BFS loop's per-level counts with no extra join. */
+  def depthHistogram(df: DataFrame, idCol: String, parentCol: String,
+                     maxDepth: Int): DataFrame = {
+    val edges = df.select(col(idCol).as("id"), col(parentCol).as("parent"))
+    var frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+      edges.filter(col("parent").isNull).select(col("id")))
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var d = 1
+    var n = frontier.count()
+    while (d <= maxDepth && n > 0) {
+      counts += d -> n
+      frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+        edges.join(
+          frontier.select(col("id").as("__pid")).hint("shuffle_hash"),
+          col("parent") === col("__pid"))
+        .select(col("id")))
+      n = frontier.count()
+      d += 1
+    }
+    val total = df.count()
+    val unreached = total - counts.map(_._2).sum
+    val rows = (if (unreached > 0) Seq(-1 -> unreached) else Nil) ++ counts
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("depth", "cnt")
+  }
+}

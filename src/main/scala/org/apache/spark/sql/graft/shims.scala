@@ -27,3 +27,27 @@ object ColumnBridge {
     walk(c.node)
   }
 }
+
+/** Plan-level bridge utilities. */
+object PlanBridge {
+  /** A materialized copy of `df` with NO optimizer-visible lineage: runs
+    * localCheckpoint (eager) and re-wraps the checkpointed rows in a fresh
+    * LogicalRDD WITHOUT origin stats/constraints.
+    *
+    * Why: LogicalRDD from plain `localCheckpoint` carries the source
+    * plan's constraints (`originConstraints`) so downstream joins keep
+    * optimizing — but in ITERATIVE self-join loops (hierarchy BFS) those
+    * constraints re-compose the parent-derivation expression through the
+    * join equality each level, growing the plan ~5x per iteration
+    * (measured: 2.6 KB -> 21 MB in 7 levels) until janino chokes. A bare
+    * LogicalRDD resets the constraint set each level; zero extra compute
+    * (the checkpointed InternalRow RDD is reused as-is). */
+  def opaqueCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val classicSpark = cp.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      cp.queryExecution.toRdd, cp.schema, isStreaming = false)
+  }
+}
