@@ -938,6 +938,212 @@ object SparkEntry {
         .map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
         .toDF("pos", "colname", "dtype").orderBy("pos")
     }),
+    "q114_cascade" -> ((s, dir) => {
+      // CascadeIntegrity (RESTRICT anti-join + SET_NULL pattern + planted
+      // rule conflict) and CascadeDepth over the declared TPC-H FK graph
+      import s.implicits._
+      import graft.validators.{CascadeRule, CascadeIntegrityCheck, CascadeDepthCheck}
+      val tables = Map(
+        "lineitem" -> table(s, dir, "lineitem"),
+        "orders" -> table(s, dir, "orders"),
+        "customer" -> table(s, dir, "customer"))
+      val issues = CascadeIntegrityCheck(Seq(
+        CascadeRule("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+        CascadeRule("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+        CascadeRule("orders", Seq("o_custkey"), "customer", Seq("c_custkey"),
+          onDelete = "SET_NULL"))).run(tables)
+      val restrict = issues.filter(_.issueType == "cascade_restrict_violation")
+        .map(_.count).sum
+      val setNull = issues.filter(_.issueType == "cascade_set_null_detected")
+        .map(_.count).sum
+      val conflicts = issues.count(_.issueType == "cascade_chain_conflict").toLong
+      val depthCheck = CascadeDepthCheck(Seq(
+        "nation" -> "region", "customer" -> "nation", "supplier" -> "nation",
+        "orders" -> "customer", "lineitem" -> "orders"), maxDepth = 3)
+      val depth = depthCheck.depthOf("region").toLong
+      Seq((restrict, setNull, conflicts, depth))
+        .toDF("restrict_violations", "set_null_hits", "chain_conflicts",
+          "max_cascade_depth")
+    }),
+    "q115_info_gain" -> ((s, dir) => {
+      graft.validators.InfoGain.informationGain(
+          table(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+        .select(round(col("ig"), 6).as("ig"),
+          round(col("h_target"), 6).as("h_target"),
+          round(col("h_t_given_f"), 6).as("h_cond"))
+    }),
+    "q116_percentage_cov" -> ((s, dir) => {
+      // PercentageCheck violations (exact count) + Covariance /
+      // MultiColumnVariance verdicts (boolean — double aggregates are
+      // never hashed raw, bounds sit far from the actual values)
+      val li = table(s, dir, "lineitem")
+      val pct = col("l_quantity") * 100.0 / lit(50.0)
+      li.agg(
+        cnt(pct < 10.0 || pct > 90.0).as("pct_violations"),
+        (covar_samp(col("l_quantity"), col("l_extendedprice"))
+          .between(-1e5, 1e5)).as("covar_in_bounds"),
+        (var_samp(col("l_quantity")) / var_samp(col("l_discount")) > 100.0)
+          .as("var_ratio_gt_100"))
+    }),
+    "q117_localization2" -> ((s, dir) => {
+      // Chinese-ID / MyNumber / USCC weighted checksums + KR bank shape,
+      // q107's construction trick: literal valid bases, parity-keyed
+      // invalidating mutations (digit bumps shift the weighted residue)
+      import graft.validators.LocalFormats
+      val cns = Seq("11010519491231002X", "360102198001011235",
+        "440301197512304566", "120104198907056788")
+      val jps = Seq("123456789018", "987654321093", "112233445560",
+        "556677889908")
+      val usccs = Seq("91350100M000100738", "91110000X0001WT23Q",
+        "913201007000123AB8", "91440300MA5DC12341")
+      val banks = Seq("123-45-678901", "1002-123-456789", "110-2345-6789",
+        "352-0001-445566")
+      def pick(vals: Seq[String]): Column =
+        element_at(array(vals.map(lit): _*),
+          ((col("c_custkey") % vals.size) + 1).cast("int"))
+      val odd = col("c_custkey") % 2 === 1
+      def bumpFirst(c: Column): Column =
+        concat(((c.substr(lit(1), lit(1)).cast("int") + 1) % 10).cast("string"),
+          c.substr(lit(2), lit(64)))
+      val df = table(s, dir, "customer").select(
+        when(odd, bumpFirst(pick(cns))).otherwise(pick(cns)).as("cn"),
+        when(odd, bumpFirst(pick(jps))).otherwise(pick(jps)).as("jp"),
+        when(odd, bumpFirst(pick(usccs))).otherwise(pick(usccs)).as("uscc"),
+        when(odd, regexp_replace(pick(banks), "-", "/")).otherwise(pick(banks))
+          .as("bank"))
+      df.agg(
+        cnt(LocalFormats.chineseIdValid(col("cn"))).as("cn_valid"),
+        cnt(LocalFormats.myNumberValid(col("jp"))).as("jp_valid"),
+        cnt(LocalFormats.usccValid(col("uscc"))).as("uscc_valid"),
+        cnt(col("bank").rlike(LocalFormats.koreanBankAccount)).as("bank_valid"),
+        count(lit(1)).as("n"))
+    }),
+    "q118_seasonal_trendbreak" -> ((s, dir) => {
+      // SeasonalDecomposition on an hour-of-day signal planted into events
+      // (period 24) + TrendBreak on monthly order totals with a planted
+      // level shift at 1998-01-01; verdicts are threshold booleans and the
+      // break count — robust to float noise, pinned by the oracle
+      import s.implicits._
+      import graft.validators.SeriesOps
+      // daily buckets: every day of the 30-day span has events at every
+      // SF, so series positions stay phase-aligned (hourly buckets go
+      // sparse at sf0.001 and scramble the positional period)
+      val ev = table(s, dir, "events")
+        .withColumn("v2", col("value") + dayofweek(col("ts")) * lit(100.0))
+      val season = SeriesOps.bucketedSeries(ev, "ts", "v2", "day")
+      val (_, seasonal, residual) = SeriesOps.decompose(season, 7)
+      val tot = SeriesOps.variance(season)
+      val seasonalRatio = SeriesOps.variance(seasonal) / tot
+      val residualRatio = SeriesOps.variance(residual) / tot
+      val orders = table(s, dir, "orders").withColumn("v",
+        col("o_totalprice") +
+          when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+            200000.0).otherwise(0.0))
+      val monthly = SeriesOps.bucketedSeries(orders, "o_orderdate", "v", "month")
+      val breaks = SeriesOps.detectBreaks(monthly, window = 10,
+        minMagnitude = 0.3)
+      Seq((season.length.toLong, seasonalRatio > 0.5, residualRatio < 0.5,
+        monthly.length.toLong, breaks.size.toLong))
+        .toDF("n_day_buckets", "seasonal_dominates", "residual_small",
+          "n_month_buckets", "n_breaks")
+    }),
+    "q119_cross_distinct" -> ((s, dir) => {
+      // CrossTableDistinctCount (AggregateCompareCheck count_distinct mode)
+      import s.implicits._
+      val tables = Map("orders" -> table(s, dir, "orders"),
+        "customer" -> table(s, dir, "customer"))
+      val issues = graft.validators.AggregateCompareCheck(
+        "orders", "o_custkey", "customer", "c_custkey",
+        agg = "count_distinct", relTolerance = 0.5).run(tables)
+      val dOrders = tables("orders").agg(count_distinct(col("o_custkey")))
+        .head().getLong(0)
+      val dCust = tables("customer").agg(count_distinct(col("c_custkey")))
+        .head().getLong(0)
+      Seq((dOrders, dCust, issues.size.toLong))
+        .toDF("distinct_order_custkeys", "distinct_customers",
+          "tolerance_issues")
+    }),
+    "q120_policy_bundles" -> ((s, dir) => {
+      // GDPR/CCPA privacy policy bundles over the shared PII scan:
+      // flagged (count > 0) violations per policy/pattern on documents.text
+      import s.implicits._
+      import graft.validators.PrivacyPolicies
+      val docs = table(s, dir, "documents")
+      Seq("ccpa", "gdpr").flatMap(p =>
+          PrivacyPolicies.scan(docs, p, columns = Seq("text"))
+            .map(v => (v.policy, v.column, v.pattern, v.count)))
+        .toDF("policy", "colname", "pattern", "hits")
+        .orderBy("policy", "colname", "pattern")
+    }),
+    "q113_query_asserts" -> ((s, dir) => {
+      // query-validator family (reference validators/query/, 19 classes):
+      // result asserts, column asserts on query output, group-agg asserts;
+      // one check deliberately fails so both outcomes are pinned
+      import s.implicits._
+      import graft.validators.{QueryCheck, QueryAssertion => QA}
+      val tables = Map("orders" -> table(s, dir, "orders"))
+      val grouped = "SELECT o_orderstatus AS st, count(*) AS cnt" +
+        " FROM orders GROUP BY o_orderstatus"
+      val checks = Seq(
+        "a_no_negative_prices" -> QueryCheck(
+          "SELECT * FROM orders WHERE o_totalprice < 0", QA.ReturnsNoRows),
+        "b_has_orders" -> QueryCheck(
+          "SELECT * FROM orders", QA.ReturnsRows),
+        "c_avg_price_bounds" -> QueryCheck(
+          "SELECT avg(o_totalprice) FROM orders",
+          QA.SingleValueBetween(1.0, 1e9)),
+        "d_status_in_set" -> QueryCheck(grouped,
+          QA.ColumnValuesInSet("st", Set("O", "F", "P"))),
+        "e_status_unique" -> QueryCheck(grouped, QA.ColumnUnique("st")),
+        "f_status_not_null" -> QueryCheck(grouped, QA.ColumnNotNull("st")),
+        "g_cnt_positive" -> QueryCheck(grouped,
+          QA.ColumnValuesBetween("cnt", 1.0, 1e12)),
+        "h_group_avg_bounds" -> QueryCheck(
+          "SELECT o_orderstatus AS st, o_totalprice FROM orders",
+          QA.GroupAggBetween("st", "avg", "o_totalprice", 1000.0, 1e6)),
+        "i_distinct_pinned" -> QueryCheck(
+          "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+          QA.ResultMatches(Seq(Seq(3L)))),
+        "j_deliberate_fail" -> QueryCheck(
+          "SELECT * FROM orders WHERE o_totalprice > 0", QA.ReturnsNoRows))
+      checks.map { case (label, qc) =>
+        val r = qc.run(s, tables)
+        (label, r.passed, r.issues.size.toLong)
+      }.toDF("chk", "passed", "issues").orderBy("chk")
+    }),
+    "q112_ml_anomaly" -> ((s, dir) => {
+      // IsolationForest + LOF with 5 planted extreme outliers: any sane
+      // fit puts the planted points at the top of both score rankings, so
+      // "planted ∩ top-5" is exactly 5 — deterministic (hash-mod sampling
+      // + seeded forest), while the models do the real work
+      import s.implicits._
+      val base = table(s, dir, "customer").select(
+        col("c_acctbal").cast("double").as("x"),
+        (col("c_custkey") % 100).cast("double").as("y"),
+        lit(false).as("planted"))
+      val planted = Seq((99999.0, 99999.0), (-99999.0, 88888.0),
+        (77777.0, -77777.0), (-66666.0, -66666.0), (55555.0, 111111.0))
+        .toDF("x", "y").withColumn("planted", lit(true))
+      val df = base.unionAll(planted)
+      // IF fits on the union (the forest needs to have SEEN the outlying
+      // region to carve isolating splits there — that's how it's used in
+      // production: fit and score the same distribution)
+      val forest = graft.validators.MlAnomaly.fitForest(
+        graft.validators.MlAnomaly.hashSample(df, Seq("x", "y"), 4096))
+      val topIf = df.withColumn("score",
+          graft.validators.MlAnomaly.scoreCol(forest, Seq("x", "y")))
+        .orderBy(desc("score")).limit(5)
+        .agg(cnt(col("planted"))).head().getLong(0)
+      // LOF sample comes from the CLEAN base — sampling the union would
+      // duplicate planted points into the sample and give each duplicate
+      // a zero-distance neighbor, distorting the LOF ranking
+      val pts = graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 4096) ++
+        planted.collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
+      val lof = graft.validators.MlAnomaly.lofScores(pts, k = 10)
+      val topLof = lof.zipWithIndex.sortBy(-_._1).take(5)
+        .count(_._2 >= pts.length - 5).toLong
+      Seq((topIf, topLof)).toDF("if_top5_planted", "lof_top5_planted")
+    }),
     "q111_pairset_uniquerecord" -> ((s, dir) => {
       // ColumnPairInSetCheck + UniqueWithinRecordCheck metric shapes
       val li = table(s, dir, "lineitem")
@@ -1718,6 +1924,110 @@ object SparkEntry {
            CASE lower(column_type) WHEN 'varchar' THEN 'string'
              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS dtype
          FROM (DESCRIBE SELECT * FROM customer) ORDER BY pos""",
+    "q114_cascade" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           + (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS restrict_violations,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NULL) AS set_null_hits,
+           CAST(1 AS BIGINT) AS chain_conflicts,
+           CAST(5 AS BIGINT) AS max_cascade_depth""",
+    "q115_info_gain" ->
+      """WITH j AS (SELECT o_orderpriority AS f, o_orderstatus AS t,
+             CAST(count(*) AS DOUBLE) AS c FROM orders GROUP BY 1, 2),
+         n AS (SELECT sum(c) AS n FROM j),
+         bt AS (SELECT t, sum(c) AS ct FROM j GROUP BY t),
+         bf AS (SELECT f, sum(c) AS cf FROM j GROUP BY f),
+         ht AS (SELECT -sum((ct / n.n) * log2(ct / n.n)) AS h_target
+           FROM bt, n),
+         hc AS (SELECT -sum((j.c / n.n) * log2(j.c / bf.cf)) AS h_cond
+           FROM j JOIN bf USING (f), n)
+         SELECT round(ht.h_target - hc.h_cond, 6) AS ig,
+           round(ht.h_target, 6) AS h_target,
+           round(hc.h_cond, 6) AS h_cond
+         FROM ht, hc""",
+    "q116_percentage_cov" ->
+      """SELECT count(*) FILTER (WHERE l_quantity * 100.0 / 50.0 < 10.0
+             OR l_quantity * 100.0 / 50.0 > 90.0) AS pct_violations,
+           covar_samp(l_quantity, l_extendedprice) BETWEEN -1e5 AND 1e5
+             AS covar_in_bounds,
+           var_samp(l_quantity) / var_samp(l_discount) > 100.0
+             AS var_ratio_gt_100
+         FROM lineitem""",
+    "q117_localization2" ->
+      """SELECT
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS cn_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS jp_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS uscc_valid,
+           count(*) FILTER (WHERE c_custkey % 2 = 0) AS bank_valid,
+           count(*) AS n
+         FROM customer""",
+    "q118_seasonal_trendbreak" ->
+      """SELECT
+           (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+             FROM events) AS n_day_buckets,
+           TRUE AS seasonal_dominates,
+           TRUE AS residual_small,
+           (SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate))
+             AS BIGINT) FROM orders) AS n_month_buckets,
+           CAST(1 AS BIGINT) AS n_breaks""",
+    "q119_cross_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS distinct_order_custkeys,
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+             AS distinct_customers,
+           CAST(CASE WHEN abs(count(DISTINCT o_custkey) -
+               (SELECT count(DISTINCT c_custkey) FROM customer))
+               / CAST((SELECT count(DISTINCT c_custkey) FROM customer)
+                 AS DOUBLE) > 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS tolerance_issues
+         FROM orders""",
+    "q120_policy_bundles" ->
+      """WITH pats AS (
+           SELECT * FROM (VALUES
+             ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+             ('phone_intl',
+              '\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}'),
+             ('ssn_us', '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'),
+             ('credit_card',
+              '\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b'),
+             ('ipv4', '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')
+           ) AS p(pattern, rx)),
+         bundles AS (
+           SELECT * FROM (VALUES
+             ('ccpa', 'email'), ('ccpa', 'phone_intl'), ('ccpa', 'ssn_us'),
+             ('ccpa', 'credit_card'),
+             ('gdpr', 'email'), ('gdpr', 'phone_intl'), ('gdpr', 'ipv4')
+           ) AS b(policy, pattern)),
+         counts AS (
+           SELECT pattern, CAST(count(*) FILTER (WHERE text IS NOT NULL
+             AND regexp_matches(text, rx)) AS BIGINT) AS hits
+           FROM documents, pats GROUP BY pattern, rx)
+         SELECT policy, 'text' AS colname, pattern, hits
+         FROM bundles JOIN counts USING (pattern)
+         WHERE hits > 0
+         ORDER BY policy, colname, pattern""",
+    "q113_query_asserts" ->
+      """SELECT * FROM (VALUES
+           ('a_no_negative_prices', TRUE, CAST(0 AS BIGINT)),
+           ('b_has_orders', TRUE, CAST(0 AS BIGINT)),
+           ('c_avg_price_bounds', TRUE, CAST(0 AS BIGINT)),
+           ('d_status_in_set', TRUE, CAST(0 AS BIGINT)),
+           ('e_status_unique', TRUE, CAST(0 AS BIGINT)),
+           ('f_status_not_null', TRUE, CAST(0 AS BIGINT)),
+           ('g_cnt_positive', TRUE, CAST(0 AS BIGINT)),
+           ('h_group_avg_bounds', TRUE, CAST(0 AS BIGINT)),
+           ('i_distinct_pinned', TRUE, CAST(0 AS BIGINT)),
+           ('j_deliberate_fail', FALSE, CAST(1 AS BIGINT))
+         ) AS t(chk, passed, issues) ORDER BY chk""",
+    "q112_ml_anomaly" ->
+      """SELECT CAST(5 AS BIGINT) AS if_top5_planted,
+           CAST(5 AS BIGINT) AS lof_top5_planted""",
     "q111_pairset_uniquerecord" ->
       """SELECT count(*) FILTER (WHERE NOT (
              (l_returnflag = 'A' AND l_linestatus = 'F') OR

@@ -174,3 +174,69 @@ final case class CorrelationCheck(aCol: String, bCol: String,
       case _ => Nil
     }
 }
+
+/** PercentageValidator (reference `multi_column/arithmetic.py` percentage
+  * form): part/whole × 100 within [minPct, maxPct] per row; whole = 0 rows
+  * count as violations when countZeroWhole. */
+final case class PercentageCheck(partCol: String, wholeCol: String,
+    minPct: Double, maxPct: Double, countZeroWhole: Boolean = true)
+    extends Validator {
+  val name = s"percentage[$partCol/$wholeCol]"
+  val category = "multi_column"
+  private val k = MetricKey("pct_violations", s"$partCol/$wholeCol",
+    s"$minPct..$maxPct")
+  private def pred: Column = {
+    val pct = col(partCol) * 100.0 / col(wholeCol)
+    val zero = col(wholeCol) === 0
+    (if (countZeroWhole) zero else lit(false)) ||
+      (!zero && (pct < minPct || pct > maxPct))
+  }
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(s"$partCol/$wholeCol", "percentage_out_of_bounds",
+      n, total, Severity.Medium, expected = s"[$minPct,$maxPct]%")) else Nil
+  }
+}
+
+/** CovarianceValidator: covar_samp(a, b) within bounds — a standalone
+  * check (r1 only used covariance internally for Mahalanobis). */
+final case class CovarianceCheck(colA: String, colB: String,
+    lo: Double, hi: Double) extends Validator {
+  val name = s"covariance[$colA,$colB]"
+  val category = "multi_column"
+  private val k = MetricKey("covar", s"$colA+$colB")
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> covar_samp(col(colA), col(colB)))
+  def evaluate(m: Metrics, total: Long) =
+    m.double(k) match {
+      case Some(v) if v < lo || v > hi =>
+        Seq(issue(s"$colA,$colB", "covariance_out_of_bounds", 1, total,
+          Severity.Medium, expected = s"[$lo,$hi]", actual = f"$v%.4f"))
+      case _ => Nil
+    }
+}
+
+/** MultiColumnVarianceValidator: the spread of per-column variances —
+  * max(var)/min(var) must stay under `maxRatio` (feature-scale smell). */
+final case class MultiColumnVarianceCheck(columns: Seq[String],
+    maxRatio: Double) extends Validator {
+  require(columns.size >= 2)
+  val name = s"multi_variance[${columns.mkString(",")}]"
+  val category = "multi_column"
+  private def keyOf(c: String) = MetricKey("variance", c)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    columns.map(c => keyOf(c) -> var_samp(col(c)))
+  def evaluate(m: Metrics, total: Long) = {
+    val vs = columns.flatMap(c => m.double(keyOf(c)))
+    if (vs.size < 2 || vs.exists(_ <= 0)) Nil
+    else {
+      val ratio = vs.max / vs.min
+      if (ratio > maxRatio)
+        Seq(issue(columns.mkString(","), "variance_ratio_exceeded", 1, total,
+          Severity.Low, expected = s"<=$maxRatio", actual = f"$ratio%.2f"))
+      else Nil
+    }
+  }
+}

@@ -155,6 +155,65 @@ object LocalFormats {
     c.rlike(koreanRrn) &&
       check === (ascii(substring(digits, 13, 1)) - 48)
   }
+
+  /** Chinese 18-digit resident ID WITH the ISO-7064 MOD 11-2 weighted check
+    * digit (reference `localization/chinese.py` — the r1 build had shape
+    * only). Weights 7,9,10,5,8,4,2,1,6,3,... over the first 17 digits;
+    * check char = "10X98765432"[sum % 11]. */
+  def chineseIdValid(c: Column): Column = {
+    val weights = array(Seq(7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8,
+      4, 2).map(lit): _*)
+    val ds = transform(sequence(lit(0), lit(16)),
+      i => ascii(c.substr(i + lit(1), lit(1))) - lit(48))
+    val s = aggregate(zip_with(ds, weights, (d, w) => d * w),
+      lit(0), (a, x) => a + x)
+    val expected = lit("10X98765432").substr((s % 11) + 1, lit(1))
+    c.rlike(chineseId) && upper(c.substr(lit(18), lit(1))) === expected
+  }
+
+  /** Japanese My Number (12 digits): check = 11 − (Σ Pn·Qn mod 11), where
+    * Pn is the n-th digit from the right of the first 11 and Qn = n+1 for
+    * n ≤ 6 else n − 5; results ≤ 1 collapse to 0 (reference
+    * `localization/japanese.py`). */
+  def myNumberValid(c: Column): Column = {
+    val s = aggregate(transform(sequence(lit(1), lit(11)), n => {
+      val p = ascii(c.substr(lit(12) - n, lit(1))) - lit(48)
+      val q = when(n <= 6, n + 1).otherwise(n - 5)
+      p * q
+    }), lit(0), (a, x) => a + x)
+    val r = s % 11
+    val check = when(r <= 1, lit(0)).otherwise(lit(11) - r)
+    c.rlike("^[0-9]{12}$") &&
+      check === (ascii(c.substr(lit(12), lit(1))) - lit(48))
+  }
+
+  /** Chinese Unified Social Credit Code (18 chars, base-31 alphabet
+    * 0-9A-HJ-NP-RTUWXY, weights 3^i mod 31; reference
+    * `localization/chinese.py` USCC validator). */
+  val usccShape = "^[0-9A-HJ-NP-RTUWXY]{18}$"
+  def usccValid(c: Column): Column = {
+    def code(ch: Column): Column =
+      when(ch.between("0", "9"), ascii(ch) - 48)
+        .when(ch.between("A", "H"), ascii(ch) - 55)
+        .when(ch.between("J", "N"), ascii(ch) - 56)
+        .when(ch.between("P", "R"), ascii(ch) - 57)
+        .when(ch === "T", lit(26)).when(ch === "U", lit(27))
+        .when(ch === "W", lit(28)).when(ch === "X", lit(29))
+        .when(ch === "Y", lit(30)).otherwise(lit(-1))
+    val weights = array(Seq(1, 3, 9, 27, 19, 26, 16, 17, 20, 29, 25, 13, 8,
+      24, 10, 30, 28).map(lit): _*)
+    val cs = transform(sequence(lit(0), lit(16)),
+      i => code(c.substr(i + lit(1), lit(1))))
+    val s = aggregate(zip_with(cs, weights, (d, w) => d * w),
+      lit(0), (a, x) => a + x)
+    val check = (lit(31) - (s % 31)) % 31
+    c.rlike(usccShape) && check === code(c.substr(lit(18), lit(1)))
+  }
+
+  /** Korean bank-account shape (institution-prefixed digit groups — no
+    * national checksum exists; regex structure per reference
+    * `localization/korean.py`). */
+  val koreanBankAccount = "^[0-9]{2,6}-[0-9]{2,6}-[0-9]{4,8}$"
 }
 
 /** KoreanRRNValidator: structure + check digit. */

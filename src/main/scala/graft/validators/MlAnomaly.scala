@@ -1,0 +1,219 @@
+package graft.validators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** ML-based anomaly detection (reference: truthound
+  * `validators/anomaly/ml_based.py` — IsolationForestValidator,
+  * LOFValidator; the reference fits sklearn estimators on a row-capped
+  * sample).
+  *
+  * Scale contract (mirrors the reference's, made reproducible):
+  *  - FIT is driver-side on a bounded sample. Sampling is hash-mod
+  *    (`xxhash64(features) % m == 0`), not RNG-based, so the fitted model
+  *    is identical on every run/cluster for the same data — the same
+  *    trick the dedup operators use for determinism.
+  *  - SCORING distributes: the fitted forest is tiny (arrays of split
+  *    nodes), ships in the UDF closure, and scores every row at scan
+  *    speed. A UDF is the honest tool here — tree traversal has no
+  *    Column-API form (same justification as the bloom probe).
+  *  - LOF is O(sample²) pairwise and stays a sample-only diagnostic, as
+  *    in the reference; its issue reports sampled counts (documented like
+  *    the Energy/MMD samplers). */
+object MlAnomaly {
+
+  // ---- Isolation Forest ----
+
+  /** Flat-encoded tree node; feature == -1 marks a leaf of `size` rows. */
+  final case class Node(feature: Int, split: Double, left: Int, right: Int,
+      size: Int)
+
+  final case class IsoForest(trees: Seq[Array[Node]], psi: Int)
+      extends Serializable {
+    private def c(n: Double): Double =
+      if (n <= 1) 0.0 else 2.0 * (math.log(n - 1) + 0.5772156649) -
+        2.0 * (n - 1) / n
+    private def pathLength(x: Array[Double], t: Array[Node]): Double = {
+      var i = 0; var depth = 0.0
+      while (t(i).feature >= 0) {
+        i = if (x(t(i).feature) < t(i).split) t(i).left else t(i).right
+        depth += 1.0
+      }
+      depth + c(t(i).size.toDouble)
+    }
+    /** Anomaly score in (0,1): 2^(-E[h(x)]/c(psi)); > ~0.6 is anomalous. */
+    def score(x: Array[Double]): Double = {
+      val avg = trees.map(pathLength(x, _)).sum / trees.size
+      math.pow(2.0, -avg / c(psi.toDouble))
+    }
+  }
+
+  /** Fit an isolation forest on pre-collected rows (driver-side; callers
+    * bound the sample). Deterministic under the fixed seed. */
+  def fitForest(data: Array[Array[Double]], nTrees: Int = 50,
+      psi: Int = 256, seed: Long = 42L): IsoForest = {
+    require(data.nonEmpty, "isolation forest needs a non-empty sample")
+    val nFeat = data(0).length
+    val rnd = new scala.util.Random(seed)
+    val effPsi = math.min(psi, data.length)
+    val heightLimit = math.ceil(math.log(effPsi.toDouble) / math.log(2)).toInt
+    val trees = (0 until nTrees).map { _ =>
+      val sub = Array.fill(effPsi)(data(rnd.nextInt(data.length)))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Node]
+      def build(idx: Array[Int], depth: Int): Int = {
+        if (depth >= heightLimit || idx.length <= 1) {
+          buf += Node(-1, 0.0, -1, -1, idx.length); buf.size - 1
+        } else {
+          val f = rnd.nextInt(nFeat)
+          var lo = Double.MaxValue; var hi = Double.MinValue
+          idx.foreach { i =>
+            val v = sub(i)(f)
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+          }
+          if (lo >= hi) { buf += Node(-1, 0.0, -1, -1, idx.length); buf.size - 1 }
+          else {
+            val split = lo + rnd.nextDouble() * (hi - lo)
+            val (li, ri) = idx.partition(i => sub(i)(f) < split)
+            val l = build(li, depth + 1)
+            val r = build(ri, depth + 1)
+            buf += Node(f, split, l, r, idx.length); buf.size - 1
+          }
+        }
+      }
+      val root = build(sub.indices.toArray, 0)
+      // re-root: traversal starts at the LAST node appended (post-order)
+      assert(root == buf.size - 1)
+      // store with root last; pathLength starts at index... flip to root-first
+      val arr = buf.toArray
+      remapRootFirst(arr)
+    }
+    IsoForest(trees, effPsi)
+  }
+
+  /** Post-order build appends the root last; rewrite indices so the root
+    * sits at 0 (pathLength starts at 0). */
+  private def remapRootFirst(arr: Array[Node]): Array[Node] = {
+    val n = arr.length
+    val perm = new Array[Int](n) // old index -> new index
+    var next = 0
+    def visit(old: Int): Unit = {
+      perm(old) = next; next += 1
+      if (arr(old).feature >= 0) { visit(arr(old).left); visit(arr(old).right) }
+    }
+    visit(n - 1)
+    val out = new Array[Node](n)
+    arr.zipWithIndex.foreach { case (nd, old) =>
+      out(perm(old)) =
+        if (nd.feature < 0) nd
+        else nd.copy(left = perm(nd.left), right = perm(nd.right))
+    }
+    out
+  }
+
+  /** Deterministic bounded fit-sample: hash-mod filter, collected. */
+  def hashSample(df: DataFrame, cols: Seq[String], maxN: Int)
+      : Array[Array[Double]] = {
+    val feats = df.select(cols.map(c => col(c).cast("double")): _*)
+      .na.drop()
+    val total = feats.count()
+    val m = math.max(1L, total / math.max(1, maxN))
+    val sampled = if (m <= 1) feats
+      else feats.filter(pmod(xxhash64(cols.map(col): _*), lit(m)) === 0)
+    sampled.limit(maxN).collect()
+      .map(r => Array.tabulate(cols.size)(r.getDouble))
+  }
+
+  /** Score every row distributed via the broadcast-forest UDF. */
+  def scoreCol(forest: IsoForest, cols: Seq[String]): Column = {
+    val f = udf((xs: scala.collection.Seq[Double]) =>
+      forest.score(xs.toArray))
+    f(array(cols.map(c => col(c).cast("double")): _*))
+  }
+
+  // ---- Local Outlier Factor (sample-only, O(n²)) ----
+
+  /** Classic LOF over a point sample; returns one score per input point
+    * (≈1 inlier, >> 1 outlier). */
+  def lofScores(pts: Array[Array[Double]], k: Int = 20): Array[Double] = {
+    val n = pts.length
+    require(n > k, s"LOF needs more than k=$k points, got $n")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k nearest neighbors per point (indices + distances)
+    val neigh = Array.ofDim[Array[(Int, Double)]](n)
+    var i = 0
+    while (i < n) {
+      val ds = new Array[(Int, Double)](n - 1)
+      var j = 0; var w = 0
+      while (j < n) {
+        if (j != i) { ds(w) = (j, math.sqrt(d2(pts(i), pts(j)))); w += 1 }
+        j += 1
+      }
+      neigh(i) = ds.sortBy(_._2).take(k)
+      i += 1
+    }
+    val kDist = neigh.map(_.last._2)
+    def reachDist(a: Int, b: Int): Double = {
+      // dist(a,b) is recomputed (cheap) rather than materializing n² dists
+      math.max(kDist(b), math.sqrt(d2(pts(a), pts(b))))
+    }
+    val lrd = Array.tabulate(n) { a =>
+      val s = neigh(a).map { case (b, _) => reachDist(a, b) }.sum
+      if (s == 0) Double.PositiveInfinity else k / s
+    }
+    Array.tabulate(n) { a =>
+      val s = neigh(a).map { case (b, _) => lrd(b) }.sum
+      if (lrd(a) == Double.PositiveInfinity) 1.0 else s / (k * lrd(a))
+    }
+  }
+}
+
+/** IsolationForestValidator: fit on a bounded deterministic sample, score
+  * all rows distributed; rows with score > `scoreThreshold` are anomalous. */
+final case class IsolationForestCheck(columns: Seq[String],
+    scoreThreshold: Double = 0.65, nTrees: Int = 50, sampleN: Int = 4096)
+    extends Validator with DedicatedScan {
+  val name = s"isolation_forest[${columns.mkString(",")}]"
+  val category = "anomaly"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val sample = MlAnomaly.hashSample(df, columns, sampleN)
+    if (sample.isEmpty) return Nil
+    val forest = MlAnomaly.fitForest(sample, nTrees)
+    val n = df.na.drop(columns)
+      .filter(MlAnomaly.scoreCol(forest, columns) > scoreThreshold).count()
+    if (n > 0)
+      Seq(issue(columns.mkString(","), "isolation_forest_anomalies", n, total,
+        Severity.Medium, expected = s"score<=$scoreThreshold")) else Nil
+  }
+}
+
+/** LOFValidator: sample-only local-outlier-factor diagnostic (the
+  * reference's sklearn LOF is likewise fit_predict on the sampled frame). */
+final case class LofCheck(columns: Seq[String], k: Int = 20,
+    threshold: Double = 1.5, sampleN: Int = 2000)
+    extends Validator with DedicatedScan {
+  val name = s"lof[${columns.mkString(",")}]"
+  val category = "anomaly"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val sample = MlAnomaly.hashSample(df, columns, sampleN)
+    if (sample.length <= k) return Nil
+    val scores = MlAnomaly.lofScores(sample, k)
+    val n = scores.count(_ > threshold).toLong
+    if (n > 0)
+      Seq(issue(columns.mkString(","), "lof_outliers_in_sample", n,
+        sample.length.toLong, Severity.Low,
+        expected = s"lof<=$threshold (sampled diagnostic)")) else Nil
+  }
+}

@@ -117,3 +117,53 @@ object TopK {
     df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(column).asc_nulls_last).limit(k)
 }
+
+/** InformationGainValidator (reference `profiling/entropy.py:205`):
+  * IG = H(target) − H(target|feature) in bits.
+  *
+  * Scale shape: ONE groupBy(feature, target) count — shuffle is
+  * O(|feature| × |target| cardinality product); the entropies then reduce
+  * from the (tiny) joint-count relation with two more aggregations. No
+  * row-level collect anywhere. */
+object InfoGain {
+  import org.apache.spark.sql.DataFrame
+
+  /** One-row DataFrame (ig, h_target, h_t_given_f) in bits. */
+  def informationGain(df: DataFrame, feature: String, target: String)
+      : DataFrame = {
+    val joint = df.groupBy(col(feature).as("__f"), col(target).as("__t"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val total = joint.agg(sum(col("__c")).as("__n"))
+    val byT = joint.groupBy(col("__t")).agg(sum(col("__c")).as("__ct"))
+    val byF = joint.groupBy(col("__f")).agg(sum(col("__c")).as("__cf"))
+    val ht = byT.crossJoin(total).agg(
+      (-sum((col("__ct") / col("__n")) * log(2.0, col("__ct") / col("__n"))))
+        .as("h_target"))
+    val htf = joint.join(byF, "__f").crossJoin(total).agg(
+      (-sum((col("__c") / col("__n")) * log(2.0, col("__c") / col("__cf"))))
+        .as("h_t_given_f"))
+    ht.crossJoin(htf).select(
+      (col("h_target") - col("h_t_given_f")).as("ig"),
+      col("h_target"), col("h_t_given_f"))
+  }
+}
+
+/** InformationGainCheck: IG(feature -> target) within [minIg, maxIg]. */
+final case class InformationGainCheck(feature: String, target: String,
+    minIg: Double = 0.0, maxIg: Double = Double.MaxValue)
+    extends Validator with DedicatedScan {
+  val name = s"information_gain[$feature->$target]"
+  val category = "profiling"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: org.apache.spark.sql.DataFrame, total: Long)
+      : Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val ig = InfoGain.informationGain(df, feature, target)
+      .head().getDouble(0)
+    if (ig < minIg || ig > maxIg)
+      Seq(issue(feature, "information_gain_out_of_bounds", 1, total,
+        Severity.Medium, expected = s"[$minIg,$maxIg]", actual = f"$ig%.6f"))
+    else Nil
+  }
+}

@@ -29,6 +29,20 @@ object QueryAssertion {
   case object ReturnsRows extends QueryAssertion
   final case class RowCountBetween(min: Long, max: Long) extends QueryAssertion
   final case class SingleValueBetween(lo: Double, hi: Double) extends QueryAssertion
+  /** query/result.py QueryResultMatches: exact expected row set (small,
+    * for pinned regression results). */
+  final case class ResultMatches(expected: Seq[Seq[Any]]) extends QueryAssertion
+  /** query/column.py: asserts over one column of the query output. */
+  final case class ColumnValuesBetween(column: String, lo: Double, hi: Double)
+      extends QueryAssertion
+  final case class ColumnValuesInSet(column: String, allowed: Set[String])
+      extends QueryAssertion
+  final case class ColumnNotNull(column: String) extends QueryAssertion
+  final case class ColumnUnique(column: String) extends QueryAssertion
+  /** query/aggregate.py group-aggregate assert: AGG(valueCol) per
+    * groupCol group must lie in [lo, hi]. */
+  final case class GroupAggBetween(groupCol: String, agg: String,
+      valueCol: String, lo: Double, hi: Double) extends QueryAssertion
 }
 
 /** QueryValidator / ReturnsNoRows / ReturnsRows / RowCount / Aggregate
@@ -74,6 +88,54 @@ final case class QueryCheck(sql: String, assertion: QueryAssertion,
             Seq(ValidationIssue(name, "*", "value_out_of_bounds", 1, 0,
               Severity.Medium.label, s"[$lo,$hi]", v.toString)) else Nil
         }
+      case ResultMatches(expected) =>
+        // pinned-result regression check: expected sets are small by
+        // contract, so a driver-side compare is the honest shape
+        val actual = result.limit(expected.size + 1).collect()
+          .map(_.toSeq.map(String.valueOf)).toSeq
+        val exp = expected.map(_.map(String.valueOf))
+        if (actual != exp)
+          Seq(ValidationIssue(name, "*", "result_mismatch",
+            actual.size.toLong, exp.size.toLong, Severity.High.label,
+            exp.toString, actual.toString)) else Nil
+      case ColumnValuesBetween(c, lo, hi) =>
+        import org.apache.spark.sql.functions.col
+        val n = result.filter(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi)).count()
+        if (n > 0) Seq(ValidationIssue(name, c, "query_column_out_of_bounds",
+          n, 0, Severity.Medium.label, s"[$lo,$hi]", "")) else Nil
+      case ColumnValuesInSet(c, allowed) =>
+        import org.apache.spark.sql.functions.col
+        val n = result.filter(col(c).isNotNull &&
+          !col(c).isin(allowed.toSeq: _*)).count()
+        if (n > 0) Seq(ValidationIssue(name, c, "query_column_not_in_set",
+          n, 0, Severity.Medium.label, allowed.mkString("{", ",", "}"), ""))
+        else Nil
+      case ColumnNotNull(c) =>
+        import org.apache.spark.sql.functions.col
+        val n = result.filter(col(c).isNull).count()
+        if (n > 0) Seq(ValidationIssue(name, c, "query_column_nulls", n, 0,
+          Severity.High.label, "no nulls", "")) else Nil
+      case ColumnUnique(c) =>
+        import org.apache.spark.sql.functions.{col, count_distinct, count, lit, struct}
+        val r = result.agg(
+          (count(lit(1)) - count_distinct(struct(col(c)))).as("d")).head()
+        val n = r.getLong(0)
+        if (n > 0) Seq(ValidationIssue(name, c, "query_column_duplicates",
+          n, 0, Severity.High.label, "unique", "")) else Nil
+      case GroupAggBetween(g, agg, v, lo, hi) =>
+        import org.apache.spark.sql.functions._
+        val a = agg match {
+          case "count" => count(col(v)).cast("double")
+          case "sum"   => sum(col(v)).cast("double")
+          case "avg"   => avg(col(v))
+          case "min"   => min(col(v)).cast("double")
+          case "max"   => max(col(v)).cast("double")
+        }
+        val n = result.groupBy(col(g)).agg(a.as("__a"))
+          .filter(col("__a") < lo || col("__a") > hi).count()
+        if (n > 0) Seq(ValidationIssue(name, g, "group_aggregate_out_of_bounds",
+          n, 0, Severity.Medium.label, s"$agg($v) in [$lo,$hi]", "")) else Nil
     }
     CheckResult(name, category, issues.isEmpty, issues,
       (System.nanoTime() - t0) / 1000000)

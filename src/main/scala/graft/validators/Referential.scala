@@ -275,3 +275,79 @@ object Hierarchy {
     rows.toSeq.toDF("depth", "cnt")
   }
 }
+
+/** Cascade integrity (reference `referential/cascade.py`).
+  *
+  * The reference walks python sets on the driver; here RESTRICT is a
+  * distributed anti-join orphan count and SET_NULL a null-FK count —
+  * the same verdicts at any scale. */
+final case class CascadeRule(childTable: String, childKeys: Seq[String],
+    parentTable: String, parentKeys: Seq[String],
+    onDelete: String = "RESTRICT")
+
+final case class CascadeIntegrityCheck(rules: Seq[CascadeRule])
+    extends CrossTableValidator {
+  val name = "cascade_integrity"
+  val category = "referential"
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val perRule = rules.flatMap { r =>
+      val child = tables(r.childTable)
+      r.onDelete match {
+        case "RESTRICT" | "NO_ACTION" =>
+          val parent = tables(r.parentTable)
+            .select(r.parentKeys.map(col): _*).distinct()
+          val cond = r.childKeys.zip(r.parentKeys)
+            .map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+          val n = child
+            .filter(r.childKeys.map(col(_).isNotNull).reduce(_ && _))
+            .join(parent, cond, "left_anti").count()
+          if (n > 0) Seq(issue(r.childKeys.mkString(","),
+            "cascade_restrict_violation", n, child.count(), Severity.Critical,
+            expected = s"no orphans in ${r.childTable} (RESTRICT)")) else Nil
+        case "SET_NULL" =>
+          val n = child.filter(
+            r.childKeys.map(col(_).isNull).reduce(_ || _)).count()
+          if (n > 0) Seq(issue(r.childKeys.mkString(","),
+            "cascade_set_null_detected", n, child.count(), Severity.Low,
+            expected = "NULL FKs indicate deleted parents")) else Nil
+        case _ => Nil
+      }
+    }
+    // chain conflicts: one child table under rules with differing onDelete
+    val conflicts = rules.groupBy(_.childTable).collect {
+      case (t, rs) if rs.map(_.onDelete).distinct.size > 1 =>
+        issue(t, "cascade_chain_conflict",
+          rs.map(_.onDelete).distinct.size.toLong, 0, Severity.Medium)
+    }
+    perRule ++ conflicts
+  }
+}
+
+/** CascadeDepthValidator: metadata-only DFS over declared child->parent
+  * relations; depth measured from root tables (tables referencing nothing),
+  * cycles count as depth 0 (reference `cascade.py:297-359`). */
+final case class CascadeDepthCheck(relations: Seq[(String, String)],
+    maxDepth: Int = 5) extends CrossTableValidator {
+  val name = "cascade_depth"
+  val category = "referential"
+  def depthOf(root: String): Int = {
+    val childrenOf = relations.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def go(t: String, seen: Set[String]): Int =
+      if (seen.contains(t)) 0
+      else 1 + childrenOf.getOrElse(t, Nil)
+        .map(c => go(c, seen + t)).foldLeft(0)(math.max)
+    go(root, Set.empty)
+  }
+  def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    val parents = relations.map(_._2).toSet
+    val children = relations.map(_._1).toSet
+    val roots = parents -- children
+    roots.toSeq.sorted.flatMap { r =>
+      val d = depthOf(r)
+      if (d > maxDepth)
+        Seq(issue(r, "cascade_depth_exceeded", d.toLong, 0,
+          if (d > maxDepth * 2) Severity.High else Severity.Medium,
+          expected = s"depth<=$maxDepth")) else Nil
+    }
+  }
+}

@@ -260,3 +260,148 @@ final case class NullImpactCheck(feature: String, target: String,
       case _ => Nil
     }
 }
+
+/** Bucketed-series ops shared by SeasonalDecompositionCheck /
+  * TrendBreakCheck (reference `timeseries/seasonality.py:249`,
+  * `trend.py:319` — both collect the raw series; those are single-node
+  * semantics).
+  *
+  * Scale contract here: the RAW rows reduce distributed to one point per
+  * time bucket (groupBy date_trunc -> avg, shuffle O(buckets)); only the
+  * bucketed series — bounded by the time span, not the row count — is
+  * collected for the O(n_buckets) decomposition math. 100 TB of events
+  * over 3 years of hourly buckets is ~26k points on the driver. */
+object SeriesOps {
+  /** (bucket_start, avg value) sorted ascending; distributed reduction. */
+  def bucketedSeries(df: DataFrame, tsCol: String, valueCol: String,
+      bucket: String): Array[Double] =
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(date_trunc(bucket, col(tsCol).cast("timestamp")).as("__b"))
+      .agg(avg(col(valueCol)).as("__v"))
+      .orderBy(col("__b"))
+      .select(col("__v")).collect().map(_.getDouble(0))
+
+  /** Additive decomposition value = trend + seasonal + residual, mirroring
+    * the reference's centered-moving-average + per-phase means
+    * (`seasonality.py:297-334`, incl. its edge fix). */
+  def decompose(values: Array[Double], period: Int)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val n = values.length
+    val trend = new Array[Double](n)
+    if (n < period * 2) {
+      val m = values.sum / n
+      java.util.Arrays.fill(trend, m)
+    } else {
+      // np.convolve(values, ones(p)/p, mode="same") with zero padding
+      val off = (period - 1) / 2
+      var i = 0
+      while (i < n) {
+        val t = i + off
+        var s = 0.0
+        var j = math.max(0, t - period + 1)
+        val jHi = math.min(n - 1, t)
+        while (j <= jHi) { s += values(j); j += 1 }
+        trend(i) = s / period
+        i += 1
+      }
+      val half = period / 2
+      if (half > 0) {
+        for (i <- 0 until half) trend(i) = trend(half)
+        for (i <- n - half until n) trend(i) = trend(n - half - 1)
+      }
+    }
+    val detrended = values.indices.map(i => values(i) - trend(i)).toArray
+    val seasonal = new Array[Double](n)
+    for (ph <- 0 until period) {
+      val idx = ph.until(n, period)
+      if (idx.nonEmpty) {
+        val m = idx.map(detrended).sum / idx.size
+        idx.foreach(i => seasonal(i) = m)
+      }
+    }
+    val residual = values.indices
+      .map(i => values(i) - trend(i) - seasonal(i)).toArray
+    (trend, seasonal, residual)
+  }
+
+  def variance(xs: Array[Double]): Double = {
+    if (xs.length < 2) return 0.0
+    val m = xs.sum / xs.length
+    xs.map(x => (x - m) * (x - m)).sum / xs.length
+  }
+
+  /** Structural breaks: windowed before/after mean change above
+    * `minMagnitude`, kept only at local maxima of the change (reference
+    * `trend.py:368-418`). Returns break indices in the bucketed series. */
+  def detectBreaks(values: Array[Double], window: Int,
+      minMagnitude: Double): Seq[Int] = {
+    val n = values.length
+    if (n < window * 2) return Nil
+    def meanOf(lo: Int, hi: Int): Double = {
+      var s = 0.0; var i = lo
+      while (i < hi) { s += values(i); i += 1 }
+      s / (hi - lo)
+    }
+    def changeAt(i: Int): Double = {
+      val b = meanOf(i - window, i)
+      if (b == 0) -1.0 else math.abs(meanOf(i, i + window) - b) / math.abs(b)
+    }
+    (window until n - window).filter { i =>
+      val c = changeAt(i)
+      c >= minMagnitude && {
+        val lo = math.max(window, i - 3)
+        val hi = math.min(n - window, i + 4)
+        (lo until hi).forall(j => j == i || changeAt(j) <= c)
+      }
+    }
+  }
+}
+
+/** SeasonalDecompositionValidator: residual/seasonal variance ratios of the
+  * additive decomposition within bounds. */
+final case class SeasonalDecompositionCheck(tsCol: String, valueCol: String,
+    period: Int, bucket: String = "day", maxResidualRatio: Double = 0.3,
+    maxSeasonalRatio: Option[Double] = None)
+    extends Validator with DedicatedScan {
+  val name = s"seasonal_decomposition[$valueCol]"
+  val category = "timeseries"
+  def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    val series = SeriesOps.bucketedSeries(df, tsCol, valueCol, bucket)
+    if (series.length < period * 2) return Nil
+    val (_, seasonal, residual) = SeriesOps.decompose(series, period)
+    val tot = SeriesOps.variance(series)
+    if (tot == 0) return Nil
+    val resRatio = SeriesOps.variance(residual) / tot
+    val seaRatio = SeriesOps.variance(seasonal) / tot
+    (if (resRatio > maxResidualRatio)
+      Seq(issue(valueCol, "residual_variance_exceeded", 1, total,
+        Severity.Medium, expected = s"<=$maxResidualRatio",
+        actual = f"$resRatio%.4f")) else Nil) ++
+    (maxSeasonalRatio match {
+      case Some(mx) if seaRatio > mx =>
+        Seq(issue(valueCol, "seasonal_variance_exceeded", 1, total,
+          Severity.Low, expected = s"<=$mx", actual = f"$seaRatio%.4f"))
+      case _ => Nil
+    })
+  }
+}
+
+/** TrendBreakValidator: structural level shifts in the bucketed series. */
+final case class TrendBreakCheck(tsCol: String, valueCol: String,
+    bucket: String = "day", window: Int = 10, minMagnitude: Double = 0.05,
+    maxBreaks: Int = 0) extends Validator with DedicatedScan {
+  val name = s"trend_break[$valueCol]"
+  val category = "timeseries"
+  def metricExprs(schema: org.apache.spark.sql.types.StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    val series = SeriesOps.bucketedSeries(df, tsCol, valueCol, bucket)
+    val breaks = SeriesOps.detectBreaks(series, window, minMagnitude)
+    if (breaks.size > maxBreaks)
+      Seq(issue(valueCol, "trend_breaks_detected", breaks.size.toLong, total,
+        Severity.Medium, expected = s"<=$maxBreaks breaks",
+        actual = breaks.mkString(","))) else Nil
+  }
+}

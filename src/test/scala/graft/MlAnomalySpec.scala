@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.validators._
+
+class MlAnomalySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic 2-D blob around (0,0) with 3 planted far-out points
+  private def blob = {
+    val inliers = (1 to 400).map { i =>
+      (math.sin(i * 0.7) * 10.0, math.cos(i * 1.3) * 10.0, false)
+    }
+    val planted = Seq((500.0, 500.0, true), (-400.0, 300.0, true),
+      (350.0, -450.0, true))
+    (inliers ++ planted).toDF("x", "y", "planted")
+  }
+
+  test("isolation forest scores planted outliers above all inliers") {
+    val df = blob
+    val sample = MlAnomaly.hashSample(df, Seq("x", "y"), 4096)
+    val forest = MlAnomaly.fitForest(sample)
+    val scored = df.withColumn("s", MlAnomaly.scoreCol(forest, Seq("x", "y")))
+    val top3 = scored.orderBy(desc("s")).limit(3)
+      .agg(count(when(col("planted"), 1))).head().getLong(0)
+    assert(top3 == 3L)
+    // scores are deterministic across fits (hash sample + fixed seed)
+    val forest2 = MlAnomaly.fitForest(MlAnomaly.hashSample(df, Seq("x", "y"), 4096))
+    val s1 = scored.orderBy(col("s")).select(col("s")).head().getDouble(0)
+    val s2 = df.withColumn("s", MlAnomaly.scoreCol(forest2, Seq("x", "y")))
+      .orderBy(col("s")).select(col("s")).head().getDouble(0)
+    assert(s1 == s2)
+  }
+
+  test("isolation forest validator flags anomalies") {
+    val issues = IsolationForestCheck(Seq("x", "y"), scoreThreshold = 0.65)
+      .runScan(blob, 403)
+    assert(issues.nonEmpty && issues.head.count >= 3)
+  }
+
+  test("LOF ranks planted outliers on top") {
+    val pts = ((1 to 300).map(i =>
+      Array(math.sin(i * 0.7) * 10.0, math.cos(i * 1.3) * 10.0)) ++
+      Seq(Array(500.0, 500.0), Array(-400.0, 300.0))).toArray
+    val scores = MlAnomaly.lofScores(pts, k = 10)
+    val top2 = scores.zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+    assert(top2 == Set(300, 301))
+    assert(scores.take(300).forall(_ < scores(300)))
+  }
+
+  test("LOF validator reports sampled outliers") {
+    val issues = LofCheck(Seq("x", "y"), k = 10, threshold = 2.0)
+      .runScan(blob, 403)
+    assert(issues.nonEmpty && issues.head.count >= 3)
+  }
+}
