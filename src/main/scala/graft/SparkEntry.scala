@@ -938,6 +938,31 @@ object SparkEntry {
         .map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
         .toDF("pos", "colname", "dtype").orderBy("pos")
     }),
+    "q121_jdbc_pushdown" -> ((s, dir) => {
+      // JDBC/DSv2 pushdown slice (SURVEY M7): load a bounded customer
+      // slice into embedded Derby, read back through a pushdown-enabled
+      // JDBCTableCatalog, and run the fused metric aggregate — the
+      // aggregation compiles into ONE pushed-down SQL statement (asserted
+      // in JdbcSpec via PushedAggregates); the oracle recomputes from the
+      // parquet source
+      import graft.sources.JdbcSource
+      val dbDir = System.getProperty("java.io.tmpdir") +
+        s"/graft_derby_q121_${Integer.toHexString(dir.hashCode)}"
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      val src = table(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"),
+          col("c_mktsegment"))
+      JdbcSource.loadIntoDerby(src, url, "APP.CUSTSLICE",
+        "C_CUSTKEY BIGINT, C_ACCTBAL DECIMAL(12,2), C_MKTSEGMENT VARCHAR(16)",
+        2000)
+      JdbcSource.registerCatalog(s, "graftq121", url)
+      JdbcSource.table(s, "graftq121", "APP", "CUSTSLICE").agg(
+        count(lit(1)).as("n"),
+        min(col("C_CUSTKEY")).as("min_key"),
+        max(col("C_CUSTKEY")).as("max_key"),
+        sum(col("C_ACCTBAL")).cast("double").as("sum_bal"))
+    }),
     "q114_cascade" -> ((s, dir) => {
       // CascadeIntegrity (RESTRICT anti-join + SET_NULL pattern + planted
       // rule conflict) and CascadeDepth over the declared TPC-H FK graph
@@ -1924,6 +1949,11 @@ object SparkEntry {
            CASE lower(column_type) WHEN 'varchar' THEN 'string'
              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS dtype
          FROM (DESCRIBE SELECT * FROM customer) ORDER BY pos""",
+    "q121_jdbc_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE c_custkey <= 1000""",
     "q114_cascade" ->
       """SELECT
            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
