@@ -1161,8 +1161,9 @@ object SparkEntry {
         .agg(cnt(col("planted"))).head().getLong(0)
       // LOF sample comes from the CLEAN base — sampling the union would
       // duplicate planted points into the sample and give each duplicate
-      // a zero-distance neighbor, distorting the LOF ranking
-      val pts = graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 4096) ++
+      // a zero-distance neighbor, distorting the LOF ranking. Capped at
+      // 1500 points: LOF is O(sample²) by design (sampled diagnostic).
+      val pts = graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 1500) ++
         planted.collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
       val lof = graft.validators.MlAnomaly.lofScores(pts, k = 10)
       val topLof = lof.zipWithIndex.sortBy(-_._1).take(5)
