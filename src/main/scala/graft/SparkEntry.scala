@@ -442,8 +442,11 @@ object SparkEntry {
       val ref = c.filter(col("c_custkey") % 2 === 1)
       def r6(x: Double) =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((r6(graft.drift.Drift.ksStatistic(cur, ref, "c_acctbal")),
-           r6(graft.drift.Drift.wasserstein(cur, ref, "c_acctbal"))))
+      // Auto forms: exact per-distinct-value CDF at oracle cardinality
+      // (customer acctbal stays far under the 65536 threshold at sf0.01),
+      // bin-midpoint rewrite above it — the 100 TB dispatch
+      Seq((r6(graft.drift.Drift.ksAuto(cur, ref, "c_acctbal")),
+           r6(graft.drift.Drift.wassersteinAuto(cur, ref, "c_acctbal"))))
         .toDF("ks", "w1")
     }),
 
@@ -606,8 +609,8 @@ object SparkEntry {
       val ref = c.filter(col("c_custkey") % 2 === 1)
       def r6(x: Double) =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((r6(graft.drift.Drift.cramerVonMises(cur, ref, "c_acctbal")),
-           r6(graft.drift.Drift.andersonDarling(cur, ref, "c_acctbal"))))
+      Seq((r6(graft.drift.Drift.cramerVonMisesAuto(cur, ref, "c_acctbal")),
+           r6(graft.drift.Drift.andersonDarlingAuto(cur, ref, "c_acctbal"))))
         .toDF("cvm", "ad")
     }),
     "q88_grouped_dup_multiformat" -> ((s, dir) => {

@@ -298,6 +298,58 @@ object Drift {
     best
   }
 
+  /** Cardinality guard for the exact per-distinct-value CDF statistics
+    * (KS / W1 / CvM / AD). Their global window is over DISTINCT values —
+    * fine at oracle scale, but a single-task sort when a continuous
+    * column has 100 TB-scale cardinality. Above `maxExactDistinct`
+    * merged distinct values, both frames are re-expressed on equal-width
+    * bin MIDPOINTS and the SAME exact machinery runs over ≤ bins
+    * distinct values: shuffle and sort become O(bins), error bounded by
+    * the largest single-bin mass. This is the default dispatch the
+    * q-surface uses; the raw exact forms stay available for bounded
+    * domains. */
+  def autoBin(cur: DataFrame, ref: DataFrame, column: String,
+      maxExactDistinct: Long = 65536, bins: Int = 4096)
+      : (DataFrame, DataFrame) = {
+    val d = cur.select(col(column)).unionAll(ref.select(col(column)))
+      .agg(approx_count_distinct(col(column))).head().getLong(0)
+    if (d <= maxExactDistinct) (cur, ref)
+    else {
+      val r = cur.select(col(column).cast("double").as("v"))
+        .unionAll(ref.select(col(column).cast("double").as("v")))
+        .agg(min(col("v")), max(col("v"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val w = if (hi > lo) (hi - lo) / bins else 1.0
+      def bucketize(df: DataFrame): DataFrame = {
+        val b = least(greatest(floor((col(column).cast("double") - lo) / w),
+          lit(0)), lit(bins - 1))
+        df.withColumn(column, (lit(lo) + (b + 0.5) * w).cast("double"))
+      }
+      (bucketize(cur), bucketize(ref))
+    }
+  }
+
+  def ksAuto(cur: DataFrame, ref: DataFrame, column: String,
+      maxExactDistinct: Long = 65536, bins: Int = 4096): Double = {
+    val (c, r) = autoBin(cur, ref, column, maxExactDistinct, bins)
+    ksStatistic(c, r, column)
+  }
+  def wassersteinAuto(cur: DataFrame, ref: DataFrame, column: String,
+      maxExactDistinct: Long = 65536, bins: Int = 4096): Double = {
+    val (c, r) = autoBin(cur, ref, column, maxExactDistinct, bins)
+    wasserstein(c, r, column)
+  }
+  def cramerVonMisesAuto(cur: DataFrame, ref: DataFrame, column: String,
+      maxExactDistinct: Long = 65536, bins: Int = 4096): Double = {
+    val (c, r) = autoBin(cur, ref, column, maxExactDistinct, bins)
+    cramerVonMises(c, r, column)
+  }
+  def andersonDarlingAuto(cur: DataFrame, ref: DataFrame, column: String,
+      maxExactDistinct: Long = 65536, bins: Int = 4096): Double = {
+    val (c, r) = autoBin(cur, ref, column, maxExactDistinct, bins)
+    andersonDarling(c, r, column)
+  }
+
   /** Mean / variance / quantile drift: relative stat difference. */
   def statDrift(cur: DataFrame, ref: DataFrame, column: String,
                 stat: String): Double = {
