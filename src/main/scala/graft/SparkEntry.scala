@@ -941,6 +941,20 @@ object SparkEntry {
         .map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
         .toDF("pos", "colname", "dtype").orderBy("pos")
     }),
+    "q122_json_typed_schema" -> ((s, dir) => {
+      // typed JSON-schema check over a mutated props column: every third
+      // event gets a string where an INT is declared (type violation),
+      // every seventh (not third) loses the required key
+      val ev = table(s, dir, "events").withColumn("props2",
+        when(col("event_id") % 3 === 0, lit("""{"k": "not_a_number"}"""))
+          .when(col("event_id") % 7 === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+      val chk = graft.validators.JsonTypedSchemaCheck("props2",
+        Seq("k" -> "INT"), required = Seq("$.k"))
+      val exprs = chk.metricExprs(ev.schema, null).map(_._2)
+      ev.agg(exprs.head.as("wrong_type"), exprs(1).as("missing_k"),
+        count(lit(1)).as("n"))
+    }),
     "q121_jdbc_pushdown" -> ((s, dir) => {
       // JDBC/DSv2 pushdown slice (SURVEY M7): load a bounded customer
       // slice into embedded Derby, read back through a pushdown-enabled
@@ -1953,6 +1967,12 @@ object SparkEntry {
            CASE lower(column_type) WHEN 'varchar' THEN 'string'
              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS dtype
          FROM (DESCRIBE SELECT * FROM customer) ORDER BY pos""",
+    "q122_json_typed_schema" ->
+      """SELECT count(*) FILTER (WHERE event_id % 3 = 0) AS wrong_type,
+         count(*) FILTER (WHERE event_id % 3 <> 0 AND event_id % 7 = 0)
+           AS missing_k,
+         count(*) AS n
+         FROM events""",
     "q121_jdbc_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
            min(c_custkey) AS min_key, max(c_custkey) AS max_key,

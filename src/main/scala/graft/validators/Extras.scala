@@ -211,4 +211,31 @@ object ValidatorRegistry {
   register("outlier")(p => IqrOutlierCheck(p("column"),
     p.getOrElse("k", "1.5").toDouble))
   register("format")(p => FormatCheck(p("column"), p("format")))
+
+  // round-2 additions
+  register("isolation_forest")(p => IsolationForestCheck(
+    p("columns").split(",").toSeq,
+    p.getOrElse("threshold", "0.65").toDouble))
+  register("lof")(p => LofCheck(p("columns").split(",").toSeq,
+    p.getOrElse("k", "20").toInt, p.getOrElse("threshold", "1.5").toDouble))
+  register("dbscan")(p => DbscanCheck(p("columns").split(",").toSeq,
+    p("eps").toDouble, p.getOrElse("min_pts", "5").toInt))
+  register("percentage")(p => PercentageCheck(p("part"), p("whole"),
+    p.getOrElse("min", "0").toDouble, p.getOrElse("max", "100").toDouble))
+  register("covariance")(p => CovarianceCheck(p("a"), p("b"),
+    p.getOrElse("min", Double.MinValue.toString).toDouble,
+    p.getOrElse("max", Double.MaxValue.toString).toDouble))
+  register("information_gain")(p => InformationGainCheck(p("feature"),
+    p("target"), p.getOrElse("min", "0").toDouble))
+  register("nan_ratio")(p => NaNRatioCheck(p("column"),
+    p.getOrElse("max_ratio", "0.0").toDouble))
+  register("json_typed")(p => JsonTypedSchemaCheck(p("column"),
+    p("types").split(",").toSeq.map { kv =>
+      val Array(k, t) = kv.split(":"); k -> t
+    }))
+  register("seasonal_decomposition")(p => SeasonalDecompositionCheck(
+    p("ts"), p("value"), p("period").toInt, p.getOrElse("bucket", "day")))
+  register("trend_break")(p => TrendBreakCheck(p("ts"), p("value"),
+    p.getOrElse("bucket", "day"), p.getOrElse("window", "10").toInt,
+    p.getOrElse("min_magnitude", "0.05").toDouble))
 }

@@ -172,6 +172,44 @@ object MlAnomaly {
       if (lrd(a) == Double.PositiveInfinity) 1.0 else s / (k * lrd(a))
     }
   }
+
+  // ---- DBSCAN (sample-only, O(n²)) ----
+
+  /** Count of DBSCAN noise points (not density-reachable from any core
+    * point) in a point sample. Classic algorithm, euclidean metric. */
+  def dbscanNoise(pts: Array[Array[Double]], eps: Double, minPts: Int)
+      : Long = {
+    val n = pts.length
+    val eps2 = eps * eps
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val neighbors = Array.tabulate(n)(i =>
+      (0 until n).filter(j => j != i && d2(pts(i), pts(j)) <= eps2).toArray)
+    val core = neighbors.map(_.length + 1 >= minPts)
+    val labeled = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (core(i) && !labeled(i)) {
+        // flood fill the density-connected component
+        val stack = scala.collection.mutable.ArrayDeque(i)
+        labeled(i) = true
+        while (stack.nonEmpty) {
+          val p = stack.removeLast()
+          neighbors(p).foreach { q =>
+            if (!labeled(q)) {
+              labeled(q) = true
+              if (core(q)) stack.append(q)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    labeled.count(_ == false).toLong
+  }
 }
 
 /** IsolationForestValidator: fit on a bounded deterministic sample, score
@@ -215,5 +253,30 @@ final case class LofCheck(columns: Seq[String], k: Int = 20,
       Seq(issue(columns.mkString(","), "lof_outliers_in_sample", n,
         sample.length.toLong, Severity.Low,
         expected = s"lof<=$threshold (sampled diagnostic)")) else Nil
+  }
+}
+
+/** DBSCANValidator (reference `anomaly/ml_based.py` DBSCAN wrapper):
+  * density clustering on the bounded hash-sample; points labeled noise
+  * (no eps-neighborhood of minPts) are anomalies. Sample-only O(n²)
+  * diagnostic like LOF — the reference's sklearn call has the same
+  * contract. */
+final case class DbscanCheck(columns: Seq[String], eps: Double,
+    minPts: Int = 5, sampleN: Int = 2000)
+    extends Validator with DedicatedScan {
+  val name = s"dbscan[${columns.mkString(",")}]"
+  val category = "anomaly"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val pts = MlAnomaly.hashSample(df, columns, sampleN)
+    if (pts.isEmpty) return Nil
+    val noise = MlAnomaly.dbscanNoise(pts, eps, minPts)
+    if (noise > 0)
+      Seq(issue(columns.mkString(","), "dbscan_noise_in_sample", noise,
+        pts.length.toLong, Severity.Low,
+        expected = s"density-reachable (eps=$eps, minPts=$minPts; sampled)"))
+    else Nil
   }
 }

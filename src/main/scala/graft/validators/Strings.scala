@@ -166,6 +166,45 @@ final case class JsonRequiredKeysCheck(column: String, paths: Seq[String])
   override def failPredicate(schema: StructType, stats: Metrics) = Some(pred)
 }
 
+/** JsonTypedSchemaValidator: flat JSON schema with per-key declared Spark
+  * SQL types. A key that is PRESENT but not parseable as its declared type
+  * counts as a type violation (from_json PERMISSIVE null-out semantics);
+  * `required` paths must also be present. Closes the gap between the
+  * reference's full JSON-Schema validator and the required-keys lite form
+  * — still zero UDFs (from_json + get_json_object are codegen'd). */
+final case class JsonTypedSchemaCheck(column: String,
+    types: Seq[(String, String)], required: Seq[String] = Nil)
+    extends Validator {
+  require(types.nonEmpty, "at least one typed key required")
+  val name = s"json_typed[$column]"
+  val category = "string"
+  private val ddl = types.map { case (k, t) => s"`$k` $t" }.mkString(", ")
+  private val kType = MetricKey("json_type_violations", column, ddl)
+  private val kMissing = MetricKey("json_missing_required", column,
+    required.mkString("|"))
+  private def parsed: Column =
+    from_json(col(column), ddl, Map.empty[String, String])
+  private def wrongType: Column =
+    col(column).isNotNull && types.map { case (k, _) =>
+      get_json_object(col(column), s"$$.$k").isNotNull &&
+        parsed.getField(k).isNull
+    }.reduce(_ || _)
+  private def missing: Column =
+    if (required.isEmpty) lit(false)
+    else col(column).isNotNull &&
+      required.map(p => get_json_object(col(column), p).isNull).reduce(_ || _)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(kType -> count(when(wrongType, 1)),
+        kMissing -> count(when(missing, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val t = m.long(kType); val r = m.long(kMissing)
+    (if (t > 0) Seq(issue(column, "json_type_violation", t, total,
+      Severity.Medium, expected = ddl)) else Nil) ++
+    (if (r > 0) Seq(issue(column, "missing_json_keys", r, total,
+      Severity.Medium, expected = required.mkString(","))) else Nil)
+  }
+}
+
 /** ConsistentCasingValidator: column must be uniformly lower/upper/title. */
 final case class CasingCheck(column: String, casing: String = "lower")
     extends Validator {

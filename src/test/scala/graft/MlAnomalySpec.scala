@@ -50,6 +50,21 @@ class MlAnomalySpec extends AnyFunSuite {
     assert(scores.take(300).forall(_ < scores(300)))
   }
 
+  test("DBSCAN labels isolated points as noise") {
+    val pts = ((1 to 300).map(i =>
+      Array(math.sin(i * 0.7) * 10.0, math.cos(i * 1.3) * 10.0)) ++
+      Seq(Array(500.0, 500.0), Array(-400.0, 300.0))).toArray
+    assert(MlAnomaly.dbscanNoise(pts, eps = 5.0, minPts = 5) == 2L)
+    // everything clustered when eps spans the blob
+    assert(MlAnomaly.dbscanNoise(pts.take(300), eps = 50.0, minPts = 3) == 0L)
+  }
+
+  test("DBSCAN validator flags noise in the sample") {
+    val issues = DbscanCheck(Seq("x", "y"), eps = 5.0, minPts = 5)
+      .runScan(blob, 403)
+    assert(issues.nonEmpty && issues.head.count == 3)
+  }
+
   test("LOF validator reports sampled outliers") {
     val issues = LofCheck(Seq("x", "y"), k = 10, threshold = 2.0)
       .runScan(blob, 403)
