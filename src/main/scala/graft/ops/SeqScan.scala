@@ -70,13 +70,75 @@ object SeqScan {
     inPart + boundary
   }
 
-  /** True when the column type can round-trip through double for ordering
-    * purposes (numerics, dates, timestamps). */
-  def doubleOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+  /** Long-typed summary for the exact integral path. */
+  final case class PartSummaryL(n: Long, viol: Long,
+      firstO: Option[Long], firstV: Option[Long],
+      lastO: Option[Long], lastV: Option[Long])
+
+  /** Exact variant for integral (ord, value) columns: bigint ids beyond
+    * 2^53 lose distinctness under a double cast (ulp at 1e18 is ~256), so
+    * snowflake-style keys MUST take this path — same algorithm, Long
+    * projection, no precision loss. Keep in sync with
+    * [[adjacentViolations]]. */
+  def adjacentViolationsLong(df: DataFrame, ord: Column, value: Column,
+      viol: (Option[Long], Option[Long], Option[Long], Option[Long]) => Boolean)
+      : Long = {
+    val proj = df.select(ord.cast("long").as("o"), value.cast("long").as("v"))
+      .repartitionByRange(col("o"))
+      .sortWithinPartitions(col("o"))
+    val summaries = proj
+      .map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }(Encoders.product[(Option[Long], Option[Long])])
+      .mapPartitions { it =>
+        var n = 0L; var v = 0L
+        var first: (Option[Long], Option[Long]) = null
+        var prev: (Option[Long], Option[Long]) = null
+        while (it.hasNext) {
+          val cur = it.next()
+          if (first == null) first = cur
+          else if (viol(prev._1, prev._2, cur._1, cur._2)) v += 1
+          prev = cur
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single(PartSummaryL(n, v,
+          first._1, first._2, prev._1, prev._2))
+      }(Encoders.product[PartSummaryL])
+      .collect()
+    val inPart = summaries.iterator.map(_.viol).sum
+    val boundary = summaries.iterator.sliding(2).withPartial(false).count {
+      case Seq(a, b) => viol(a.lastO, a.lastV, b.firstO, b.firstV)
+      case _ => false
+    }
+    inPart + boundary
+  }
+
+  /** True when casting to double is ORDER- and VALUE-exact: floats,
+    * doubles, dates, timestamps, and sub-long integrals (int fits a
+    * double exactly). LongType and DecimalType do NOT qualify — route
+    * integrals to [[adjacentViolationsLong]] instead. */
+  def doubleExact(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
-      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
   }
+
+  /** Integral types that cast to long exactly. */
+  def longExact(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** Retained name from r02-early: now means "handled by SOME distributed
+    * path" (double-exact or long-exact). */
+  def doubleOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    doubleExact(dt) || longExact(dt)
 }

@@ -230,13 +230,15 @@ final case class MultiColumnVarianceCheck(columns: Seq[String],
     columns.map(c => keyOf(c) -> var_samp(col(c)))
   def evaluate(m: Metrics, total: Long) = {
     val vs = columns.flatMap(c => m.double(keyOf(c)))
-    if (vs.size < 2 || vs.exists(_ <= 0)) Nil
-    else {
-      val ratio = vs.max / vs.min
-      if (ratio > maxRatio)
-        Seq(issue(columns.mkString(","), "variance_ratio_exceeded", 1, total,
-          Severity.Low, expected = s"<=$maxRatio", actual = f"$ratio%.2f"))
-      else Nil
-    }
+    if (vs.size < 2) Nil
+    else if (vs.min <= 0 && vs.max > 0)
+      // a constant column next to a varying one IS the degenerate case
+      // this check exists for — infinite ratio, not a silent pass
+      Seq(issue(columns.mkString(","), "variance_ratio_exceeded", 1, total,
+        Severity.Low, expected = s"<=$maxRatio", actual = "inf (zero-variance column)"))
+    else if (vs.max > 0 && vs.max / vs.min > maxRatio)
+      Seq(issue(columns.mkString(","), "variance_ratio_exceeded", 1, total,
+        Severity.Low, expected = s"<=$maxRatio", actual = f"${vs.max / vs.min}%.2f"))
+    else Nil
   }
 }

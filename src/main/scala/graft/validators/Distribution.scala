@@ -185,12 +185,25 @@ final case class MonotonicCheck(column: String, orderBy: String,
         if (inc) { if (str) cv.get <= pv.get else cv.get < pv.get }
         else     { if (str) cv.get >= pv.get else cv.get > pv.get }
       }
-    val distributable = partitionBy.isEmpty &&
-      graft.ops.SeqScan.doubleOrderable(df.schema(orderBy).dataType) &&
-      graft.ops.SeqScan.doubleOrderable(df.schema(column).dataType)
+    import graft.ops.SeqScan
+    val (ordT, valT) = (df.schema(orderBy).dataType, df.schema(column).dataType)
+    // integral columns take the EXACT long path (bigint ids beyond 2^53
+    // lose distinctness as doubles); float/double/date/ts take the double
+    // path; anything else (decimal, mixed long+double) falls back to the
+    // single-task window
+    val longPath = partitionBy.isEmpty &&
+      SeqScan.longExact(ordT) && SeqScan.longExact(valT)
+    val doublePath = !longPath && partitionBy.isEmpty &&
+      SeqScan.doubleExact(ordT) && SeqScan.doubleExact(valT)
     val n =
-      if (distributable)
-        graft.ops.SeqScan.adjacentViolations(df, col(orderBy), col(column),
+      if (longPath)
+        SeqScan.adjacentViolationsLong(df, col(orderBy), col(column),
+          (_, pv, _, cv) => pv.nonEmpty && cv.nonEmpty && {
+            if (inc) { if (str) cv.get <= pv.get else cv.get < pv.get }
+            else     { if (str) cv.get >= pv.get else cv.get > pv.get }
+          })
+      else if (doublePath)
+        SeqScan.adjacentViolations(df, col(orderBy), col(column),
           (_, pv, _, cv) => pairViol(pv, cv))
       else {
         val w = (if (partitionBy.nonEmpty)

@@ -230,8 +230,10 @@ object ValidatorRegistry {
   register("nan_ratio")(p => NaNRatioCheck(p("column"),
     p.getOrElse("max_ratio", "0.0").toDouble))
   register("json_typed")(p => JsonTypedSchemaCheck(p("column"),
-    p("types").split(",").toSeq.map { kv =>
-      val Array(k, t) = kv.split(":"); k -> t
+    // ';'-separated entries, ':' splits key from type ONCE — parameterized
+    // types like decimal(10,2) or map<string,int> stay intact
+    p("types").split(";").toSeq.map { kv =>
+      val Array(k, t) = kv.split(":", 2); k -> t
     }))
   register("seasonal_decomposition")(p => SeasonalDecompositionCheck(
     p("ts"), p("value"), p("period").toInt, p.getOrElse("bucket", "day")))

@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.StructType
   *    the Energy/MMD samplers). */
 object MlAnomaly {
 
+  /** Squared euclidean distance (shared by the O(n²) sample diagnostics). */
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
   // ---- Isolation Forest ----
 
   /** Flat-encoded tree node; feature == -1 marks a leaf of `size` rows. */
@@ -113,16 +120,22 @@ object MlAnomaly {
     out
   }
 
-  /** Deterministic bounded fit-sample: hash-mod filter, collected. */
+  /** Deterministic bounded fit-sample: hash-mod filter, collected in a
+    * canonical sort order. No `limit` — a limit's row choice depends on
+    * partition layout, which would break the "identical on every
+    * run/cluster" contract; ceil(total/maxN) keeps the expected sample at
+    * or under maxN (hash noise can add a few percent, which the O(n²)
+    * consumers absorb). The sort makes the row ORDER deterministic too —
+    * the seeded forest subsamples by index. */
   def hashSample(df: DataFrame, cols: Seq[String], maxN: Int)
       : Array[Array[Double]] = {
     val feats = df.select(cols.map(c => col(c).cast("double")): _*)
       .na.drop()
     val total = feats.count()
-    val m = math.max(1L, total / math.max(1, maxN))
+    val m = math.max(1L, (total + math.max(1, maxN) - 1) / math.max(1, maxN))
     val sampled = if (m <= 1) feats
       else feats.filter(pmod(xxhash64(cols.map(col): _*), lit(m)) === 0)
-    sampled.limit(maxN).collect()
+    sampled.orderBy(cols.map(col): _*).collect()
       .map(r => Array.tabulate(cols.size)(r.getDouble))
   }
 
@@ -140,11 +153,6 @@ object MlAnomaly {
   def lofScores(pts: Array[Array[Double]], k: Int = 20): Array[Double] = {
     val n = pts.length
     require(n > k, s"LOF needs more than k=$k points, got $n")
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     // k nearest neighbors per point (indices + distances)
     val neigh = Array.ofDim[Array[(Int, Double)]](n)
     var i = 0
@@ -181,11 +189,6 @@ object MlAnomaly {
       : Long = {
     val n = pts.length
     val eps2 = eps * eps
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     val neighbors = Array.tabulate(n)(i =>
       (0 until n).filter(j => j != i && d2(pts(i), pts(j)) <= eps2).toArray)
     val core = neighbors.map(_.length + 1 >= minPts)

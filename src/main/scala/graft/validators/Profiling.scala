@@ -139,9 +139,13 @@ object InfoGain {
     val ht = byT.crossJoin(total).agg(
       (-sum((col("__ct") / col("__n")) * log(2.0, col("__ct") / col("__n"))))
         .as("h_target"))
-    val htf = joint.join(byF, "__f").crossJoin(total).agg(
-      (-sum((col("__c") / col("__n")) * log(2.0, col("__c") / col("__cf"))))
-        .as("h_t_given_f"))
+    // null-safe join: a NULL feature value is a legitimate group — a
+    // plain equi-join would drop it from H(target|feature) while H(target)
+    // and n still include it, inflating IG beyond H(target)
+    val htf = joint.join(byF, joint("__f") <=> byF("__f")).crossJoin(total)
+      .agg(
+        (-sum((col("__c") / col("__n")) * log(2.0, col("__c") / col("__cf"))))
+          .as("h_t_given_f"))
     ht.crossJoin(htf).select(
       (col("h_target") - col("h_t_given_f")).as("ig"),
       col("h_target"), col("h_t_given_f"))

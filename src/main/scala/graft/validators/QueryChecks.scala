@@ -42,7 +42,10 @@ object QueryAssertion {
   /** query/aggregate.py group-aggregate assert: AGG(valueCol) per
     * groupCol group must lie in [lo, hi]. */
   final case class GroupAggBetween(groupCol: String, agg: String,
-      valueCol: String, lo: Double, hi: Double) extends QueryAssertion
+      valueCol: String, lo: Double, hi: Double) extends QueryAssertion {
+    require(Set("count", "sum", "avg", "min", "max").contains(agg),
+      s"unsupported aggregate: $agg")
+  }
 }
 
 /** QueryValidator / ReturnsNoRows / ReturnsRows / RowCount / Aggregate

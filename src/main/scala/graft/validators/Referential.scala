@@ -290,6 +290,10 @@ final case class CascadeIntegrityCheck(rules: Seq[CascadeRule])
   val name = "cascade_integrity"
   val category = "referential"
   def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
+    // one count job per child TABLE, not per failing rule
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    def totalOf(t: String): Long =
+      totals.getOrElseUpdate(t, tables(t).count())
     val perRule = rules.flatMap { r =>
       val child = tables(r.childTable)
       r.onDelete match {
@@ -302,13 +306,15 @@ final case class CascadeIntegrityCheck(rules: Seq[CascadeRule])
             .filter(r.childKeys.map(col(_).isNotNull).reduce(_ && _))
             .join(parent, cond, "left_anti").count()
           if (n > 0) Seq(issue(r.childKeys.mkString(","),
-            "cascade_restrict_violation", n, child.count(), Severity.Critical,
+            "cascade_restrict_violation", n, totalOf(r.childTable),
+            Severity.Critical,
             expected = s"no orphans in ${r.childTable} (RESTRICT)")) else Nil
         case "SET_NULL" =>
           val n = child.filter(
             r.childKeys.map(col(_).isNull).reduce(_ || _)).count()
           if (n > 0) Seq(issue(r.childKeys.mkString(","),
-            "cascade_set_null_detected", n, child.count(), Severity.Low,
+            "cascade_set_null_detected", n, totalOf(r.childTable),
+            Severity.Low,
             expected = "NULL FKs indicate deleted parents")) else Nil
         case _ => Nil
       }

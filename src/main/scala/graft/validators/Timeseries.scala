@@ -29,13 +29,15 @@ final case class TimeGapCheck(tsCol: String, minGapSec: Option[Double],
     val ts = col(tsCol).cast("timestamp") // NTZ-robust
     val n = if (partitionBy.isEmpty) {
       // Unkeyed series: distributed range-partitioned adjacent-pair scan
-      // (one shuffle) instead of a single-task global window. Gap math in
-      // seconds: epoch micros / 1e6, identical to the windowed form.
+      // (one shuffle) instead of a single-task global window. EXACT long
+      // micros (a double cast of epoch micros would stay representable,
+      // but the long path keeps gap arithmetic integer-exact like the
+      // windowed form's `unix_micros` difference).
       val (lo, hi) = (minGapSec, maxGapSec)
-      graft.ops.SeqScan.adjacentViolations(df,
-        unix_micros(ts).cast("double") / 1e6, lit(0.0),
+      graft.ops.SeqScan.adjacentViolationsLong(df,
+        unix_micros(ts), lit(0L),
         (po, _, co, _) => po.nonEmpty && co.nonEmpty && {
-          val g = co.get - po.get
+          val g = (co.get - po.get) / 1e6
           lo.exists(g < _) || hi.exists(g > _)
         })
     } else {
