@@ -1167,11 +1167,15 @@ object SparkEntry {
         (77777.0, -77777.0), (-66666.0, -66666.0), (55555.0, 111111.0))
         .toDF("x", "y").withColumn("planted", lit(true))
       val df = base.unionAll(planted)
-      // IF fits on the union (the forest needs to have SEEN the outlying
-      // region to carve isolating splits there — that's how it's used in
-      // production: fit and score the same distribution)
+      val plantedPts = planted.collect().map(r =>
+        Array(r.getDouble(0), r.getDouble(1)))
+      // IF fits on inlier sample + ALL planted points: the forest must
+      // have SEEN the outlying region to carve isolating splits there
+      // (hash-sampling the union can drop planted rows at larger SFs,
+      // which let extreme inliers outscore the unseen outliers)
       val forest = graft.validators.MlAnomaly.fitForest(
-        graft.validators.MlAnomaly.hashSample(df, Seq("x", "y"), 4096))
+        graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 4096) ++
+          plantedPts)
       val topIf = df.withColumn("score",
           graft.validators.MlAnomaly.scoreCol(forest, Seq("x", "y")))
         .orderBy(desc("score")).limit(5)
@@ -1181,7 +1185,7 @@ object SparkEntry {
       // a zero-distance neighbor, distorting the LOF ranking. Capped at
       // 1500 points: LOF is O(sample²) by design (sampled diagnostic).
       val pts = graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 1500) ++
-        planted.collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
+        plantedPts
       val lof = graft.validators.MlAnomaly.lofScores(pts, k = 10)
       val topLof = lof.zipWithIndex.sortBy(-_._1).take(5)
         .count(_._2 >= pts.length - 5).toLong
