@@ -941,6 +941,22 @@ object SparkEntry {
         .map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
         .toDF("pos", "colname", "dtype").orderBy("pos")
     }),
+    "q123_ivf_topk_self" -> ((s, dir) => {
+      // IVF ANN end-to-end, q102's guarantee: a query identical to a
+      // corpus vector maps to the same nearest-centroid cell, so the
+      // source must surface at rank 1 with cosine 1.0
+      val emb = table(s, dir, "embeddings")
+      val centroids = graft.pipeline.Ivf.fitCentroids(emb, "embedding",
+        nlist = 16)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.pipeline.Ivf.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 3, centroids, nprobe = 2)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nn_id").as("top_nn"),
+          col("cos").as("top_cos"))
+        .orderBy(col("query_id"))
+    }),
     "q122_json_typed_schema" -> ((s, dir) => {
       // typed JSON-schema check over a mutated props column: every third
       // event gets a string where an INT is declared (type violation),
@@ -1971,6 +1987,10 @@ object SparkEntry {
            CASE lower(column_type) WHEN 'varchar' THEN 'string'
              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS dtype
          FROM (DESCRIBE SELECT * FROM customer) ORDER BY pos""",
+    "q123_ivf_topk_self" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS top_nn,
+           1.0 AS top_cos
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     "q122_json_typed_schema" ->
       """SELECT count(*) FILTER (WHERE event_id % 3 = 0) AS wrong_type,
          count(*) FILTER (WHERE event_id % 3 <> 0 AND event_id % 7 = 0)

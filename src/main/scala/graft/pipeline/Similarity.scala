@@ -103,3 +103,103 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_neighbors"))
 }
+
+/** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+  * corpus into `nlist` cells; queries probe only their `nprobe` nearest
+  * cells. Complements the hyperplane-LSH path: IVF adapts to the data
+  * distribution (clustered corpora get balanced cells where fixed
+  * hyperplanes can't), at the cost of a driver-side fit.
+  *
+  * Scale contract: the quantizer FITS on a deterministic bounded sample
+  * (hash-filtered + hash-ordered — same reproducibility discipline as
+  * MlAnomaly.hashSample); cell ASSIGNMENT is a pure Column expression
+  * (argmin over nlist zip_with distances, whole-stage codegen), so the
+  * corpus partitioning runs at scan speed and the search is an equi-join
+  * on cell id — the same join shape as the LSH path, no crossJoin. */
+object Ivf {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  /** Deterministic k-means (Lloyd) on a bounded sample of the vector
+    * column. Init: every (n/k)-th point of the hash-ordered sample. */
+  def fitCentroids(df: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 10, sampleN: Int = 4096): Array[Array[Double]] = {
+    val total = df.filter(col(vecCol).isNotNull).count()
+    val m = math.max(1L, (total + sampleN - 1) / sampleN)
+    val sample = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(vecCol).cast("array<string>")).as("h"))
+      .filter(pmod(col("h"), lit(m)) === 0)
+      .orderBy(col("h"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    var centroids = Array.tabulate(nlist)(i =>
+      sample((i * sample.length) / nlist).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < p.length) {
+            val t = p(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Squared distance from a vector column to a literal centroid. */
+  private def dist2(vec: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(vec.cast("array<double>"),
+      array(centroid.map(lit).toIndexedSeq: _*),
+      (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
+
+  /** Nearest-centroid cell id as a pure Column (argmin via least-of-
+    * structs, ties to the lower id). */
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    least(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c).as("d"), lit(i).as("i"))
+    }.toIndexedSeq: _*).getField("i")
+
+  /** The query's `nprobe` nearest cell ids (array column). */
+  def probeCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c).as("d"), lit(i).as("i"))
+    }.toIndexedSeq: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** IVF top-k: corpus rows in the query's nprobe nearest cells are
+    * scored by cosine; same output shape as Similarity.lshTopK. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val cb = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"),
+      cellOf(col(corpusVec), centroids).as("cell"))
+    val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+        probeCells(col(queryVec), centroids, nprobe).as("cells"))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .withColumn("cos", Similarity.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 9).desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

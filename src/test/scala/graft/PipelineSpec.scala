@@ -137,4 +137,30 @@ class PipelineSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(offsets == Seq(0L, 250L, 500L, 750L))
   }
+  test("IVF quantizer: deterministic fit, self-match at rank 1, recall vs brute force") {
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val c1 = Ivf.fitCentroids(emb, "embedding", nlist = 8)
+    val c2 = Ivf.fitCentroids(emb, "embedding", nlist = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    val queries = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val top = Ivf.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id",
+      "embedding", 3, c1, nprobe = 2).filter(col("rank") === 1).collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) - 1000) // source at rank 1
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+    }
+    // probing more cells monotonically recovers more of the brute-force set
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("nn_id"))
+    def hits(nprobe: Int) = brute.join(
+      Ivf.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id",
+        "embedding", 5, c1, nprobe).select(col("query_id"), col("nn_id")),
+      Seq("query_id", "nn_id")).count()
+    assert(hits(8) >= hits(1)) // full probe = exhaustive >= single cell
+    assert(hits(8) == 15)      // probing ALL cells == brute force
+  }
+
 }
