@@ -168,20 +168,24 @@ object Ivf {
       (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
 
   /** Nearest-centroid cell id as a pure Column (argmin via least-of-
-    * structs, ties to the lower id). */
+    * structs, ties to the lower id). `least` needs two arguments — a
+    * degenerate single-cell quantizer is constant 0. */
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
-    least(centroids.zipWithIndex.map { case (c, i) =>
+    if (centroids.length == 1) lit(0)
+    else least(centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2(vec, c).as("d"), lit(i).as("i"))
     }.toIndexedSeq: _*).getField("i")
 
   /** The query's `nprobe` nearest cell ids (array column). */
   def probeCells(vec: Column, centroids: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vec, c).as("d"), lit(i).as("i"))
-    }.toIndexedSeq: _*)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
-  }
+      nprobe: Int): Column =
+    if (centroids.length == 1) array(lit(0))
+    else {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("i"))
+      }.toIndexedSeq: _*)
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
 
   /** IVF top-k: corpus rows in the query's nprobe nearest cells are
     * scored by cosine; same output shape as Similarity.lshTopK. */

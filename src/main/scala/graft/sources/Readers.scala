@@ -14,24 +14,53 @@ import org.apache.spark.sql.types.StringType
   * whens, no UDF, fused into the scan stage. */
 object Readers {
 
-  /** CSV with header + schema inference and a MULTI-value null token list. */
+  /** CSV with header and a MULTI-value null token list, with type
+    * inference applied AFTER null-token removal. Spark's own inferSchema
+    * only knows one nullValue token, so a numeric column containing a
+    * secondary token (e.g. "NULL") would silently degrade to string; here
+    * the file is read untyped, tokens are nulled, and each column is
+    * promoted to the narrowest type that try_casts cleanly (bigint →
+    * double → timestamp → string) in ONE inference aggregation. */
   def csv(spark: SparkSession, path: String,
           nullValues: Seq[String] = Seq("", "NULL"),
           delimiter: String = ",", header: Boolean = true): DataFrame = {
     val raw = spark.read
       .option("header", header.toString)
-      .option("inferSchema", "true")
       .option("sep", delimiter)
-      // first token handled natively (covers typed columns pre-inference)
       .option("nullValue", nullValues.headOption.getOrElse(""))
       .csv(path)
     val extra = nullValues.drop(1)
-    if (extra.isEmpty) raw
+    val cleaned = if (extra.isEmpty) raw
     else raw.select(raw.schema.fields.map { f =>
-      if (f.dataType == StringType)
-        when(col(f.name).isin(extra: _*), lit(null)).otherwise(col(f.name))
-          .as(f.name)
-      else col(f.name)
+      when(col(f.name).isin(extra: _*), lit(null)).otherwise(col(f.name))
+        .as(f.name)
+    }.toIndexedSeq: _*)
+    inferTypes(cleaned)
+  }
+
+  /** Promote string columns to the narrowest type every non-null value
+    * try_casts to — one fused aggregation over all columns. */
+  private def inferTypes(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    if (cols.isEmpty) return df
+    def fails(c: String, t: String): org.apache.spark.sql.Column =
+      count(when(col(c).isNotNull &&
+        expr(s"try_cast(`$c` AS $t)").isNull, 1))
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      fails(c, "BIGINT").as(s"${c}__nl"),
+      fails(c, "DOUBLE").as(s"${c}__nd"),
+      fails(c, "TIMESTAMP").as(s"${c}__nt")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.select(cols.map { c =>
+      val n = row.getAs[Long](s"${c}__n")
+      val t =
+        if (n == 0) "string" // all-null column stays string
+        else if (row.getAs[Long](s"${c}__nl") == 0) "bigint"
+        else if (row.getAs[Long](s"${c}__nd") == 0) "double"
+        else if (row.getAs[Long](s"${c}__nt") == 0) "timestamp"
+        else "string"
+      col(c).cast(t).as(c)
     }.toIndexedSeq: _*)
   }
 

@@ -22,10 +22,16 @@ class ReadersSpec extends AnyFunSuite {
         |2,,151,inactive
         |2,NULL,40,active
         |3,c@x.com,28,active
+        |4,d@x.com,NULL,active
         |""".stripMargin)
     val df = Readers.csv(spark, p, nullValues = Seq("", "NULL"))
-    assert(df.count() == 4)
+    assert(df.count() == 5)
     assert(df.filter(col("email").isNull).count() == 2)
+    assert(df.filter(col("age").isNull).count() == 1)
+    // a secondary null token inside a NUMERIC column must not degrade the
+    // column to string — inference runs after token removal
+    assert(df.schema("age").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("customer_id").dataType == org.apache.spark.sql.types.LongType)
     // inferred types survive: age numeric, range check works
     val bad = df.filter(col("age") > 120).count()
     assert(bad == 1)

@@ -85,23 +85,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"argmax evaluated $n times:\n${plan.take(2000)}")
   }
 
-  test("unkeyed TimeGap/Monotonic produce no global empty-partition window") {
-    val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
-    // runScan executes the distributed path; a global window would show a
-    // single output partition through a Window with no partition spec.
-    // Behavior equivalence is asserted in Round2Spec; here we pin that the
-    // checks complete against a frame large enough to span partitions.
-    val issues = TimeGapCheck("ts", None, Some(60.0)).runScan(
-      ev.repartition(8), ev.count())
-    assert(issues.nonEmpty) // 1000 events over 30 days: gaps > 60s exist
+  /** Capture every executed physical plan while `body` runs (listener
+    * events are async — a short drain wait follows the body). */
+  private def capturePlans(body: => Unit): Seq[String] = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try body finally {
+      Thread.sleep(2000) // QueryExecutionListener posts asynchronously
+      spark.listenerManager.unregister(l)
+    }
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
   }
 
-  test("Learn exact mode splits extra distincts (no N-fold Expand)") {
+  test("unkeyed TimeGap runs the distributed SeqScan, not a global window") {
+    val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
+    val total = ev.count()
+    val plans = capturePlans {
+      val issues = TimeGapCheck("ts", None, Some(60.0)).runScan(
+        ev.repartition(8), total)
+      assert(issues.nonEmpty) // 1000 events over 30 days: gaps > 60s exist
+    }
+    // the r1 regression shape was a Window with an EMPTY partition spec
+    // (single task); the SeqScan path plans no Window operator at all
+    assert(plans.nonEmpty)
+    assert(!plans.exists(_.contains("Window")),
+      s"global window leaked back into the unkeyed gap check:\n${plans.mkString("\n---\n").take(3000)}")
+  }
+
+  test("Learn exact mode plans no N-fold Expand") {
     val c = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "customer")
-    val b = graft.profiler.Learn.learn(c)
-    assert(b.columns.size == c.schema.size)
-    // distinct counts correct through the split path
-    assert(b("c_custkey").distinctCount == 150)
-    assert(b("c_mktsegment").distinctCount == 5)
+    val plans = capturePlans {
+      val b = graft.profiler.Learn.learn(c)
+      assert(b.columns.size == c.schema.size)
+      assert(b("c_custkey").distinctCount == 150)
+      assert(b("c_mktsegment").distinctCount == 5)
+    }
+    assert(plans.nonEmpty)
+    // multiple exact DISTINCTs in one Aggregate plan an Expand that
+    // multiplies the scan N-fold — the split path never plans one
+    assert(!plans.exists(_.contains("Expand")),
+      s"Expand returned to Learn's exact mode:\n${plans.filter(_.contains("Expand")).mkString.take(3000)}")
   }
 }
