@@ -19,7 +19,20 @@ object Pii {
     "ssn_us" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
     "credit_card" -> "\\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\\b",
     "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
-    "korean_rrn" -> "\\b[0-9]{6}-[1-8][0-9]{6}\\b")
+    "korean_rrn" -> "\\b[0-9]{6}-[1-8][0-9]{6}\\b",
+    // global pattern set (reference `privacy/global_patterns.py`),
+    // substring-form like the rest of the registry
+    "uuid" -> "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b",
+    "ipv6" -> "\\b([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\\b",
+    "mac_address" -> "\\b([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\\b",
+    "phone_us" -> "\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b",
+    "cpf_br" -> "\\b[0-9]{3}\\.?[0-9]{3}\\.?[0-9]{3}-?[0-9]{2}\\b",
+    "cnpj_br" -> "\\b[0-9]{2}\\.?[0-9]{3}\\.?[0-9]{3}/?[0-9]{4}-?[0-9]{2}\\b",
+    "cep_br" -> "\\b[0-9]{5}-[0-9]{3}\\b",
+    "sin_ca" -> "\\b[0-9]{3}[ -][0-9]{3}[ -][0-9]{3}\\b",
+    "postal_ca" -> "\\b[A-Z][0-9][A-Z] ?[0-9][A-Z][0-9]\\b",
+    "my_number_jp" -> "\\b[0-9]{12}\\b",
+    "chinese_id" -> "\\b[0-9]{17}[0-9Xx]\\b")
 
   final case class PiiHit(column: String, pattern: String, count: Long,
       total: Long) {

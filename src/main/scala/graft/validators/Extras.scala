@@ -170,8 +170,11 @@ object PrivacyPolicies {
   val bundles: Map[String, Seq[String]] = Map(
     "gdpr" -> Seq("email", "phone_intl", "ipv4"),
     "ccpa" -> Seq("email", "phone_intl", "ssn_us", "credit_card"),
-    "appi" -> Seq("email", "phone_intl"),
-    "kisa" -> Seq("korean_rrn", "email", "phone_intl"))
+    "appi" -> Seq("email", "phone_intl", "my_number_jp"),
+    "kisa" -> Seq("korean_rrn", "email", "phone_intl"),
+    "lgpd" -> Seq("email", "phone_intl", "cpf_br", "cnpj_br", "cep_br"),
+    "pipeda" -> Seq("email", "phone_intl", "sin_ca", "postal_ca"),
+    "pipl" -> Seq("email", "phone_intl", "chinese_id"))
 
   final case class PolicyViolation(policy: String, column: String,
       pattern: String, count: Long)

@@ -50,6 +50,14 @@ class ExtrasSpec extends AnyFunSuite {
     assert(gdpr.exists(v => v.pattern == "email" && v.count == 1))
     val kisa = PrivacyPolicies.scan(df, "kisa")
     assert(kisa.exists(_.pattern == "korean_rrn"))
+    val br = Seq("cpf 123.456.789-09 and cep 01310-100").toDF("notes")
+    val lgpd = PrivacyPolicies.scan(br, "lgpd")
+    assert(lgpd.exists(v => v.pattern == "cpf_br" && v.count == 1))
+    assert(lgpd.exists(v => v.pattern == "cep_br" && v.count == 1))
+    val ca = Seq("sin 046-454-286 postal K1A 0B1").toDF("notes")
+    val pipeda = PrivacyPolicies.scan(ca, "pipeda")
+    assert(pipeda.exists(v => v.pattern == "sin_ca" && v.count == 1))
+    assert(pipeda.exists(v => v.pattern == "postal_ca" && v.count == 1))
     intercept[IllegalArgumentException] { PrivacyPolicies.scan(df, "nope") }
   }
 
