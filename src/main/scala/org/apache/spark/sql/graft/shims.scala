@@ -51,3 +51,19 @@ object PlanBridge {
       cp.queryExecution.toRdd, cp.schema, isStreaming = false)
   }
 }
+
+/** Runtime function registration for ALREADY-RUNNING sessions (the
+  * config path `spark.sql.extensions=graft.functions.GraftExtensions`
+  * covers new sessions; this covers notebooks/REPLs attaching later). */
+object FunctionBridge {
+  def registerSimhash(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.size == 1, "simhash64 takes exactly one argument")
+        graft.functions.SimHash64(exprs.head)
+      },
+      "built-in")
+  }
+}

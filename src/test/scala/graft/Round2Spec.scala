@@ -121,4 +121,16 @@ class Round2Spec extends AnyFunSuite {
     assert(byName("covariance[part,b]").passed) // positive covariance
     assert(!byName("multi_variance[part,b]").passed) // var ratio 4 > 2
   }
+  test("simhash64 registers as a SQL function (FunctionBridge runtime path)") {
+    org.apache.spark.sql.graft.FunctionBridge.registerSimhash(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b')) AS h, simhash64(array('a','b')) AS h2")
+      .head()
+    assert(r.getLong(0) == r.getLong(1)) // deterministic
+    // matches the Column-API form on the shared implementation
+    val viaCol = Seq(Seq("a", "b")).toDF("t")
+      .select(graft.functions.SimHash64(col("t"))).head().getLong(0)
+    assert(viaCol == r.getLong(0))
+  }
+
 }
