@@ -104,15 +104,22 @@ final case class HierarchyCheck(tableName: String, idCol: String,
     val edges = tables(tableName)
       .select(col(idCol).as("id"), col(parentCol).as("parent"))
       .filter(col("parent").isNotNull && col("parent") =!= col("id"))
-    // frontier: nodes reachable from themselves in k steps => cycle
-    var frontier = edges
+    // frontier: nodes reachable from themselves in k steps => cycle.
+    // Opaque checkpoint per level (see Hierarchy.depths): an un-cut
+    // frontier re-optimizes the whole join chain each level AND
+    // constraint inference composes computed parent expressions through
+    // the join equality — exponential plan growth on expression-valued
+    // parent columns.
+    var frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(edges)
     var cycles = 0L
     var depth = 1
     var exceeded = 0L
     while (depth < maxDepth && cycles == 0 && !frontier.isEmpty) {
-      val stepped = frontier.as("f")
-        .join(edges.as("e"), col("f.parent") === col("e.id"))
-        .select(col("f.id").as("id"), col("e.parent").as("parent"))
+      val stepped = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+        frontier.as("f")
+          .join(edges.as("e").hint("shuffle_hash"),
+            col("f.parent") === col("e.id"))
+          .select(col("f.id").as("id"), col("e.parent").as("parent")))
       cycles = stepped.filter(col("id") === col("parent")).count()
       frontier = stepped
       depth += 1
