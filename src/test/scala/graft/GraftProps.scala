@@ -114,4 +114,49 @@ object GraftProps extends Properties("graft") {
         BigDecimal(jac).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toMap
       got == expected
     }
+  property("digit bumps always break the CN-ID checksum") =
+    forAll(Gen.oneOf("11010519491231002X", "360102198001011235",
+        "440301197512304566", "120104198907056788"),
+      Gen.choose(0, 16), Gen.choose(1, 9)) { (base, pos, delta) =>
+      val bumped = base.substring(0, pos) +
+        (((base.charAt(pos) - '0') + delta) % 10).toString +
+        base.substring(pos + 1)
+      val df = Seq(base, bumped).toDF("v")
+      val r = df.select(graft.validators.LocalFormats.chineseIdValid(
+        org.apache.spark.sql.functions.col("v")).as("ok")).collect()
+      // weights are all coprime to 11, so any single-digit change shifts
+      // the residue: base valid, bump invalid
+      r(0).getBoolean(0) && !r(1).getBoolean(0)
+    }
+
+  property("single-digit bumps always break IBAN mod-97") =
+    forAll(Gen.oneOf("GB82WEST12345698765432", "DE89370400440532013000",
+        "NL91ABNA0417164300"),
+      Gen.choose(1, 9)) { (base, delta) =>
+      // bump a check-digit position (always numeric)
+      val pos = 2
+      val bumped = base.substring(0, pos) +
+        (((base.charAt(pos) - '0') + delta) % 10).toString +
+        base.substring(pos + 1)
+      val df = Seq(base, bumped).toDF("v")
+      val r = df.select(graft.validators.Checksums.ibanValid(
+        org.apache.spark.sql.functions.col("v")).as("ok")).collect()
+      r(0).getBoolean(0) && !r(1).getBoolean(0)
+    }
+
+  property("SeqScan long path equals window count on random integer walks") =
+    forAll(Gen.listOfN(200, Gen.choose(-5L, 50L))) { steps =>
+      val rows = steps.zipWithIndex.map { case (dv, i) =>
+        (i.toLong, steps.take(i + 1).sum)
+      }
+      val df = rows.toDF("ord", "v")
+      val dist = graft.ops.SeqScan.adjacentViolationsLong(df,
+        org.apache.spark.sql.functions.col("ord"),
+        org.apache.spark.sql.functions.col("v"),
+        (_, pv, _, cv) => pv.nonEmpty && cv.nonEmpty && cv.get < pv.get)
+      val expected = rows.sortBy(_._1).map(_._2).sliding(2)
+        .count { case Seq(a, b) => b < a; case _ => false }
+      dist == expected
+    }
+
 }
