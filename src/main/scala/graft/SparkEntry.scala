@@ -1164,9 +1164,17 @@ object SparkEntry {
           QA.ResultMatches(Seq(Seq(3L)))),
         "j_deliberate_fail" -> QueryCheck(
           "SELECT * FROM orders WHERE o_totalprice > 0", QA.ReturnsNoRows))
-      checks.map { case (label, qc) =>
-        val r = qc.run(s, tables)
-        (label, r.passed, r.issues.size.toLong)
+      // the 10 checks are independent SQL mini-jobs — submit concurrently
+      // (wall = slowest check, not the sum of 10 scheduler round-trips)
+      locally {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val futs = checks.map { case (label, qc) => Future {
+          val r = qc.run(s, tables)
+          (label, r.passed, r.issues.size.toLong)
+        }}
+        futs.map(f => Await.result(f, Duration.Inf))
       }.toDF("chk", "passed", "issues").orderBy("chk")
     }),
     "q112_ml_anomaly" -> ((s, dir) => {
@@ -1206,6 +1214,29 @@ object SparkEntry {
       val topLof = lof.zipWithIndex.sortBy(-_._1).take(5)
         .count(_._2 >= pts.length - 5).toLong
       Seq((topIf, topLof)).toDF("if_top5_planted", "lof_top5_planted")
+    }),
+    "q124_ocsvm" -> ((s, dir) => {
+      // OneClassSVM (closed-form kernel-mean ν-OCSVM): fit on the CLEAN
+      // base sample (novelty contract), score base ∪ planted distributed;
+      // all 5 planted extreme points must land outside the boundary, and
+      // the clean-base outlier rate must track ν (sanity bool, not exact)
+      import s.implicits._
+      val base = table(s, dir, "customer").select(
+        col("c_acctbal").cast("double").as("x"),
+        (col("c_custkey") % 100).cast("double").as("y"),
+        lit(false).as("planted"))
+      val planted = Seq((99999.0, 99999.0), (-99999.0, 88888.0),
+        (77777.0, -77777.0), (-66666.0, -66666.0), (55555.0, 111111.0))
+        .toDF("x", "y").withColumn("planted", lit(true))
+      val model = graft.validators.MlAnomaly.fitOcsvm(
+        graft.validators.MlAnomaly.hashSample(base, Seq("x", "y"), 4096),
+        nu = 0.05)
+      val dec = graft.validators.MlAnomaly.ocsvmDecisionCol(model,
+        Seq("x", "y"))
+      base.unionAll(planted).agg(
+        cnt(col("planted") && dec < 0).as("planted_flagged"),
+        (cnt(!col("planted") && dec < 0) <
+          count(lit(1)) * 0.15).as("base_rate_sane"))
     }),
     "q111_pairset_uniquerecord" -> ((s, dir) => {
       // ColumnPairInSetCheck + UniqueWithinRecordCheck metric shapes
@@ -2106,6 +2137,9 @@ object SparkEntry {
     "q112_ml_anomaly" ->
       """SELECT CAST(5 AS BIGINT) AS if_top5_planted,
            CAST(5 AS BIGINT) AS lof_top5_planted""",
+    "q124_ocsvm" ->
+      """SELECT CAST(5 AS BIGINT) AS planted_flagged,
+           TRUE AS base_rate_sane""",
     "q111_pairset_uniquerecord" ->
       """SELECT count(*) FILTER (WHERE NOT (
              (l_returnflag = 'A' AND l_linestatus = 'F') OR

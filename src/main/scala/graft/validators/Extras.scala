@@ -223,6 +223,8 @@ object ValidatorRegistry {
     p.getOrElse("k", "20").toInt, p.getOrElse("threshold", "1.5").toDouble))
   register("dbscan")(p => DbscanCheck(p("columns").split(",").toSeq,
     p("eps").toDouble, p.getOrElse("min_pts", "5").toInt))
+  register("one_class_svm")(p => OneClassSvmCheck(
+    p("columns").split(",").toSeq, p.getOrElse("nu", "0.05").toDouble))
   register("percentage")(p => PercentageCheck(p("part"), p("whole"),
     p.getOrElse("min", "0").toDouble, p.getOrElse("max", "100").toDouble))
   register("covariance")(p => CovarianceCheck(p("a"), p("b"),

@@ -181,6 +181,96 @@ object MlAnomaly {
     }
   }
 
+  // ---- One-Class SVM (random Fourier features + subgradient) ----
+
+  /** Fitted ν-OCSVM in random-Fourier-feature space. φ(x) =
+    * sqrt(2/D)·cos(Ω·z + b) with z the standardized input, Ω ~ N(0, 2γ)
+    * (Rahimi & Recht 2007 approximation of the RBF kernel
+    * k(x,y)=exp(-γ‖x−y‖²)); decision f(x) = w·φ(x) − ρ, f < 0 ⇒ outlier.
+    * The model is a few hundred doubles — broadcast-trivial, so scoring
+    * distributes like the isolation forest's. */
+  final case class OcsvmModel(w: Array[Double], rho: Double,
+      omega: Array[Array[Double]], bias: Array[Double],
+      mean: Array[Double], std: Array[Double]) extends Serializable {
+    private[validators] def features(x: Array[Double]): Array[Double] = {
+      val d = omega.length
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var dot = bias(j); var i = 0
+        while (i < x.length) {
+          dot += omega(j)(i) * (x(i) - mean(i)) / std(i); i += 1
+        }
+        out(j) = math.sqrt(2.0 / d) * math.cos(dot); j += 1
+      }
+      out
+    }
+    def decision(x: Array[Double]): Double = {
+      val phi = features(x)
+      var s = 0.0; var j = 0
+      while (j < phi.length) { s += w(j) * phi(j); j += 1 }
+      s - rho
+    }
+  }
+
+  /** Fit a ν-one-class SVM on pre-collected rows (driver-side, bounded by
+    * the caller like `fitForest`). Objective (Schölkopf et al. 2001):
+    *   min_{w,ρ}  ½‖w‖² − ρ + (1/(νn)) Σ max(0, ρ − w·φ(xᵢ))
+    * The dual is a simplex-constrained QP whose box constraint
+    * αᵢ ≤ 1/(νn) binds for ALL points when ν = 1, giving the exact
+    * closed-form solution w = (1/n)Σφ(xᵢ) — the kernel mean map. We take
+    * that closed form and set the offset ρ at the ν-quantile of the
+    * training scores, which is precisely Schölkopf's ν-property (at most
+    * a ν fraction of training points outside the boundary). In kernel
+    * terms the decision is a Parzen-window density threshold — the
+    * behavior sklearn's OneClassSVM exhibits on clearly-separated
+    * outliers, with no iterative solver to de-determinize the fit (the
+    * reference reaches the same contract through sklearn on a sampled
+    * frame, `anomaly/ml_based.py`). */
+  def fitOcsvm(data: Array[Array[Double]], nu: Double = 0.1,
+      dim: Int = 256, gammaOpt: Option[Double] = None,
+      seed: Long = 42L): OcsvmModel = {
+    require(data.nonEmpty, "ocsvm needs a non-empty sample")
+    require(nu > 0 && nu <= 1, s"nu must be in (0,1], got $nu")
+    val n = data.length; val nFeat = data(0).length
+    val mean = Array.tabulate(nFeat)(i => data.map(_(i)).sum / n)
+    val std = Array.tabulate(nFeat) { i =>
+      val v = data.map(x => { val t = x(i) - mean(i); t * t }).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s
+    }
+    // kernel width on standardized inputs: 1/(2·nFeat) keeps within-blob
+    // similarities high while far outliers still decay to ~0
+    val gamma = gammaOpt.getOrElse(1.0 / (2.0 * nFeat))
+    val rnd = new scala.util.Random(seed)
+    val omega = Array.fill(dim)(Array.fill(nFeat)(
+      math.sqrt(2.0 * gamma) * rnd.nextGaussian()))
+    val bias = Array.fill(dim)(rnd.nextDouble() * 2.0 * math.Pi)
+    val model0 = OcsvmModel(new Array[Double](dim), 0.0, omega, bias,
+      mean, std)
+    val phi = data.map(model0.features)
+    val w = new Array[Double](dim)
+    phi.foreach { p => var j = 0
+      while (j < dim) { w(j) += p(j) / n; j += 1 } }
+    val scores = phi.map { p =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += w(j) * p(j); j += 1 }
+      s
+    }
+    // ρ = ν-quantile boundary: the ⌈νn⌉-th lowest training score
+    val nSv = math.max(1, math.ceil(nu * n).toInt)
+    val rho = scores.sorted.apply(nSv - 1)
+    model0.copy(w = w, rho = rho)
+  }
+
+  /** Distributed decision-function column via the broadcast-model UDF
+    * (same justification as `scoreCol`: cos/dot loops have no Column-API
+    * form worth the expression-tree size). f < 0 ⇒ outlier. */
+  def ocsvmDecisionCol(model: OcsvmModel, cols: Seq[String]): Column = {
+    val f = udf((xs: scala.collection.Seq[Double]) =>
+      model.decision(xs.toArray))
+    f(array(cols.map(c => col(c).cast("double")): _*))
+  }
+
   // ---- DBSCAN (sample-only, O(n²)) ----
 
   /** Count of DBSCAN noise points (not density-reachable from any core
@@ -256,6 +346,33 @@ final case class LofCheck(columns: Seq[String], k: Int = 20,
       Seq(issue(columns.mkString(","), "lof_outliers_in_sample", n,
         sample.length.toLong, Severity.Low,
         expected = s"lof<=$threshold (sampled diagnostic)")) else Nil
+  }
+}
+
+/** OneClassSVMValidator (reference `anomaly/ml_based.py` OneClassSVM
+  * wrapper): fit the ν-OCSVM on the bounded deterministic sample
+  * (novelty-detection contract — train on the frame, flag rows whose
+  * decision function is negative), score ALL rows distributed via the
+  * broadcast model. Closes the last documented exclusion: the RFF+
+  * subgradient solver replaces sklearn's SMO with the same decision
+  * semantics. */
+final case class OneClassSvmCheck(columns: Seq[String], nu: Double = 0.05,
+    sampleN: Int = 4096, dim: Int = 100)
+    extends Validator with DedicatedScan {
+  val name = s"one_class_svm[${columns.mkString(",")}]"
+  val category = "anomaly"
+  def metricExprs(schema: StructType, stats: Metrics) = Nil
+  def evaluate(m: Metrics, total: Long) = Nil
+  def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
+    if (total == 0) return Nil
+    val sample = MlAnomaly.hashSample(df, columns, sampleN)
+    if (sample.isEmpty) return Nil
+    val model = MlAnomaly.fitOcsvm(sample, nu = nu, dim = dim)
+    val n = df.na.drop(columns)
+      .filter(MlAnomaly.ocsvmDecisionCol(model, columns) < 0).count()
+    if (n > 0)
+      Seq(issue(columns.mkString(","), "ocsvm_outliers", n, total,
+        Severity.Low, expected = s"decision>=0 (nu=$nu)")) else Nil
   }
 }
 

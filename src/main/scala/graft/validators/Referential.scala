@@ -220,67 +220,62 @@ final case class GroupedAggregateCompareCheck(tableA: String, tableB: String,
   * root within `maxDepth` levels are either on/under a cycle or deeper
   * than the cap — both validation failures, reported as unreached. */
 object Hierarchy {
+
+  /** Pointer-doubling state: (id, anc, dist) per node, where `anc` is the
+    * node's 2^k-step ancestor (NULL once a root is reached) and `dist` the
+    * number of edges accumulated to reach `anc` (= to the root when anc is
+    * NULL). After k rounds every node within 2^k edges of a root has
+    * terminated — ceil(log2(maxDepth)) self-joins replace maxDepth
+    * frontier joins, and each round shuffles the node set ONCE instead of
+    * re-shuffling the full edge set per level (the 100 TB win: depth-40
+    * hierarchies cost 6 shuffles, not 40). Nodes whose chain dangles (a
+    * parent id that does not exist) or sits on/under a cycle never
+    * terminate and fall out as unreached. */
+  private def doubledState(df: DataFrame, idCol: String, parentCol: String,
+      maxDepth: Int): DataFrame = {
+    var state = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+      df.select(col(idCol).as("id"), col(parentCol).as("anc"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("dist")))
+    val rounds = math.ceil(math.log(math.max(2, maxDepth).toDouble) /
+      math.log(2.0)).toInt
+    var k = 0
+    while (k < rounds) {
+      val t = state.select(col("id").as("t_id"), col("anc").as("t_anc"),
+        col("dist").as("t_dist"), lit(true).as("t_hit"))
+      // shuffle_hash, not broadcast: broadcasting a checkpointed side
+      // re-serializes it through the driver every round (and tripped
+      // broadcast-build OOMs in long sessions); the opaque checkpoint per
+      // round cuts lineage AND the LogicalRDD constraint blow-up
+      state = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
+        state.join(t.hint("shuffle_hash"), col("anc") === col("t_id"), "left")
+          .select(col("id"),
+            when(col("anc").isNull || col("t_hit").isNull, col("anc"))
+              .otherwise(col("t_anc")).as("anc"),
+            when(col("anc").isNull || col("t_hit").isNull, col("dist"))
+              .otherwise(col("dist") + col("t_dist")).as("dist")))
+      k += 1
+    }
+    state
+  }
+
   /** (id, depth) for every node reachable from a root (parent IS NULL =
     * depth 1) in <= maxDepth levels. */
   def depths(df: DataFrame, idCol: String, parentCol: String,
-             maxDepth: Int): DataFrame = {
-    val edges = df.select(col(idCol).as("id"), col(parentCol).as("parent"))
-    // localCheckpoint (eager) per level: truncates the growing lineage so
-    // level k doesn't recompute levels 1..k-1, and the blocks are GC-owned
-    // (no persist/unpersist bookkeeping to leak across calls)
-    var frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
-      edges.filter(col("parent").isNull)
-        .select(col("id"), lit(1).as("depth")))
-    var all = Seq(frontier)
-    var d = 1
-    while (d < maxDepth && !frontier.isEmpty) {
-      // shuffle_hash, not broadcast: broadcasting a checkpointed frontier
-      // re-serializes it through the driver every level (and tripped
-      // broadcast-build OOMs in long sessions); a shuffled hash join keeps
-      // the loop executor-side
-      val next = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
-        edges.join(frontier.select(col("id").as("__pid"),
-            col("depth")).hint("shuffle_hash"), col("parent") === col("__pid"))
-          .select(col("id"), (col("depth") + 1).as("depth")))
-      all = all :+ next
-      frontier = next
-      d += 1
-    }
-    all.map(f => f: DataFrame).reduce(_ unionAll _)
-  }
+             maxDepth: Int): DataFrame =
+    doubledState(df, idCol, parentCol, maxDepth)
+      .filter(col("anc").isNull && col("dist") + 1 <= maxDepth)
+      .select(col("id"), (col("dist") + 1).cast("int").as("depth"))
 
   /** (depth, cnt) histogram of reachable nodes plus a depth = -1 row for
-    * unreached nodes (cycle members/descendants or depth > maxDepth).
-    *
-    * Requires the edge relation to be a FUNCTION (one parent per id — the
-    * usual parent-pointer shape): then every node is reached at most once
-    * and unreached = total − Σ level counts, so the histogram falls out of
-    * the BFS loop's per-level counts with no extra join. */
+    * unreached nodes (cycle members/descendants, dangling chains, or
+    * depth > maxDepth). One aggregate over the pointer-doubled state —
+    * no per-level count jobs. */
   def depthHistogram(df: DataFrame, idCol: String, parentCol: String,
-                     maxDepth: Int): DataFrame = {
-    val edges = df.select(col(idCol).as("id"), col(parentCol).as("parent"))
-    var frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
-      edges.filter(col("parent").isNull).select(col("id")))
-    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    var d = 1
-    var n = frontier.count()
-    while (d <= maxDepth && n > 0) {
-      counts += d -> n
-      frontier = org.apache.spark.sql.graft.PlanBridge.opaqueCheckpoint(
-        edges.join(
-          frontier.select(col("id").as("__pid")).hint("shuffle_hash"),
-          col("parent") === col("__pid"))
-        .select(col("id")))
-      n = frontier.count()
-      d += 1
-    }
-    val total = df.count()
-    val unreached = total - counts.map(_._2).sum
-    val rows = (if (unreached > 0) Seq(-1 -> unreached) else Nil) ++ counts
-    val spark = df.sparkSession
-    import spark.implicits._
-    rows.toSeq.toDF("depth", "cnt")
-  }
+                     maxDepth: Int): DataFrame =
+    doubledState(df, idCol, parentCol, maxDepth)
+      .select(when(col("anc").isNull && col("dist") + 1 <= maxDepth,
+        col("dist") + 1).otherwise(-1).cast("int").as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("cnt"))
 }
 
 /** Cascade integrity (reference `referential/cascade.py`).

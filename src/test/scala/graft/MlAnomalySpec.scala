@@ -65,6 +65,29 @@ class MlAnomalySpec extends AnyFunSuite {
     assert(issues.nonEmpty && issues.head.count == 3)
   }
 
+  test("OCSVM decision separates planted outliers from the blob") {
+    val pts = (1 to 400).map(i =>
+      Array(math.sin(i * 0.7) * 10.0, math.cos(i * 1.3) * 10.0)).toArray
+    val model = MlAnomaly.fitOcsvm(pts, nu = 0.05)
+    val planted = Seq(Array(500.0, 500.0), Array(-400.0, 300.0),
+      Array(350.0, -450.0))
+    // every planted far-out point scores negative (outlier)
+    assert(planted.forall(p => model.decision(p) < 0))
+    // training outlier fraction tracks nu (subgradient solver tolerance)
+    val trainOut = pts.count(p => model.decision(p) < 0)
+    assert(trainOut <= (0.05 * 3 * pts.length).toInt,
+      s"train outliers $trainOut")
+    // deterministic refit
+    val model2 = MlAnomaly.fitOcsvm(pts, nu = 0.05)
+    assert(model.decision(planted.head) == model2.decision(planted.head))
+  }
+
+  test("OCSVM validator flags planted outliers, scoring distributed") {
+    val issues = OneClassSvmCheck(Seq("x", "y"), nu = 0.02)
+      .runScan(blob, 403)
+    assert(issues.nonEmpty && issues.head.count >= 3)
+  }
+
   test("LOF validator reports sampled outliers") {
     val issues = LofCheck(Seq("x", "y"), k = 10, threshold = 2.0)
       .runScan(blob, 403)
