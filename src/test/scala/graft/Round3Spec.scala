@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.validators.Hierarchy
+
+/** Round-3 regressions: pointer-doubled hierarchy semantics, bench
+  * short-key invariants, OCSVM registry surface. */
+class Round3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bench short keys (qNNN prefixes) are unique across all queries") {
+    // Bench prints the per-query map under each query's prefix before the
+    // first underscore so the line fits the driver's ~2KB stdout capture;
+    // a collision would silently drop a timing
+    val keys = SparkEntry.queries.keys.toSeq
+    val short = keys.map(_.takeWhile(_ != '_'))
+    assert(short.distinct.size == keys.size,
+      s"colliding prefixes: ${short.diff(short.distinct).distinct}")
+    // and the compact line stays well inside the 2000-char capture window
+    val line = short.sorted.map(k => "\"" + k + "\":99.999").mkString(",")
+    assert(line.length + 120 < 2000, s"compact line too long: ${line.length}")
+  }
+
+  test("pointer-doubled depths matches explicit BFS on a deep chain") {
+    // single chain 1 <- 2 <- ... <- 60: depth(i) = i, well past one
+    // doubling round, so composition must accumulate dist exactly
+    val chain = (1L to 60L).map(i =>
+      (i, if (i == 1) None else Some(i - 1))).toDF("id", "parent")
+    val got = Hierarchy.depths(chain, "id", "parent", 64)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == 60)
+    assert(got.forall { case (id, d) => d == id.toInt })
+  }
+
+  test("depths caps at maxDepth and excludes deeper nodes") {
+    val chain = (1L to 30L).map(i =>
+      (i, if (i == 1) None else Some(i - 1))).toDF("id", "parent")
+    val got = Hierarchy.depths(chain, "id", "parent", 10)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == (1L to 10L))
+  }
+
+  test("depthHistogram buckets cycles and dangling chains as -1") {
+    // forest: root 1 with children 2,3; cycle 10<->11 with hanger-on 12;
+    // dangling 20 -> missing 99
+    val edges = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)),
+      (10L, Some(11L)), (11L, Some(10L)), (12L, Some(10L)),
+      (20L, Some(99L))).toDF("id", "parent")
+    val hist = Hierarchy.depthHistogram(edges, "id", "parent", 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1 -> 1L, 2 -> 2L, -1 -> 4L))
+  }
+
+  test("depthHistogram matches q106's planted-cycle construction") {
+    // mirror of the q106 shape at small scale: binary tree over 1..511,
+    // roots 0/1, planted cycle 100-109 (their subtrees become unreachable)
+    val nodes = (0L to 511L).map { k =>
+      val parent =
+        if (k <= 1) None
+        else if (k >= 100 && k <= 109) Some(100L + ((k - 99) % 10))
+        else Some(k / 2)
+      (k, parent)
+    }.toDF("id", "parent")
+    val hist = Hierarchy.depthHistogram(nodes, "id", "parent", 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every node is either reached at a positive depth or in the -1 bucket
+    assert(hist.values.sum == 512L)
+    assert(hist(-1) > 0) // the cycle + its subtrees
+    assert(hist(1) == 2L) // roots 0 and 1
+    // reachable depths are contiguous from 1
+    val depths = hist.keys.filter(_ > 0).toSeq.sorted
+    assert(depths == (1 to depths.max))
+  }
+
+  test("ocsvm registry entry constructs and runs") {
+    val v = graft.validators.ValidatorRegistry.create("one_class_svm",
+      Map("columns" -> "x,y", "nu" -> "0.05"))
+    val df = ((1 to 200).map(i =>
+      (math.sin(i * 0.7) * 10.0, math.cos(i * 1.3) * 10.0)) :+
+      (9999.0, 9999.0)).toDF("x", "y")
+    val issues = v.asInstanceOf[graft.core.DedicatedScan].runScan(df, 201)
+    assert(issues.nonEmpty && issues.head.count >= 1)
+  }
+}
