@@ -1163,7 +1163,19 @@ object SparkEntry {
           "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
           QA.ResultMatches(Seq(Seq(3L)))),
         "j_deliberate_fail" -> QueryCheck(
-          "SELECT * FROM orders WHERE o_totalprice > 0", QA.ReturnsNoRows))
+          "SELECT * FROM orders WHERE o_totalprice > 0", QA.ReturnsNoRows),
+        "k_count_ratio" -> QueryCheck(
+          "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+          QA.RowCountRatioBetween("SELECT * FROM orders", 0.2, 0.5)),
+        "l_count_compare" -> QueryCheck(
+          "SELECT * FROM orders WHERE o_totalprice > 0",
+          QA.RowCountCompare("SELECT * FROM orders", "equal")),
+        "m_agg_value" -> QueryCheck(
+          "SELECT avg(o_totalprice) AS a FROM orders",
+          QA.AggValue("a", min = Some(1.0), max = Some(1e9))),
+        "n_agg_compare" -> QueryCheck(
+          "SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('O','F','P')",
+          QA.AggCompare("SELECT count(*) AS n FROM orders", "n", "equal")))
       // the 10 checks are independent SQL mini-jobs — submit concurrently
       // (wall = slowest check, not the sum of 10 scheduler round-trips)
       locally {
@@ -1214,6 +1226,28 @@ object SparkEntry {
       val topLof = lof.zipWithIndex.sortBy(-_._1).take(5)
         .count(_._2 >= pts.length - 5).toLong
       Seq((topIf, topLof)).toDF("if_top5_planted", "lof_top5_planted")
+    }),
+    "q125_expression_checks" -> ((s, dir) => {
+      // expression-validator family (reference validators/query/
+      // expression.py): custom predicate, IF-THEN conditional, AND'd
+      // multi-condition — all fused into the suite's single scan — plus
+      // the RowLevel typed-filter escape hatch as its own distributed job
+      import s.implicits._
+      import graft.validators._
+      val li = table(s, dir, "lineitem")
+      val vs: Seq[graft.core.Validator] = Seq(
+        CustomExpressionCheck(col("l_quantity") <= 25, "qty<=25"),
+        ConditionalExpressionCheck(col("l_returnflag") === "R",
+          col("l_linestatus") === "F", "R implies F"),
+        MultiConditionCheck(Seq(
+          (col("l_discount") >= 0 && col("l_discount") <= 0.1) -> "disc",
+          (col("l_tax") >= 0) -> "tax"), "and"),
+        RowLevelCheck(Seq("l_linenumber"),
+          r => !r.isNullAt(0) && r.getInt(0) <= 4, "linenumber<=4"))
+      val r = graft.core.SuiteRunner.run(li, vs,
+        graft.core.SuiteRunner.Config(datasetName = "lineitem"))
+      r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
+        .toDF("validator", "passed", "violations").orderBy("validator")
     }),
     "q124_ocsvm" -> ((s, dir) => {
       // OneClassSVM (closed-form kernel-mean ν-OCSVM): fit on the CLEAN
@@ -2132,7 +2166,11 @@ object SparkEntry {
            ('g_cnt_positive', TRUE, CAST(0 AS BIGINT)),
            ('h_group_avg_bounds', TRUE, CAST(0 AS BIGINT)),
            ('i_distinct_pinned', TRUE, CAST(0 AS BIGINT)),
-           ('j_deliberate_fail', FALSE, CAST(1 AS BIGINT))
+           ('j_deliberate_fail', FALSE, CAST(1 AS BIGINT)),
+           ('k_count_ratio', TRUE, CAST(0 AS BIGINT)),
+           ('l_count_compare', TRUE, CAST(0 AS BIGINT)),
+           ('m_agg_value', TRUE, CAST(0 AS BIGINT)),
+           ('n_agg_compare', TRUE, CAST(0 AS BIGINT))
          ) AS t(chk, passed, issues) ORDER BY chk""",
     "q112_ml_anomaly" ->
       """SELECT CAST(5 AS BIGINT) AS if_top5_planted,
@@ -2140,6 +2178,34 @@ object SparkEntry {
     "q124_ocsvm" ->
       """SELECT CAST(5 AS BIGINT) AS planted_flagged,
            TRUE AS base_rate_sane""",
+    "q125_expression_checks" ->
+      """SELECT * FROM (
+           SELECT 'custom_expression[qty<=25]' AS validator,
+             count(*) FILTER (WHERE NOT coalesce(l_quantity <= 25, FALSE)) = 0
+               AS passed,
+             count(*) FILTER (WHERE NOT coalesce(l_quantity <= 25, FALSE))
+               AS violations
+           FROM lineitem
+           UNION ALL SELECT 'conditional_expression[R implies F]',
+             count(*) FILTER (WHERE l_returnflag = 'R'
+               AND NOT coalesce(l_linestatus = 'F', FALSE)) = 0,
+             count(*) FILTER (WHERE l_returnflag = 'R'
+               AND NOT coalesce(l_linestatus = 'F', FALSE))
+           FROM lineitem
+           UNION ALL SELECT 'multi_condition[disc, tax]',
+             count(*) FILTER (WHERE NOT (
+               coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+               AND coalesce(l_tax >= 0, FALSE))) = 0,
+             count(*) FILTER (WHERE NOT (
+               coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+               AND coalesce(l_tax >= 0, FALSE)))
+           FROM lineitem
+           UNION ALL SELECT 'row_level[linenumber<=4]',
+             count(*) FILTER (WHERE l_linenumber IS NULL
+               OR l_linenumber > 4) = 0,
+             count(*) FILTER (WHERE l_linenumber IS NULL OR l_linenumber > 4)
+           FROM lineitem
+         ) ORDER BY validator""",
     "q111_pairset_uniquerecord" ->
       """SELECT count(*) FILTER (WHERE NOT (
              (l_returnflag = 'A' AND l_linestatus = 'F') OR

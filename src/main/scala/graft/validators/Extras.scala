@@ -225,6 +225,19 @@ object ValidatorRegistry {
     p("eps").toDouble, p.getOrElse("min_pts", "5").toInt))
   register("one_class_svm")(p => OneClassSvmCheck(
     p("columns").split(",").toSeq, p.getOrElse("nu", "0.05").toDouble))
+
+  // round-3 additions: expression family (validators/query/expression.py);
+  // SQL fragments are parsed via expr() so YAML/CLI suites can use them
+  register("custom_expression")(p => CustomExpressionCheck(
+    expr(p("predicate")), p.getOrElse("description", p("predicate")),
+    p.getOrElse("mostly", "1.0").toDouble))
+  register("conditional_expression")(p => ConditionalExpressionCheck(
+    expr(p("condition")), expr(p("then")),
+    p.getOrElse("description", s"if ${p("condition")} then ${p("then")}"),
+    p.getOrElse("mostly", "1.0").toDouble))
+  register("multi_condition")(p => MultiConditionCheck(
+    p("conditions").split(";").toSeq.map(c => expr(c) -> c),
+    p.getOrElse("logic", "and"), p.getOrElse("mostly", "1.0").toDouble))
   register("percentage")(p => PercentageCheck(p("part"), p("whole"),
     p.getOrElse("min", "0").toDouble, p.getOrElse("max", "100").toDouble))
   register("covariance")(p => CovarianceCheck(p("a"), p("b"),

@@ -46,6 +46,43 @@ object QueryAssertion {
     require(Set("count", "sum", "avg", "min", "max").contains(agg),
       s"unsupported aggregate: $agg")
   }
+  /** query/row_count.py QueryRowCountRatio: |query| / |baseSql| within
+    * ratio bounds (e.g. ">= 90% of orders are completed"). */
+  final case class RowCountRatioBetween(baseSql: String,
+      minRatio: Double = 0.0, maxRatio: Double = 1.0) extends QueryAssertion
+  /** query/row_count.py QueryRowCountCompare: |query| REL |compareSql|
+    * with equal/not_equal/greater_than(_or_equal)/less_than(_or_equal);
+    * integer tolerance applies to `equal`. */
+  final case class RowCountCompare(compareSql: String,
+      relationship: String = "equal", tolerance: Long = 0)
+      extends QueryAssertion {
+    require(QueryCheck.relationships.contains(relationship),
+      s"invalid relationship: $relationship")
+  }
+  /** query/aggregate.py QueryAggregate: first-row value of `column`
+    * equals `expected` within tolerance, and/or within [min,max]. */
+  final case class AggValue(column: String, expected: Option[Double] = None,
+      tolerance: Double = 0.0, min: Option[Double] = None,
+      max: Option[Double] = None) extends QueryAssertion
+  /** query/aggregate.py QueryAggregateCompare: value of `column` in this
+    * query REL the same column in `compareSql`'s result. */
+  final case class AggCompare(compareSql: String, column: String,
+      relationship: String = "equal", tolerance: Double = 0.0)
+      extends QueryAssertion {
+    require(QueryCheck.relationships.contains(relationship),
+      s"invalid relationship: $relationship")
+  }
+}
+
+object QueryCheck {
+  /** Shared relationship predicates (reference RELATIONSHIPS maps). */
+  val relationships: Map[String, (Double, Double, Double) => Boolean] = Map(
+    "equal" -> ((a, b, t) => math.abs(a - b) <= t),
+    "not_equal" -> ((a, b, _) => a != b),
+    "greater_than" -> ((a, b, _) => a > b),
+    "greater_than_or_equal" -> ((a, b, _) => a >= b),
+    "less_than" -> ((a, b, _) => a < b),
+    "less_than_or_equal" -> ((a, b, _) => a <= b))
 }
 
 /** QueryValidator / ReturnsNoRows / ReturnsRows / RowCount / Aggregate
@@ -139,6 +176,64 @@ final case class QueryCheck(sql: String, assertion: QueryAssertion,
           .filter(col("__a") < lo || col("__a") > hi).count()
         if (n > 0) Seq(ValidationIssue(name, g, "group_aggregate_out_of_bounds",
           n, 0, Severity.Medium.label, s"$agg($v) in [$lo,$hi]", "")) else Nil
+      case RowCountRatioBetween(baseSql, minR, maxR) =>
+        SqlSafety.require(baseSql)
+        val nQ = result.count()
+        val nBase = spark.sql(baseSql).count()
+        if (nBase == 0) Nil
+        else {
+          val ratio = nQ.toDouble / nBase
+          if (ratio < minR || ratio > maxR)
+            Seq(ValidationIssue(name, "*", "query_ratio_out_of_bounds", nQ,
+              nBase, Severity.High.label, s"[$minR,$maxR]", f"$ratio%.6f"))
+          else Nil
+        }
+      case RowCountCompare(compareSql, rel, tol) =>
+        SqlSafety.require(compareSql)
+        val a = result.count()
+        val b = spark.sql(compareSql).count()
+        if (!QueryCheck.relationships(rel)(a.toDouble, b.toDouble, tol.toDouble))
+          Seq(ValidationIssue(name, "*", "query_count_comparison_failed",
+            math.abs(a - b), 0, Severity.High.label, s"A $rel B", s"A=$a B=$b"))
+        else Nil
+      case AggValue(c, expected, tol, lo, hi) =>
+        val rows = result.limit(1).collect()
+        if (rows.isEmpty)
+          Seq(ValidationIssue(name, c, "query_aggregate_missing", 1, 0,
+            Severity.High.label, "aggregate value", "empty result"))
+        else {
+          val v = rows(0).getAs[Any](c) match {
+            case n: Number => n.doubleValue()
+            case _         => Double.NaN
+          }
+          val bad =
+            v.isNaN ||
+            expected.exists(e => math.abs(v - e) > tol) ||
+            lo.exists(v < _) || hi.exists(v > _)
+          if (bad)
+            Seq(ValidationIssue(name, c, "query_aggregate_out_of_bounds", 1, 0,
+              Severity.Medium.label,
+              expected.map(e => s"$e±$tol").getOrElse(s"[$lo,$hi]"),
+              v.toString))
+          else Nil
+        }
+      case AggCompare(compareSql, c, rel, tol) =>
+        SqlSafety.require(compareSql)
+        def firstVal(df: DataFrame): Option[Double] =
+          df.limit(1).collect().headOption.map(_.getAs[Any](c) match {
+            case n: Number => n.doubleValue()
+            case _         => Double.NaN
+          }).filterNot(_.isNaN)
+        (firstVal(result), firstVal(spark.sql(compareSql))) match {
+          case (Some(a), Some(b)) =>
+            if (!QueryCheck.relationships(rel)(a, b, tol))
+              Seq(ValidationIssue(name, c, "query_aggregate_comparison_failed",
+                1, 0, Severity.High.label, s"A $rel B", s"A=$a B=$b"))
+            else Nil
+          case _ =>
+            Seq(ValidationIssue(name, c, "query_aggregate_missing", 1, 0,
+              Severity.High.label, "aggregate value on both sides", ""))
+        }
     }
     CheckResult(name, category, issues.isEmpty, issues,
       (System.nanoTime() - t0) / 1000000)

@@ -75,6 +75,69 @@ class Round3Spec extends AnyFunSuite {
     assert(depths == (1 to depths.max))
   }
 
+  test("expression-family checks count violations and honor mostly") {
+    import graft.validators._
+    val df = Seq(
+      ("shipped", Some("T1"), 10.0), ("shipped", None, 20.0),
+      ("pending", None, 30.0), ("shipped", Some("T2"), -5.0))
+      .toDF("status", "tracking", "amount")
+    val r = graft.core.SuiteRunner.run(df, Seq(
+      CustomExpressionCheck(col("amount") > 0, "amount>0"),
+      ConditionalExpressionCheck(col("status") === "shipped",
+        col("tracking").isNotNull, "shipped has tracking"),
+      MultiConditionCheck(Seq(
+        (col("amount") > 0) -> "amt", col("status").isNotNull -> "st"), "and"),
+      RowLevelCheck(Seq("amount"),
+        row => !row.isNullAt(0) && row.getDouble(0) < 25.0, "amount<25")),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    val by = r.checks.map(c => c.validator -> c).toMap
+    assert(by("custom_expression[amount>0]").issues.head.count == 1)
+    assert(by("conditional_expression[shipped has tracking]").issues.head.count == 1)
+    assert(by("multi_condition[amt, st]").issues.head.count == 1)
+    assert(by("row_level[amount<25]").issues.head.count == 1)
+    // mostly: 1 failure in 4 rows passes at mostly=0.7
+    val lenient = graft.core.SuiteRunner.run(df, Seq(
+      CustomExpressionCheck(col("amount") > 0, "amount>0", mostly = 0.7)),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    assert(lenient.checks.head.passed)
+  }
+
+  test("query asserts: ratio, count-compare, agg value, agg compare") {
+    import graft.validators.{QueryCheck, QueryAssertion => QA}
+    val tables = Map("t" -> Seq(("a", 1.0), ("a", 2.0), ("b", 3.0))
+      .toDF("k", "v"))
+    def passed(qc: QueryCheck) = qc.run(spark, tables).passed
+    assert(passed(QueryCheck("SELECT * FROM t WHERE k = 'a'",
+      QA.RowCountRatioBetween("SELECT * FROM t", 0.5, 0.7))))
+    assert(!passed(QueryCheck("SELECT * FROM t WHERE k = 'a'",
+      QA.RowCountRatioBetween("SELECT * FROM t", 0.9, 1.0))))
+    assert(passed(QueryCheck("SELECT * FROM t WHERE v > 0",
+      QA.RowCountCompare("SELECT * FROM t", "equal"))))
+    assert(passed(QueryCheck("SELECT * FROM t WHERE k = 'b'",
+      QA.RowCountCompare("SELECT * FROM t", "less_than"))))
+    assert(!passed(QueryCheck("SELECT * FROM t",
+      QA.RowCountCompare("SELECT * FROM t", "not_equal"))))
+    assert(passed(QueryCheck("SELECT sum(v) AS s FROM t",
+      QA.AggValue("s", expected = Some(6.0), tolerance = 1e-9))))
+    assert(!passed(QueryCheck("SELECT sum(v) AS s FROM t",
+      QA.AggValue("s", min = Some(10.0)))))
+    assert(passed(QueryCheck("SELECT sum(v) AS s FROM t WHERE k IN ('a','b')",
+      QA.AggCompare("SELECT sum(v) AS s FROM t", "s", "equal", 1e-9))))
+    assert(!passed(QueryCheck("SELECT sum(v) AS s FROM t WHERE k = 'a'",
+      QA.AggCompare("SELECT sum(v) AS s FROM t", "s", "greater_than"))))
+  }
+
+  test("expression registry entries parse SQL fragments") {
+    val v = graft.validators.ValidatorRegistry.create("conditional_expression",
+      Map("condition" -> "status = 'shipped'",
+          "then" -> "tracking IS NOT NULL"))
+    val df = Seq(("shipped", Some("T1")), ("shipped", None), ("pending", None))
+      .toDF("status", "tracking")
+    val r = graft.core.SuiteRunner.run(df, Seq(v),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    assert(!r.checks.head.passed && r.checks.head.issues.head.count == 1)
+  }
+
   test("ocsvm registry entry constructs and runs") {
     val v = graft.validators.ValidatorRegistry.create("one_class_svm",
       Map("columns" -> "x,y", "nu" -> "0.05"))
