@@ -1249,6 +1249,41 @@ object SparkEntry {
       r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
+    "q126_privacy_behavioral" -> ((s, dir) => {
+      // behavioral privacy validators (reference validators/privacy/):
+      // consent tracking, right-to-erasure, do-not-sell, data
+      // minimization, retention window, Art. 9 special-category sweep —
+      // compliance columns synthesized key-derived so DuckDB can restate
+      // every violation count
+      import s.implicits._
+      import graft.validators._
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 3 === 1, "no").otherwise("granted")
+          .as("consent"),
+        when(col("c_custkey") % 5 === 0, "deleted").otherwise("active")
+          .as("del_flag"),
+        when(col("c_custkey") % 7 === 0, "opted_out").otherwise("no")
+          .as("optout"),
+        when(col("c_custkey") % 2 === 0, "sold").otherwise("no")
+          .as("shared_with_partners"),
+        lit(null).cast("string").as("blood_type"))
+      val r = graft.core.SuiteRunner.run(cust, Seq(
+        ConsentCheck("consent", Seq("c_name")),
+        RightToErasureCheck("del_flag", Seq("c_name")),
+        DoNotSellCheck("optout", Seq("shared_with_partners")),
+        DataMinimizationCheck(Seq("c_name", "blood_type"),
+          maxNullRatio = 0.9),
+        SpecialCategoryCheck()),
+        graft.core.SuiteRunner.Config(datasetName = "customer"))
+      val ret = graft.core.SuiteRunner.run(table(s, dir, "events"), Seq(
+        DataRetentionCheck("ts", 15,
+          java.time.Instant.parse("2024-02-01T00:00:00Z"))),
+        graft.core.SuiteRunner.Config(datasetName = "events"))
+      (r.checks ++ ret.checks)
+        .map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
+        .toDF("validator", "passed", "violations").orderBy("validator")
+    }),
     "q124_ocsvm" -> ((s, dir) => {
       // OneClassSVM (closed-form kernel-mean ν-OCSVM): fit on the CLEAN
       // base sample (novelty contract), score base ∪ planted distributed;
@@ -2178,6 +2213,34 @@ object SparkEntry {
     "q124_ocsvm" ->
       """SELECT CAST(5 AS BIGINT) AS planted_flagged,
            TRUE AS base_rate_sane""",
+    "q126_privacy_behavioral" ->
+      """SELECT * FROM (
+           SELECT 'consent_tracking[consent]' AS validator,
+             count(*) FILTER (WHERE c_name IS NOT NULL
+               AND c_custkey % 3 = 1) = 0 AS passed,
+             count(*) FILTER (WHERE c_name IS NOT NULL
+               AND c_custkey % 3 = 1) AS violations
+           FROM customer
+           UNION ALL SELECT 'gdpr_right_to_erasure[del_flag]',
+             count(*) FILTER (WHERE c_name IS NOT NULL
+               AND c_custkey % 5 = 0) = 0,
+             count(*) FILTER (WHERE c_name IS NOT NULL
+               AND c_custkey % 5 = 0)
+           FROM customer
+           UNION ALL SELECT 'ccpa_do_not_sell[optout]',
+             count(*) FILTER (WHERE c_custkey % 7 = 0
+               AND c_custkey % 2 = 0) = 0,
+             count(*) FILTER (WHERE c_custkey % 7 = 0 AND c_custkey % 2 = 0)
+           FROM customer
+           UNION ALL SELECT 'gdpr_data_minimization[2 cols]',
+             FALSE, count(*) FROM customer
+           UNION ALL SELECT 'gdpr_special_category', FALSE,
+             CAST(0 AS BIGINT)
+           UNION ALL SELECT 'data_retention[ts>15 d]',
+             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-17 00:00:00') = 0,
+             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-17 00:00:00')
+           FROM events
+         ) ORDER BY validator""",
     "q125_expression_checks" ->
       """SELECT * FROM (
            SELECT 'custom_expression[qty<=25]' AS validator,

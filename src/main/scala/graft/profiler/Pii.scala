@@ -32,7 +32,15 @@ object Pii {
     "sin_ca" -> "\\b[0-9]{3}[ -][0-9]{3}[ -][0-9]{3}\\b",
     "postal_ca" -> "\\b[A-Z][0-9][A-Z] ?[0-9][A-Z][0-9]\\b",
     "my_number_jp" -> "\\b[0-9]{12}\\b",
-    "chinese_id" -> "\\b[0-9]{17}[0-9Xx]\\b")
+    "chinese_id" -> "\\b[0-9]{17}[0-9Xx]\\b",
+    // plugin-regulation patterns (reference `privacy/plugins.py`: POPIA,
+    // PDPA-TH, PDPB-IN, KVKK-TR, HIPAA, PCI-DSS), substring-form
+    "sa_id_za" -> "\\b[0-9]{13}\\b",
+    "thai_id" -> "\\b[0-9]{13}\\b",
+    "aadhaar_in" -> "\\b[0-9]{12}\\b",
+    "pan_in" -> "\\b[A-Z]{5}[0-9]{4}[A-Z]\\b",
+    "tckn_tr" -> "\\b[0-9]{11}\\b",
+    "mrn_us" -> "\\bMRN[0-9]{6,10}\\b")
 
   final case class PiiHit(column: String, pattern: String, count: Long,
       total: Long) {

@@ -174,7 +174,14 @@ object PrivacyPolicies {
     "kisa" -> Seq("korean_rrn", "email", "phone_intl"),
     "lgpd" -> Seq("email", "phone_intl", "cpf_br", "cnpj_br", "cep_br"),
     "pipeda" -> Seq("email", "phone_intl", "sin_ca", "postal_ca"),
-    "pipl" -> Seq("email", "phone_intl", "chinese_id"))
+    "pipl" -> Seq("email", "phone_intl", "chinese_id"),
+    // plugin regulations (reference `privacy/plugins.py`)
+    "popia" -> Seq("email", "phone_intl", "sa_id_za"),
+    "pdpa_th" -> Seq("email", "phone_intl", "thai_id"),
+    "pdpb_in" -> Seq("email", "phone_intl", "aadhaar_in", "pan_in"),
+    "kvkk" -> Seq("email", "phone_intl", "tckn_tr"),
+    "hipaa" -> Seq("email", "phone_us", "ssn_us", "mrn_us"),
+    "pci_dss" -> Seq("email", "credit_card"))
 
   final case class PolicyViolation(policy: String, column: String,
       pattern: String, count: Long)
@@ -238,6 +245,23 @@ object ValidatorRegistry {
   register("multi_condition")(p => MultiConditionCheck(
     p("conditions").split(";").toSeq.map(c => expr(c) -> c),
     p.getOrElse("logic", "and"), p.getOrElse("mostly", "1.0").toDouble))
+
+  // round-3 additions: behavioral privacy (validators/privacy/)
+  register("data_retention")(p => DataRetentionCheck(p("date_column"),
+    p("retention_days").toInt,
+    p.get("as_of").map(java.time.Instant.parse)
+      .getOrElse(java.time.Instant.now())))
+  register("consent_tracking")(p => ConsentCheck(p("consent_column"),
+    p("pii_columns").split(",").toSeq))
+  register("gdpr_special_category")(_ => SpecialCategoryCheck())
+  register("gdpr_data_minimization")(p => DataMinimizationCheck(
+    p("pii_columns").split(",").toSeq,
+    p.getOrElse("max_null_ratio", "0.9").toDouble,
+    p.getOrElse("max_pii_columns", "10").toInt))
+  register("gdpr_right_to_erasure")(p => RightToErasureCheck(
+    p("deletion_flag_column"), p("pii_columns").split(",").toSeq))
+  register("ccpa_do_not_sell")(p => DoNotSellCheck(p("optout_column"),
+    p("sharing_columns").split(",").toSeq))
   register("percentage")(p => PercentageCheck(p("part"), p("whole"),
     p.getOrElse("min", "0").toDouble, p.getOrElse("max", "100").toDouble))
   register("covariance")(p => CovarianceCheck(p("a"), p("b"),

@@ -138,6 +138,63 @@ class Round3Spec extends AnyFunSuite {
     assert(!r.checks.head.passed && r.checks.head.issues.head.count == 1)
   }
 
+  test("behavioral privacy checks: consent, erasure, do-not-sell, retention") {
+    import graft.validators._
+    val df = Seq(
+      // (name, consent, deleted, optout, shared)
+      ("alice", "granted", "active", "no", "no"),
+      ("bob", "no", "active", "no", "sold"),          // consent violation
+      ("carol", "granted", "deleted", "no", "no"),    // erasure violation
+      ("dave", "granted", "active", "opted_out", "sold"), // dns violation
+      (null.asInstanceOf[String], "no", "deleted", "opted_out", "no"))
+      .toDF("pii_name", "consent", "del_flag", "optout", "shared")
+    val r = graft.core.SuiteRunner.run(df, Seq(
+      ConsentCheck("consent", Seq("pii_name")),
+      RightToErasureCheck("del_flag", Seq("pii_name")),
+      DoNotSellCheck("optout", Seq("shared"))),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    val by = r.checks.map(c => c.validator -> c.issues.map(_.count).sum).toMap
+    assert(by("consent_tracking[consent]") == 1)   // bob (null name row has no PII)
+    assert(by("gdpr_right_to_erasure[del_flag]") == 1) // carol
+    assert(by("ccpa_do_not_sell[optout]") == 1)    // dave
+    // retention: fixed asOf, rows older than 10 days flagged
+    val ev = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-20 00:00:00")).toDF("ts")
+    val ret = graft.core.SuiteRunner.run(ev, Seq(
+      DataRetentionCheck("ts", 10,
+        java.time.Instant.parse("2024-01-25T00:00:00Z"))),
+      graft.core.SuiteRunner.Config(datasetName = "ev"))
+    assert(ret.checks.head.issues.head.count == 1)
+  }
+
+  test("special-category sweep and minimization are schema/aggregate-only") {
+    import graft.validators._
+    val df = Seq((1, "a")).toDF("blood_type", "k")
+    val issues = SpecialCategoryCheck().schemaIssues(df.schema)
+    assert(issues.map(_.column) == Seq("blood_type"))
+    assert(SpecialCategoryCheck().schemaIssues(
+      Seq((1, "a")).toDF("id", "k").schema).isEmpty)
+    val sparse = Seq((Some("x"), 1), (None, 2), (None, 3), (None, 4))
+      .toDF("fax", "id")
+    val r = graft.core.SuiteRunner.run(sparse, Seq(
+      DataMinimizationCheck(Seq("fax"), maxNullRatio = 0.5)),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    assert(r.checks.head.issues.exists(_.issueType == "gdpr_unnecessary_pii_column"))
+  }
+
+  test("plugin-regulation bundles scan their patterns") {
+    import graft.validators.PrivacyPolicies
+    val df = Seq("patient MRN1234567 on file", "clean row")
+      .toDF("notes")
+    val hits = PrivacyPolicies.scan(df, "hipaa", Seq("notes"))
+    assert(hits.exists(h => h.pattern == "mrn_us" && h.count == 1))
+    // all bundles resolve against the pattern registry
+    PrivacyPolicies.bundles.foreach { case (_, pats) =>
+      pats.foreach(p => assert(graft.profiler.Pii.patterns.contains(p), p))
+    }
+  }
+
   test("ocsvm registry entry constructs and runs") {
     val v = graft.validators.ValidatorRegistry.create("one_class_svm",
       Map("columns" -> "x,y", "nu" -> "0.05"))
