@@ -1249,6 +1249,15 @@ object SparkEntry {
       r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
+    "q127_stateful_monotonic" -> ((s, dir) => {
+      // flatMapGroupsWithState custom-state operator, batch-legal form:
+      // per-key cross-batch monotonicity (equivalent to lag over
+      // (ts, value) per key on a batch frame — the oracle's restatement)
+      graft.streaming.StreamValidate.statefulMonotonicCheck(
+          table(s, dir, "events"), "user_id", "ts", "value")
+        .agg(count(lit(1)).as("violations"),
+          count_distinct(col("key")).as("violating_keys"))
+    }),
     "q126_privacy_behavioral" -> ((s, dir) => {
       // behavioral privacy validators (reference validators/privacy/):
       // consent tracking, right-to-erasure, do-not-sell, data
@@ -2213,6 +2222,20 @@ object SparkEntry {
     "q124_ocsvm" ->
       """SELECT CAST(5 AS BIGINT) AS planted_flagged,
            TRUE AS base_rate_sane""",
+    "q127_stateful_monotonic" ->
+      """WITH x AS (
+           SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, value)
+               AS prev
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL)
+         SELECT count(*) FILTER (WHERE prev IS NOT NULL AND value < prev)
+             AS violations,
+           count(DISTINCT user_id)
+             FILTER (WHERE prev IS NOT NULL AND value < prev)
+             AS violating_keys
+         FROM x""",
     "q126_privacy_behavioral" ->
       """SELECT * FROM (
            SELECT 'consent_tracking[consent]' AS validator,

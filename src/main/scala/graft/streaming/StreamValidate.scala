@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.core._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 
 /** Streaming validation runtime (reference: truthound `realtime/` —
   * modes CONTINUOUS/MICRO_BATCH/WINDOWED `realtime/base.py:36-41`, windows
@@ -95,4 +96,82 @@ object StreamValidate {
                   watermarkDelay: String): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(Seq(idCol, tsCol))
+
+  // ---- custom state (flatMapGroupsWithState) ----
+
+  final case class SeqEvent(key: String, ts: java.sql.Timestamp,
+      value: Double) {
+    /** event-time micros (getTime is ms-precision; getNanos restores the
+      * sub-ms part the parquet fixtures carry) */
+    def tsMicros: Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  }
+  final case class SeqState(lastTsMicros: Long, lastValue: Double)
+  final case class SeqViolation(key: String, tsMicros: Long, value: Double,
+      prevValue: Double)
+
+  /** Cross-batch per-key monotonicity check — the custom-state form the
+    * window/dropDuplicates built-ins can't express: each key carries its
+    * last (event-time, value) across micro-batches in `GroupState`, so a
+    * regression that straddles a batch boundary is still caught
+    * (reference `realtime/incremental.py` incremental checkpoint state).
+    *
+    * Scale contract: state is ONE small record per key, partitioned by
+    * the grouping key (the same shuffle a streaming agg pays); on a
+    * stream, idle keys are reaped via event-time timeout one watermark
+    * horizon after their last event, so state size tracks ACTIVE keys,
+    * not all-time key cardinality. Batch-legal like windowedAggregate:
+    * on a batch frame each group is processed once (equivalent to a
+    * per-key lag over (ts, value) ordering), which is how the oracle
+    * restates it. */
+  def statefulMonotonicCheck(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, watermarkDelay: String = "10 minutes")
+      : Dataset[SeqViolation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withWm =
+      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    // the watermarked timestamp ATTRIBUTE must survive to the stateful
+    // operator (a derived expression like unix_micros(ts) drops the
+    // watermark metadata and EventTimeTimeout is rejected) — alias only
+    val events = withWm
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).as("ts"),
+        col(valueCol).cast("double").as("value")).as[SeqEvent]
+    val timeoutConf =
+      if (df.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SeqState, SeqViolation](
+        OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // per-key per-batch rows are bounded; (ts, value) order makes
+            // tie handling deterministic and matches the SQL lag oracle
+            val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.value))
+            var last = state.getOption
+            val out = Seq.newBuilder[SeqViolation]
+            sorted.foreach { e =>
+              last.foreach { st =>
+                if (e.value < st.lastValue)
+                  out += SeqViolation(key, e.tsMicros, e.value, st.lastValue)
+              }
+              last = Some(SeqState(e.tsMicros, e.value))
+            }
+            last.foreach { st =>
+              state.update(st)
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
+                // anchor at max(last event, watermark): Spark rejects a
+                // timeout at or below the current watermark, which a
+                // late-but-admitted event's ts + delay could otherwise hit
+                state.setTimeoutTimestamp(
+                  math.max(st.lastTsMicros / 1000,
+                    state.getCurrentWatermarkMs()), watermarkDelay)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

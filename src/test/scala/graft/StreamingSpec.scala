@@ -102,6 +102,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 3)
   }
 
+  test("stateful monotonic check matches per-key lag on a batch frame") {
+    val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
+    val got = StreamValidate.statefulMonotonicCheck(
+      ev, "user_id", "ts", "value").count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+    val expected = ev
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("value") < col("prev")).count()
+    assert(got == expected && got > 0)
+  }
+
+  test("stateful monotonic check carries state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val stream = StreamValidate.statefulMonotonicCheck(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts", "v", "1 minute")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("mono_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: rising sequence, no violation
+    input.addData(("u1", t("2024-01-01 00:00:00"), 5.0),
+      ("u1", t("2024-01-01 00:01:00"), 7.0))
+    q.processAllAvailable()
+    assert(spark.table("mono_out").count() == 0)
+    // batch 2: drop vs batch-1 state (7.0 -> 3.0) — only state can see it
+    input.addData(("u1", t("2024-01-01 00:02:00"), 3.0))
+    q.processAllAvailable()
+    val out = spark.table("mono_out").as[StreamValidate.SeqViolation].collect()
+    q.stop()
+    assert(out.length == 1 && out.head.prevValue == 7.0 &&
+      out.head.value == 3.0)
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:03:00"), // session A
