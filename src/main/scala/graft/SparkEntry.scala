@@ -1176,17 +1176,11 @@ object SparkEntry {
         "n_agg_compare" -> QueryCheck(
           "SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('O','F','P')",
           QA.AggCompare("SELECT count(*) AS n FROM orders", "n", "equal")))
-      // the 10 checks are independent SQL mini-jobs — submit concurrently
-      // (wall = slowest check, not the sum of 10 scheduler round-trips)
-      locally {
-        import scala.concurrent.{Await, Future, ExecutionContext}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val futs = checks.map { case (label, qc) => Future {
-          val r = qc.run(s, tables)
-          (label, r.passed, r.issues.size.toLong)
-        }}
-        futs.map(f => Await.result(f, Duration.Inf))
+      // the checks are independent SQL mini-jobs — submit concurrently
+      // (wall = slowest check, not the sum of scheduler round-trips)
+      graft.core.Par.map(checks) { case (label, qc) =>
+        val r = qc.run(s, tables)
+        (label, r.passed, r.issues.size.toLong)
       }.toDF("chk", "passed", "issues").orderBy("chk")
     }),
     "q112_ml_anomaly" -> ((s, dir) => {

@@ -266,16 +266,12 @@ object SuiteRunner {
         val ds = validators.collect { case v: Validator with DedicatedScan => v }
         if (ds.isEmpty) Map.empty
         else if (config.parallelDedicated && ds.size > 1) {
-          import scala.concurrent.{Await, Future, ExecutionContext}
-          import scala.concurrent.duration.Duration
-          implicit val ec: ExecutionContext = ExecutionContext.global
-          val futs = ds.map(v => v.name -> Future {
-            try v.asInstanceOf[DedicatedScan].runScan(d, total)
+          Par.map(ds) { v =>
+            v.name -> (try v.asInstanceOf[DedicatedScan].runScan(d, total)
             catch { case e: Exception =>
               Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,
-                Severity.Critical.label, "", String.valueOf(e.getMessage))) }
-          })
-          futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+                Severity.Critical.label, "", String.valueOf(e.getMessage))) })
+          }.toMap
         } else ds.map(v => v.name ->
           (try v.asInstanceOf[DedicatedScan].runScan(d, total)
            catch { case e: Exception =>
@@ -295,10 +291,15 @@ object SuiteRunner {
             Severity.Critical.label, "", "metric computation failed")), 0L)
       else {
         val issues =
+          // schemaIssues is consulted for EVERY validator (default Nil):
+          // metric-based validators use it to report structurally-missing
+          // columns (e.g. ConsentCheck's absent consent column) that their
+          // metricExprs can only silently omit
           try v match {
             case _ if v.schemaOnly => v.schemaIssues(schema)
-            case _: DedicatedScan => dedicated.getOrElse(v.name, Nil)
-            case _                => v.evaluate(metrics, total)
+            case _: DedicatedScan =>
+              v.schemaIssues(schema) ++ dedicated.getOrElse(v.name, Nil)
+            case _ => v.schemaIssues(schema) ++ v.evaluate(metrics, total)
           } catch {
             case e: Exception =>
               Seq(ValidationIssue(v.name, "*", "execution_error", 0, total,

@@ -87,18 +87,11 @@ object Learn {
     // Submitted CONCURRENTLY (same pattern as SuiteRunner's parallel
     // dedicated scans): the jobs are independent, so wall time is the
     // slowest job, not the sum of N-1 scheduler round-trips.
-    val splitDistinct: Map[String, Long] = {
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val futs = fields.filterNot(f => fuseDistinct(f.name)).map { f =>
-        f.name -> Future {
-          df.select(col(f.name))
-            .agg(count_distinct(struct(col(f.name)))).head().getLong(0)
-        }
-      }
-      futs.map { case (n, fut) => n -> Await.result(fut, Duration.Inf) }.toMap
-    }
+    val splitDistinct: Map[String, Long] =
+      graft.core.Par.map(fields.filterNot(f => fuseDistinct(f.name)).toSeq) {
+        f => f.name -> df.select(col(f.name))
+          .agg(count_distinct(struct(col(f.name)))).head().getLong(0)
+      }.toMap
     def get[T](n: String): Option[T] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])

@@ -102,8 +102,10 @@ object StreamValidate {
   final case class SeqEvent(key: String, ts: java.sql.Timestamp,
       value: Double) {
     /** event-time micros (getTime is ms-precision; getNanos restores the
-      * sub-ms part the parquet fixtures carry) */
-    def tsMicros: Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+      * sub-ms part the parquet fixtures carry). floorDiv: truncating
+      * division would misplace pre-1970 sub-second timestamps by 1 s. */
+    def tsMicros: Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
   }
   final case class SeqState(lastTsMicros: Long, lastValue: Double)
   final case class SeqViolation(key: String, tsMicros: Long, value: Double,

@@ -22,7 +22,11 @@ final case class CustomExpressionCheck(predicate: Column, description: String,
     mostly: Double = 1.0) extends Validator {
   val name = s"custom_expression[$description]"
   val category = "query"
-  private val k = MetricKey("custom_expr_fail", "*", description)
+  // keyed by the predicate's expression string, not just the free-form
+  // description: two checks sharing a description but differing in
+  // predicate must not collide in the suite's MetricKey dedup
+  private val k = MetricKey("custom_expr_fail", "*",
+    s"$description/$predicate")
   def metricExprs(schema: StructType, stats: Metrics) =
     Seq(k -> count(when(!coalesce(predicate, lit(false)), 1)))
   def evaluate(m: Metrics, total: Long) = {
@@ -44,8 +48,10 @@ final case class ConditionalExpressionCheck(condition: Column,
     extends Validator {
   val name = s"conditional_expression[$description]"
   val category = "query"
-  private val kTrue = MetricKey("cond_expr_true", "*", description)
-  private val kFail = MetricKey("cond_expr_fail", "*", description)
+  private val kTrue = MetricKey("cond_expr_true", "*",
+    s"$description/$condition/$thenExpr")
+  private val kFail = MetricKey("cond_expr_fail", "*",
+    s"$description/$condition/$thenExpr")
   def metricExprs(schema: StructType, stats: Metrics) = Seq(
     kTrue -> count(when(condition, 1)),
     kFail -> count(when(condition && !coalesce(thenExpr, lit(false)), 1)))
@@ -71,7 +77,7 @@ final case class MultiConditionCheck(conditions: Seq[(Column, String)],
   val name = s"multi_condition[${conditions.map(_._2).mkString(", ")}]"
   val category = "query"
   private val k = MetricKey("multi_condition_fail",
-    "*", logic + "/" + conditions.map(_._2).mkString(","))
+    "*", logic + "/" + conditions.map(c => s"${c._2}=${c._1}").mkString(","))
   private def combined: Column = {
     val cs = conditions.map(c => coalesce(c._1, lit(false)))
     if (logic.toLowerCase == "and") cs.reduce(_ && _) else cs.reduce(_ || _)

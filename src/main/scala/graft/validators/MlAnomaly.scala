@@ -353,9 +353,10 @@ final case class LofCheck(columns: Seq[String], k: Int = 20,
   * wrapper): fit the ν-OCSVM on the bounded deterministic sample
   * (novelty-detection contract — train on the frame, flag rows whose
   * decision function is negative), score ALL rows distributed via the
-  * broadcast model. Closes the last documented exclusion: the RFF+
-  * subgradient solver replaces sklearn's SMO with the same decision
-  * semantics. */
+  * broadcast model. Closes the last documented exclusion: the
+  * closed-form kernel-mean solution in random-Fourier-feature space
+  * (see `fitOcsvm`) replaces sklearn's SMO with the same decision
+  * semantics on separated outliers, and deterministically. */
 final case class OneClassSvmCheck(columns: Seq[String], nu: Double = 0.05,
     sampleN: Int = 4096, dim: Int = 100)
     extends Validator with DedicatedScan {

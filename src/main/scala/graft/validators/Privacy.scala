@@ -52,7 +52,7 @@ final case class ConsentCheck(consentColumn: String, piiColumns: Seq[String],
   private def keyOf(c: String) = MetricKey("consent_violations", c, consentColumn)
   def metricExprs(schema: StructType, stats: Metrics) =
     if (!schema.fieldNames.contains(consentColumn)) Nil
-    else piiColumns.map(c =>
+    else piiColumns.filter(schema.fieldNames.contains).map(c =>
       keyOf(c) -> count(when(col(c).isNotNull && noConsent, 1)))
   def evaluate(m: Metrics, total: Long) =
     piiColumns.flatMap { c =>
@@ -152,7 +152,7 @@ final case class RightToErasureCheck(deletionFlagColumn: String,
     MetricKey("erasure_violations", c, deletionFlagColumn)
   def metricExprs(schema: StructType, stats: Metrics) =
     if (!schema.fieldNames.contains(deletionFlagColumn)) Nil
-    else piiColumns.map(c =>
+    else piiColumns.filter(schema.fieldNames.contains).map(c =>
       keyOf(c) -> count(when(flagged && col(c).isNotNull, 1)))
   def evaluate(m: Metrics, total: Long) =
     piiColumns.flatMap { c =>

@@ -75,7 +75,8 @@ object QueryAssertion {
 }
 
 object QueryCheck {
-  /** Shared relationship predicates (reference RELATIONSHIPS maps). */
+  /** Shared relationship predicates for aggregate VALUES (doubles are
+    * the honest type there — reference RELATIONSHIPS maps). */
   val relationships: Map[String, (Double, Double, Double) => Boolean] = Map(
     "equal" -> ((a, b, t) => math.abs(a - b) <= t),
     "not_equal" -> ((a, b, _) => a != b),
@@ -83,6 +84,18 @@ object QueryCheck {
     "greater_than_or_equal" -> ((a, b, _) => a >= b),
     "less_than" -> ((a, b, _) => a < b),
     "less_than_or_equal" -> ((a, b, _) => a <= b))
+
+  /** Exact relationship predicate for ROW COUNTS: Long all the way —
+    * routing counts through Double would merge values beyond 2^53. */
+  def compareCounts(a: Long, b: Long, rel: String, tol: Long): Boolean =
+    rel match {
+      case "equal"                 => math.abs(a - b) <= tol
+      case "not_equal"             => a != b
+      case "greater_than"          => a > b
+      case "greater_than_or_equal" => a >= b
+      case "less_than"             => a < b
+      case "less_than_or_equal"    => a <= b
+    }
 }
 
 /** QueryValidator / ReturnsNoRows / ReturnsRows / RowCount / Aggregate
@@ -180,19 +193,21 @@ final case class QueryCheck(sql: String, assertion: QueryAssertion,
         SqlSafety.require(baseSql)
         val nQ = result.count()
         val nBase = spark.sql(baseSql).count()
-        if (nBase == 0) Nil
-        else {
-          val ratio = nQ.toDouble / nBase
-          if (ratio < minR || ratio > maxR)
-            Seq(ValidationIssue(name, "*", "query_ratio_out_of_bounds", nQ,
-              nBase, Severity.High.label, s"[$minR,$maxR]", f"$ratio%.6f"))
-          else Nil
-        }
+        // base empty: both-empty passes (reference returns no issues on an
+        // empty table); query rows over an empty base is ratio = +inf —
+        // an upstream-load failure the max bound must catch, not a pass
+        val ratio =
+          if (nBase == 0) (if (nQ == 0) 0.0 else Double.PositiveInfinity)
+          else nQ.toDouble / nBase
+        if ((nBase > 0 || nQ > 0) && (ratio < minR || ratio > maxR))
+          Seq(ValidationIssue(name, "*", "query_ratio_out_of_bounds", nQ,
+            nBase, Severity.High.label, s"[$minR,$maxR]", f"$ratio%.6f"))
+        else Nil
       case RowCountCompare(compareSql, rel, tol) =>
         SqlSafety.require(compareSql)
         val a = result.count()
         val b = spark.sql(compareSql).count()
-        if (!QueryCheck.relationships(rel)(a.toDouble, b.toDouble, tol.toDouble))
+        if (!QueryCheck.compareCounts(a, b, rel, tol))
           Seq(ValidationIssue(name, "*", "query_count_comparison_failed",
             math.abs(a - b), 0, Severity.High.label, s"A $rel B", s"A=$a B=$b"))
         else Nil

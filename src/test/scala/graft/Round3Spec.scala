@@ -183,6 +183,51 @@ class Round3Spec extends AnyFunSuite {
     assert(r.checks.head.issues.exists(_.issueType == "gdpr_unnecessary_pii_column"))
   }
 
+  test("missing consent column surfaces as a schema issue through the suite") {
+    import graft.validators._
+    val df = Seq(("alice", 1)).toDF("pii_name", "id") // no consent column
+    val r = graft.core.SuiteRunner.run(df, Seq(
+      ConsentCheck("consent", Seq("pii_name"))),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    assert(!r.checks.head.passed)
+    assert(r.checks.head.issues.exists(_.issueType == "consent_column_missing"))
+  }
+
+  test("same-description expression checks do not collide in metric dedup") {
+    import graft.validators._
+    val df = Seq((1.0, -1.0), (2.0, -2.0), (3.0, 3.0)).toDF("a", "b")
+    val r = graft.core.SuiteRunner.run(df, Seq(
+      CustomExpressionCheck(col("a") > 0, "positive"),
+      CustomExpressionCheck(col("b") > 0, "positive")),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    val counts = r.checks.map(c => c.issues.map(_.count).sum)
+    assert(counts == Seq(0, 2)) // a: none fail; b: two fail
+  }
+
+  test("row-count compare stays exact on Long counts") {
+    import graft.validators.QueryCheck
+    // 2^53 + 1 vs 2^53: distinct as Long, equal as Double
+    val a = 9007199254740993L; val b = 9007199254740992L
+    assert(a.toDouble == b.toDouble) // the trap being guarded against
+    assert(QueryCheck.compareCounts(a, b, "not_equal", 0))
+    assert(!QueryCheck.compareCounts(a, b, "equal", 0))
+    assert(QueryCheck.compareCounts(a, b, "equal", 1))
+    assert(QueryCheck.compareCounts(a, b, "greater_than", 0))
+  }
+
+  test("row-count ratio flags rows over an empty base") {
+    import graft.validators.{QueryCheck, QueryAssertion => QA}
+    val tables = Map("t" -> Seq(("a", 1.0)).toDF("k", "v"))
+    // base empty + query rows => +inf ratio => fails the max bound
+    assert(!QueryCheck("SELECT * FROM t",
+      QA.RowCountRatioBetween("SELECT * FROM t WHERE k = 'zzz'", 0.0, 2.0))
+      .run(spark, tables).passed)
+    // both empty => passes (reference semantics on empty tables)
+    assert(QueryCheck("SELECT * FROM t WHERE k = 'zzz'",
+      QA.RowCountRatioBetween("SELECT * FROM t WHERE k = 'zzz'", 0.5, 2.0))
+      .run(spark, tables).passed)
+  }
+
   test("plugin-regulation bundles scan their patterns") {
     import graft.validators.PrivacyPolicies
     val df = Seq("patient MRN1234567 on file", "clean row")
