@@ -20,7 +20,7 @@ import graft.reporters.Reporters
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) { usage(); sys.exit(2) }
+    if (args.isEmpty) { usage(); sys.exit(2) }
     val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -113,6 +113,44 @@ object Cli {
         }
         0
 
+      case "mask" :: path :: out :: rest =>
+        // reference `truthound mask`: scan, mask every flagged column by
+        // strategy, write the masked frame
+        val df = load(spark, path)
+        val report = Pii.scan(df)
+        val strategy = argOf(rest, "--strategy").getOrElse("redact")
+        Pii.maskFlagged(df, report, strategy)
+          .write.mode("overwrite").parquet(out)
+        println(s"masked ${report.flagged.map(_.column).distinct.size} " +
+          s"column(s) [$strategy] -> $out")
+        0
+
+      case "schema-diff" :: path :: baselinePath :: _ =>
+        // reference `truthound schema-diff`: learned baseline vs current
+        val baseline = Learn.load(spark, baselinePath)
+        val result = SuiteRunner.run(load(spark, path),
+          Seq(TableSchemaCheck(baseline)),
+          SuiteRunner.Config(datasetName = path))
+        val issues = result.checks.flatMap(_.issues)
+        if (issues.isEmpty) { println("schema matches baseline"); 0 }
+        else {
+          issues.foreach(i =>
+            println(f"${i.issueType}%-24s ${i.column}%-20s " +
+              s"expected=${i.expected} actual=${i.actual}"))
+          1
+        }
+
+      case "generate-suite" :: path :: _ =>
+        // reference `truthound generate-suite`: print the auto-suite as
+        // registry check specs (the same grammar `check --checks` accepts)
+        AutoSuite.build(Learn.learn(load(spark, path)))
+          .foreach(v => println(v.describe))
+        0
+
+      case "list-validators" :: _ =>
+        ValidatorRegistry.registered.foreach(println)
+        0
+
       case _ => usage(); 2
     }
 
@@ -160,5 +198,9 @@ object Cli {
       |  profile <path>
       |  learn <path> <baseline-out>
       |  scan <path>
+      |  mask <path> <out> [--strategy redact|hash|partial]
+      |  schema-diff <path> <baseline>
+      |  generate-suite <path>
+      |  list-validators
       |  compare <pathA> <pathB> <column>""".stripMargin)
 }
