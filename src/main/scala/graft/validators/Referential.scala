@@ -292,32 +292,41 @@ final case class CascadeIntegrityCheck(rules: Seq[CascadeRule])
   val name = "cascade_integrity"
   val category = "referential"
   def run(tables: Map[String, DataFrame]): Seq[ValidationIssue] = {
-    // one count job per child TABLE, not per failing rule
-    val totals = scala.collection.mutable.Map.empty[String, Long]
-    def totalOf(t: String): Long =
-      totals.getOrElseUpdate(t, tables(t).count())
-    val perRule = rules.flatMap { r =>
-      val child = tables(r.childTable)
+    // rules are independent count jobs — submit concurrently (Par), then
+    // pay one count job per FAILING child table for the denominators
+    val ruleCounts: Seq[(CascadeRule, Long)] =
+      graft.core.Par.map(rules) { r =>
+        val child = tables(r.childTable)
+        val n = r.onDelete match {
+          case "RESTRICT" | "NO_ACTION" =>
+            val parent = tables(r.parentTable)
+              .select(r.parentKeys.map(col): _*).distinct()
+            val cond = r.childKeys.zip(r.parentKeys)
+              .map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+            child.filter(r.childKeys.map(col(_).isNotNull).reduce(_ && _))
+              .join(parent, cond, "left_anti").count()
+          case "SET_NULL" =>
+            child.filter(r.childKeys.map(col(_).isNull).reduce(_ || _)).count()
+          case _ => 0L
+        }
+        r -> n
+      }
+    val totals: Map[String, Long] = graft.core.Par.map(
+      ruleCounts.collect { case (r, n) if n > 0 => r.childTable }.distinct) {
+      t => t -> tables(t).count()
+    }.toMap
+    val perRule = ruleCounts.flatMap { case (r, n) =>
       r.onDelete match {
-        case "RESTRICT" | "NO_ACTION" =>
-          val parent = tables(r.parentTable)
-            .select(r.parentKeys.map(col): _*).distinct()
-          val cond = r.childKeys.zip(r.parentKeys)
-            .map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
-          val n = child
-            .filter(r.childKeys.map(col(_).isNotNull).reduce(_ && _))
-            .join(parent, cond, "left_anti").count()
-          if (n > 0) Seq(issue(r.childKeys.mkString(","),
-            "cascade_restrict_violation", n, totalOf(r.childTable),
+        case "RESTRICT" | "NO_ACTION" if n > 0 =>
+          Seq(issue(r.childKeys.mkString(","),
+            "cascade_restrict_violation", n, totals(r.childTable),
             Severity.Critical,
-            expected = s"no orphans in ${r.childTable} (RESTRICT)")) else Nil
-        case "SET_NULL" =>
-          val n = child.filter(
-            r.childKeys.map(col(_).isNull).reduce(_ || _)).count()
-          if (n > 0) Seq(issue(r.childKeys.mkString(","),
-            "cascade_set_null_detected", n, totalOf(r.childTable),
+            expected = s"no orphans in ${r.childTable} (RESTRICT)"))
+        case "SET_NULL" if n > 0 =>
+          Seq(issue(r.childKeys.mkString(","),
+            "cascade_set_null_detected", n, totals(r.childTable),
             Severity.Low,
-            expected = "NULL FKs indicate deleted parents")) else Nil
+            expected = "NULL FKs indicate deleted parents"))
         case _ => Nil
       }
     }
