@@ -144,6 +144,51 @@ object GraftProps extends Properties("graft") {
       r(0).getBoolean(0) && !r(1).getBoolean(0)
     }
 
+  property("pointer-doubled depths equal naive BFS on random parent graphs") =
+    forAll(Gen.choose(10, 80).flatMap { n =>
+      // arbitrary parent function: root (null), valid id, self-loop, or a
+      // dangling id outside the node set — every edge case at once
+      Gen.listOfN(n, Gen.frequency(
+        2 -> Gen.const(-1L),                  // root
+        8 -> Gen.choose(0L, n.toLong - 1),    // some node (cycles possible)
+        1 -> Gen.const(-2L),                  // self (marker)
+        1 -> Gen.const(9999L)))               // dangling
+    }) { parents =>
+      val n = parents.length
+      val maxDepth = 16
+      val rows = parents.zipWithIndex.map { case (p, i) =>
+        val parent: Option[Long] =
+          if (p == -1L) None
+          else if (p == -2L) Some(i.toLong)
+          else Some(p)
+        (i.toLong, parent)
+      }
+      // driver-side naive reference: bounded parent walk per node
+      val parentOf = rows.toMap
+      def depthOf(id: Long): Int = {
+        var cur = id
+        var steps = 0 // edges traversed so far
+        while (steps <= maxDepth) {
+          parentOf.get(cur) match {
+            case None => return -1 // dangling: cur is not a node
+            case Some(None) => // cur is a root
+              return if (steps + 1 <= maxDepth) steps + 1 else -1
+            case Some(Some(p)) => cur = p; steps += 1
+          }
+        }
+        -1 // cycle or depth beyond the cap: the walk never terminated
+      }
+      val expected = rows.map(r => depthOf(r._1)).filter(_ > 0)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val unreached = n.toLong - expected.values.sum
+      val expectedHist =
+        if (unreached > 0) expected + (-1 -> unreached) else expected
+      val got = graft.validators.Hierarchy
+        .depthHistogram(rows.toDF("id", "parent"), "id", "parent", maxDepth)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      got == expectedHist
+    }
+
   property("SeqScan long path equals window count on random integer walks") =
     forAll(Gen.listOfN(200, Gen.choose(-5L, 50L))) { steps =>
       val rows = steps.zipWithIndex.map { case (dv, i) =>
