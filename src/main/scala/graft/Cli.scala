@@ -21,6 +21,12 @@ import graft.reporters.Reporters
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
+    // session-free commands answer instantly — no SparkSession startup
+    args.toList match {
+      case "list-validators" :: _ =>
+        ValidatorRegistry.registered.foreach(println); sys.exit(0)
+      case _ => ()
+    }
     val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -141,14 +147,23 @@ object Cli {
         }
 
       case "generate-suite" :: path :: _ =>
-        // reference `truthound generate-suite`: print the auto-suite as
-        // registry check specs (the same grammar `check --checks` accepts)
-        AutoSuite.build(Learn.learn(load(spark, path)))
-          .foreach(v => println(v.describe))
-        0
-
-      case "list-validators" :: _ =>
-        ValidatorRegistry.registered.foreach(println)
+        // reference `truthound generate-suite`: emit the auto-suite in
+        // EXACTLY the grammar `check --checks` accepts, so the output
+        // round-trips: graft.Cli check <path> --checks "$(generate-suite)"
+        val baseline = Learn.learn(load(spark, path))
+        val specs = AutoSuite.decisions(baseline).map {
+          case AutoSuite.Decision(c, "null") =>
+            val r = baseline(c).nullRatio
+            if (r > 0) f"null:$c:$r%.6f" else s"null:$c"
+          case AutoSuite.Decision(c, "range") =>
+            val b = baseline(c)
+            s"range:$c:${b.min.getOrElse("0")}:${b.max.getOrElse("0")}"
+          case AutoSuite.Decision(c, "type")   => s"type:$c:0.0"
+          case AutoSuite.Decision(c, "unique") => s"unique:$c"
+          case AutoSuite.Decision(c, other) =>
+            throw new IllegalStateException(s"unmapped decision $other")
+        }
+        println(specs.mkString(";"))
         0
 
       case _ => usage(); 2
@@ -160,6 +175,9 @@ object Cli {
       s.split(":").toList match {
         case "null" :: cols :: Nil =>
           ValidatorRegistry.create("null", Map("columns" -> cols))
+        case "null" :: cols :: ratio :: Nil =>
+          ValidatorRegistry.create("null",
+            Map("columns" -> cols, "max_null_ratio" -> ratio))
         case "unique" :: cols :: Nil =>
           ValidatorRegistry.create("unique", Map("columns" -> cols))
         case "range" :: c :: lo :: hi :: Nil =>
@@ -170,6 +188,9 @@ object Cli {
           ValidatorRegistry.create("format", Map("column" -> c, "format" -> f))
         case "type" :: c :: Nil =>
           ValidatorRegistry.create("type", Map("column" -> c))
+        case "type" :: c :: minRatio :: Nil =>
+          ValidatorRegistry.create("type",
+            Map("column" -> c, "min_ratio" -> minRatio))
         case other =>
           throw new IllegalArgumentException(s"bad check spec: $s")
       }

@@ -60,14 +60,21 @@ object Pii {
     val pats = if (selected.nonEmpty) patterns.view.filterKeys(selected.contains).toMap
                else patterns
     if (cols.isEmpty || pats.isEmpty) return PiiReport(Nil)
+    // several regulations share a regex shape (sa_id_za/thai_id are both
+    // 13 digits, aadhaar_in/my_number_jp both 12): aggregate once per
+    // DISTINCT regex and fan the count out to every pattern name, so the
+    // fused scan never computes duplicate rlike aggregates
+    val regexRep: Map[String, String] = pats.toSeq.groupBy(_._2)
+      .map { case (regex, named) => regex -> named.map(_._1).min }
     val aggs: Seq[Column] = count(lit(1)).as("__n") +:
-      (for { c <- cols; (pn, p) <- pats.toSeq }
-        yield count(when(col(c).isNotNull && col(c).rlike(p), 1))
-          .as(s"${c}__$pn")).toSeq
+      (for { c <- cols; (regex, rep) <- regexRep.toSeq }
+        yield count(when(col(c).isNotNull && col(c).rlike(regex), 1))
+          .as(s"${c}__$rep")).toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__n")
     PiiReport(for { c <- cols; pn <- pats.keys.toSeq.sorted }
-      yield PiiHit(c, pn, row.getAs[Long](s"${c}__$pn"), total))
+      yield PiiHit(c, pn,
+        row.getAs[Long](s"${c}__${regexRep(pats(pn))}"), total))
   }
 
   // ---- maskers ----
@@ -97,18 +104,25 @@ object Pii {
     }
   }
 
-  /** Mask all columns flagged by a scan, by strategy name. */
+  /** Mask all columns flagged by a scan, by strategy name. Unknown
+    * strategies are rejected — a typo must not silently fall back to a
+    * different masking guarantee. */
   def maskFlagged(df: DataFrame, report: PiiReport,
-                  strategy: String = "redact"): DataFrame =
+                  strategy: String = "redact"): DataFrame = {
+    require(Seq("redact", "hash", "partial").contains(strategy),
+      s"unknown mask strategy: $strategy (redact|hash|partial)")
     report.flagged.map(_.column).distinct.foldLeft(df) { (d, c) =>
       val masked = strategy match {
         case "hash"    => hashMask(col(c))
         case "partial" => partialMask(col(c))
-        case _ =>
-          report.flagged.filter(_.column == c).foldLeft(col(c)) { (cc, hit) =>
-            regexp_replace(cc, patterns(hit.pattern), "[REDACTED]")
-          }
+        case "redact" =>
+          // one replace per DISTINCT regex (shared shapes fold together)
+          report.flagged.filter(_.column == c).map(h => patterns(h.pattern))
+            .distinct.foldLeft(col(c)) { (cc, regex) =>
+              regexp_replace(cc, regex, "[REDACTED]")
+            }
       }
       d.withColumn(c, masked)
     }
+  }
 }

@@ -135,9 +135,11 @@ object StreamValidate {
     // the watermarked timestamp ATTRIBUTE must survive to the stateful
     // operator (a derived expression like unix_micros(ts) drops the
     // watermark metadata and EventTimeTimeout is rejected) — alias only
+    // filter on the CASTED value: a non-null, non-numeric cell casts to
+    // null and would crash the encoder's non-nullable Double field
     val events = withWm
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(valueCol).cast("double").isNotNull)
       .select(col(keyCol).cast("string").as("key"),
         col(tsCol).as("ts"),
         col(valueCol).cast("double").as("value")).as[SeqEvent]
@@ -156,11 +158,19 @@ object StreamValidate {
             var last = state.getOption
             val out = Seq.newBuilder[SeqViolation]
             sorted.foreach { e =>
-              last.foreach { st =>
-                if (e.value < st.lastValue)
-                  out += SeqViolation(key, e.tsMicros, e.value, st.lastValue)
+              last match {
+                // late-but-admitted event (event time BEFORE the carried
+                // state): skip — comparing it against later state would
+                // fabricate a violation the event-time lag order doesn't
+                // have, and regressing the state would mask a real one
+                case Some(st) if e.tsMicros < st.lastTsMicros => ()
+                case Some(st) =>
+                  if (e.value < st.lastValue)
+                    out += SeqViolation(key, e.tsMicros, e.value, st.lastValue)
+                  last = Some(SeqState(e.tsMicros, e.value))
+                case None =>
+                  last = Some(SeqState(e.tsMicros, e.value))
               }
-              last = Some(SeqState(e.tsMicros, e.value))
             }
             last.foreach { st =>
               state.update(st)

@@ -215,7 +215,8 @@ object ValidatorRegistry {
     p.getOrElse("group", "").split(",").filter(_.nonEmpty).toSeq,
     p("columns").split(",").toSeq))
   register("type")(p => InferredTypeCheck(p("column"),
-    p.getOrElse("expect", "numeric")))
+    p.getOrElse("expect", "numeric"),
+    p.getOrElse("min_ratio", "0.95").toDouble))
   register("range")(p => RangeCheck(p("column"),
     p.get("min").map(_.toDouble), p.get("max").map(_.toDouble)))
   register("outlier")(p => IqrOutlierCheck(p("column"),

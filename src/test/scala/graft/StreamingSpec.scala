@@ -139,6 +139,30 @@ class StreamingSpec extends AnyFunSuite {
       out.head.value == 3.0)
   }
 
+  test("late-admitted events neither fabricate violations nor regress state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val stream = StreamValidate.statefulMonotonicCheck(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts", "v", "10 minutes")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(("u1", t("2024-01-01 00:10:00"), 10.0))
+    q.processAllAvailable()
+    // late event (00:05 < state's 00:10), admitted by the 10-min watermark:
+    // 8 < 10 must NOT be flagged (event-time order has 8 BEFORE 10)
+    input.addData(("u1", t("2024-01-01 00:05:00"), 8.0))
+    q.processAllAvailable()
+    assert(spark.table("late_out").count() == 0)
+    // and state must still be (00:10, 10): 9 at 00:15 IS a violation
+    input.addData(("u1", t("2024-01-01 00:15:00"), 9.0))
+    q.processAllAvailable()
+    val out = spark.table("late_out").as[StreamValidate.SeqViolation].collect()
+    q.stop()
+    assert(out.length == 1 && out.head.prevValue == 10.0)
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:03:00"), // session A
