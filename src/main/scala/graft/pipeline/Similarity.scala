@@ -161,29 +161,37 @@ object Ivf {
     centroids
   }
 
-  /** Squared distance from a vector column to a literal centroid. */
-  private def dist2(vec: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(vec.cast("array<double>"),
-      array(centroid.map(lit).toIndexedSeq: _*),
-      (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
+  /** Squared distances from a vector column to EVERY centroid, as one
+    * array column. The centroid matrix ships as a single 2-D array
+    * literal (`typedlit`) and the loop is `transform`/`zip_with` — the
+    * expression tree is constant-size regardless of nlist × dim, where
+    * per-centroid literal arrays made codegen compile time grow with the
+    * quantizer (nlist=16, d=64 was ~6k nodes and ~1 s of janino per
+    * fresh plan; nlist=4096 at cluster scale would be impossible). */
+  private def dist2All(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    transform(cents, c =>
+      aggregate(zip_with(vec.cast("array<double>"), c,
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+  }
 
-  /** Nearest-centroid cell id as a pure Column (argmin via least-of-
-    * structs, ties to the lower id). `least` needs two arguments — a
-    * degenerate single-cell quantizer is constant 0. */
+  /** Nearest-centroid cell id as a pure Column (argmin; ties to the
+    * lower id via array_position's first-occurrence semantics). */
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.length == 1) lit(0)
-    else least(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vec, c).as("d"), lit(i).as("i"))
-    }.toIndexedSeq: _*).getField("i")
+    else {
+      val d = dist2All(vec, centroids)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
 
   /** The query's `nprobe` nearest cell ids (array column). */
   def probeCells(vec: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column =
     if (centroids.length == 1) array(lit(0))
     else {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("i"))
-      }.toIndexedSeq: _*)
+      val scored = zip_with(dist2All(vec, centroids),
+        sequence(lit(0), lit(centroids.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))
       transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
     }
 
