@@ -1243,6 +1243,59 @@ object SparkEntry {
       r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
+    "q128_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (GPT-3/LLaMA style): 13-gram overlap +
+      // exact-match vs an eval set built from the corpus's own first ten
+      // docs, so every planted doc must be flagged and DuckDB can restate
+      // the whole overlap computation
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+      val flagged = graft.pipeline.Dedup.contaminatedIds(
+        docs, "doc_id", "text", bench, "text")
+      val f = flagged.agg(count(lit(1)).as("n"),
+        cnt(col("doc_id") < 10).as("p")).head()
+      // survivors = total − contaminated by construction (decontaminate
+      // is the anti-join on exactly this id set) — no second overlap pass
+      Seq((f.getLong(0), f.getLong(1), docs.count() - f.getLong(0)))
+        .toDF("contaminated", "planted_flagged", "survivors")
+    }),
+    "q129_gopher_repetition" -> ((s, dir) => {
+      // Gopher repetition + quality filters (Rae et al. 2021): duplicate
+      // 3-gram fraction and published-threshold flag counts, one scan
+      import graft.pipeline.{Text => T}
+      table(s, dir, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("__flags", T.gopherFlags(col("text"), col("__toks")))
+        .agg(
+          round(avg(T.duplicateNgramFractionOf(col("__toks"), 3)), 6)
+            .as("avg_dup3"),
+          cnt(!col("__flags.word_count_ok")).as("bad_wordcount"),
+          cnt(!col("__flags.stopwords_ok")).as("bad_stopwords"),
+          cnt(!col("__flags.mean_word_len_ok")).as("bad_wordlen"))
+    }),
+    "q130_domain_mix" -> ((s, dir) => {
+      // deterministic stratified domain mixing: weighted sources keep
+      // ~50% (hash-decided, zero shuffles), unlisted sources keep all;
+      // the exact kept-set is a pure function of (id, seed) so a second
+      // run must reproduce it row-for-row
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val weights = (0 until 10).map(i => s"src$i" -> 0.5).toMap
+      def mix() = graft.pipeline.Curate(docs, "doc_id", "text")
+        .mixDomains("source", weights).df
+      val weighted = col("source").isin(weights.keys.toSeq: _*)
+      val m1 = mix()
+      val keptW = m1.filter(weighted).count()
+      val keptU = m1.filter(!weighted).count()
+      val totW = docs.filter(weighted).count()
+      val totU = docs.filter(!weighted).count()
+      val frac = keptW.toDouble / totW
+      Seq((keptU == totU, frac > 0.3 && frac < 0.7,
+          mix().filter(weighted).count() == keptW))
+        .toDF("unweighted_kept_all", "weighted_frac_in_band",
+          "deterministic")
+    }),
     "q127_stateful_monotonic" -> ((s, dir) => {
       // flatMapGroupsWithState custom-state operator, batch-legal form:
       // per-key cross-batch monotonicity (equivalent to lag over
@@ -2216,6 +2269,54 @@ object SparkEntry {
     "q124_ocsvm" ->
       """SELECT CAST(5 AS BIGINT) AS planted_flagged,
            TRUE AS base_rate_sane""",
+    "q128_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         tk AS (SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM t),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13
+             THEN []::VARCHAR[]
+             ELSE list_transform(range(1, greatest(len(toks) - 11, 1)),
+               i -> array_to_string(toks[i:i+12], ' ')) END) AS gram
+           FROM tk),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         bfp AS (SELECT DISTINCT md5(norm) AS fp FROM tk WHERE doc_id < 10),
+         cont AS (SELECT DISTINCT doc_id FROM (
+           SELECT doc_id FROM g WHERE gram IN (SELECT gram FROM bg)
+           UNION ALL
+           SELECT doc_id FROM tk WHERE md5(norm) IN (SELECT fp FROM bfp)))
+         SELECT count(*) AS contaminated,
+           count(*) FILTER (WHERE doc_id < 10) AS planted_flagged,
+           (SELECT count(*) FROM documents) - count(*) AS survivors
+         FROM cont""",
+    "q129_gopher_repetition" ->
+      """WITH t AS (
+           SELECT string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+             AS toks
+           FROM documents),
+         g AS (SELECT toks, CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+             ELSE list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+           FROM t)
+         SELECT
+           round(avg(CASE WHEN len(grams) = 0 THEN 0
+             ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END), 6)
+             AS avg_dup3,
+           count(*) FILTER (WHERE NOT
+             (len(toks) BETWEEN 50 AND 100000)) AS bad_wordcount,
+           count(*) FILTER (WHERE NOT (len(list_filter(
+             ['the','be','to','of','and','that','have','with'],
+             s -> list_contains(toks, s))) >= 2)) AS bad_stopwords,
+           count(*) FILTER (WHERE NOT (CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_aggregate(list_transform(toks, w -> length(w)),
+               'sum') * 1.0 / len(toks) END BETWEEN 3.0 AND 10.0))
+             AS bad_wordlen
+         FROM g""",
+    "q130_domain_mix" ->
+      """SELECT TRUE AS unweighted_kept_all,
+           TRUE AS weighted_frac_in_band, TRUE AS deterministic""",
     "q127_stateful_monotonic" ->
       """WITH x AS (
            SELECT user_id, value,

@@ -59,6 +59,39 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"dedup_near>=$threshold${if (useLsh) "(lsh)" else ""}")
   }
 
+  /** Benchmark decontamination: drop documents sharing any 13-gram (or
+    * an exact normalized match) with the eval set. */
+  def decontaminate(benchmark: DataFrame, benchTextCol: String,
+      n: Int = 13): Curate =
+    copy(df = Dedup.decontaminate(df, idCol, textCol, benchmark,
+      benchTextCol, n),
+      stages = stages :+ s"decontaminate($n-gram)")
+
+  /** Gopher repetition filter: drop documents whose duplicate word
+    * n-gram fraction exceeds the threshold (Rae et al. 2021). */
+  def maxRepetition(threshold: Double, n: Int = 3): Curate =
+    copy(df = df.withColumn("__toks", Text.tokens(col(textCol)))
+      .filter(Text.duplicateNgramFractionOf(col("__toks"), n) <= threshold)
+      .drop("__toks"),
+      stages = stages :+ s"dup_${n}gram<=$threshold")
+
+  /** Deterministic stratified domain mixing: keep each row with its
+    * source's target probability, decided by a seeded hash of the id —
+    * identical sample on every run/cluster (no RNG, no partition-layout
+    * dependence), executed as a scan-speed filter with zero shuffles.
+    * Sources absent from `weights` default to keep-all. */
+  def mixDomains(sourceCol: String, weights: Map[String, Double],
+      seed: Long = 42L): Curate = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be keep-probabilities in [0,1]")
+    val m = typedlit(weights)
+    val keepP = coalesce(element_at(m, col(sourceCol)), lit(1.0))
+    copy(df = df.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") <
+        keepP * 1000000.0),
+      stages = stages :+ s"mix(${weights.size} sources)")
+  }
+
   /** Summary metrics of the surviving corpus (one aggregate). */
   def summary: DataFrame =
     df.agg(

@@ -181,4 +181,44 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  // ---- benchmark decontamination ----
+
+  /** Corpus documents contaminated by a benchmark/eval set: any shared
+    * word n-gram (n = 13, the published GPT-3/LLaMA decontamination
+    * shingle size) OR an exact normalized-content match (covers docs
+    * shorter than n words, which have no shingles).
+    *
+    * Scale shape: the benchmark side is distinct n-gram HASHES — small by
+    * definition (eval sets, not corpora) — and is broadcast; the corpus
+    * explodes to (id, gram-hash) at scan speed and semi-joins, so the
+    * 100 TB side never shuffles more than its own shingle stream and the
+    * output is just the distinct contaminated ids. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val bGrams = benchmark
+      .withColumn("__toks", Text.tokens(col(benchTextCol)))
+      .select(explode(Text.shinglesOf(col("__toks"), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val byGram = corpus
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol), explode(Text.shinglesOf(col("__toks"), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(broadcast(bGrams), Seq("gh"), "left_semi")
+      .select(col(idCol))
+    val bFp = benchmark.select(Text.fingerprint(col(benchTextCol)).as("fp"))
+      .distinct()
+    val byExact = corpus
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(bFp), Seq("fp"), "left_semi")
+      .select(col(idCol))
+    byGram.unionAll(byExact).distinct()
+  }
+
+  /** Remove contaminated documents (anti-join on the flagged id set). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n),
+      Seq(idCol), "left_anti")
 }

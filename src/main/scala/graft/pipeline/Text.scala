@@ -131,6 +131,48 @@ object Text {
 
   def languageId(c: Column): Column = languageIdOf(c, tokens(c))
 
+  // ---- repetition / Gopher quality filters ----
+
+  /** Fraction of repeated word n-grams within a document (the Gopher
+    * repetition filters, Rae et al. 2021 — repeated 2..4-grams signal
+    * boilerplate/spam): 1 − distinct/total over the shingle set; empty
+    * shingle set (doc shorter than n words) scores 0. Takes a
+    * MATERIALIZED token column (see shinglesOf's CSE note). */
+  def duplicateNgramFractionOf(toks: Column, n: Int = 3): Column = {
+    val g = shinglesOf(toks, n)
+    when(size(g) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  def duplicateNgramFraction(c: Column, n: Int = 3): Column =
+    duplicateNgramFractionOf(tokens(c), n)
+
+  /** Gopher document-quality flags (Rae et al. 2021, Appendix A1 —
+    * published thresholds): a struct of booleans, TRUE = passes. All
+    * codegen'd Column arithmetic over one materialized token array.
+    *  - word_count in [50, 100 000]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio (# or …) <= 0.1
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 distinct required stopwords present */
+  def gopherFlags(raw: Column, toks: Column): Column = {
+    val wc = size(toks)
+    val mwl = when(wc === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / wc)
+    val symbols = regexp_count(raw, lit("#|\\.\\.\\.")).cast("double")
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
+    val requiredStop = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val stopHits = size(filter(typedlit(requiredStop),
+      s => array_contains(toks, s)))
+    struct(
+      (wc >= 50 && wc <= 100000).as("word_count_ok"),
+      (mwl >= 3.0 && mwl <= 10.0).as("mean_word_len_ok"),
+      (wc > 0 && symbols / wc <= 0.1).as("symbol_ratio_ok"),
+      (wc > 0 && alphaWords.cast("double") / wc >= 0.8).as("alpha_ratio_ok"),
+      (stopHits >= 2).as("stopwords_ok"))
+  }
+
   // ---- fingerprinting ----
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
   def fingerprint(c: Column): Column = md5(normalize(c))

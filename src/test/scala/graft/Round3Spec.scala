@@ -240,6 +240,56 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags n-gram overlap and short exact copies") {
+    import graft.pipeline.Dedup
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words),                       // contains the benchmark 13-gram
+      (2L, "totally unrelated content here"),
+      (3L, "short exact copy"),          // < 13 words, exact match path
+      (4L, (100 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1 to 13).map(i => s"w$i").mkString(" "), // 13-gram prefix of doc 1
+      "short exact copy").toDF("text")
+    val flagged = Dedup.contaminatedIds(corpus, "doc_id", "text",
+      bench, "text").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L))
+    assert(Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
+  test("duplicate n-gram fraction detects repetition") {
+    import graft.pipeline.{Text => T}
+    val df = Seq(
+      "spam spam spam spam spam spam",         // all 3-grams identical
+      "one two three four five six seven")     // all distinct
+      .toDF("text").withColumn("__toks", T.tokens(col("text")))
+    val fr = df.select(round(
+      T.duplicateNgramFractionOf(col("__toks"), 3), 4)).collect()
+      .map(_.getDouble(0))
+    assert(fr(0) == 0.75)  // 4 grams, 1 distinct
+    assert(fr(1) == 0.0)
+    // gopher flags shape: stopword-free spam fails stopwords_ok
+    val flags = df.select(T.gopherFlags(col("text"), col("__toks"))
+      .as("f")).select(col("f.stopwords_ok")).collect()
+    assert(flags.forall(!_.getBoolean(0)))
+  }
+
+  test("domain mixing is deterministic and respects weights") {
+    import graft.pipeline.Curate
+    val docs = (1 to 2000).map(i => (i.toLong, s"text $i",
+      if (i % 2 == 0) "heavy" else "light")).toDF("doc_id", "text", "source")
+    def kept() = Curate(docs, "doc_id", "text")
+      .mixDomains("source", Map("heavy" -> 0.25)).df
+    val k1 = kept().collect().map(_.getLong(0)).toSet
+    val k2 = kept().collect().map(_.getLong(0)).toSet
+    assert(k1 == k2) // same hash decisions every run
+    val heavyKept = k1.count(_ % 2 == 0)
+    assert(heavyKept > 150 && heavyKept < 350, s"heavy kept $heavyKept")
+    assert(k1.count(_ % 2 == 1) == 1000) // unlisted source keeps all
+  }
+
   test("ocsvm registry entry constructs and runs") {
     val v = graft.validators.ValidatorRegistry.create("one_class_svm",
       Map("columns" -> "x,y", "nu" -> "0.05"))
