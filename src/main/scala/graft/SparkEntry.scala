@@ -1286,13 +1286,13 @@ object SparkEntry {
         .mixDomains("source", weights).df
       val weighted = col("source").isin(weights.keys.toSeq: _*)
       val m1 = mix()
-      val keptW = m1.filter(weighted).count()
-      val keptU = m1.filter(!weighted).count()
-      val totW = docs.filter(weighted).count()
-      val totU = docs.filter(!weighted).count()
-      val frac = keptW.toDouble / totW
-      Seq((keptU == totU, frac > 0.3 && frac < 0.7,
-          mix().filter(weighted).count() == keptW))
+      // one fused aggregate per frame, not one count job per predicate
+      val k = m1.agg(cnt(weighted).as("w"), cnt(!weighted).as("u")).head()
+      val t = docs.agg(cnt(weighted).as("w"), cnt(!weighted).as("u")).head()
+      val (keptW, keptU) = (k.getLong(0), k.getLong(1))
+      val frac = keptW.toDouble / t.getLong(0)
+      Seq((keptU == t.getLong(1), frac > 0.3 && frac < 0.7,
+          mix().agg(cnt(weighted)).head().getLong(0) == keptW))
         .toDF("unweighted_kept_all", "weighted_frac_in_band",
           "deterministic")
     }),

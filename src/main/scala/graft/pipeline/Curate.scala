@@ -79,16 +79,24 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     * source's target probability, decided by a seeded hash of the id —
     * identical sample on every run/cluster (no RNG, no partition-layout
     * dependence), executed as a scan-speed filter with zero shuffles.
-    * Sources absent from `weights` default to keep-all. */
+    * Sources absent from `weights` default to keep-all.
+    *
+    * The hash is salted with the source column AND this stage's position
+    * in the pipeline: without the salt, two hash-sampled stages keyed on
+    * the same (id, seed) are perfectly correlated — chaining two 0.5
+    * mixes would keep 50%, not 25%, because the second filter repeats
+    * the first's exact predicate. Same (data, seed, stage position) ⇒
+    * same sample, so reproducibility is preserved. */
   def mixDomains(sourceCol: String, weights: Map[String, Double],
       seed: Long = 42L): Curate = {
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       "weights must be keep-probabilities in [0,1]")
     val m = typedlit(weights)
     val keepP = coalesce(element_at(m, col(sourceCol)), lit(1.0))
+    val h = xxhash64(col(idCol), col(sourceCol), lit(seed),
+      lit(stages.length))
     copy(df = df.filter(
-      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") <
-        keepP * 1000000.0),
+      pmod(h, lit(1000000L)).cast("double") < keepP * 1000000.0),
       stages = stages :+ s"mix(${weights.size} sources)")
   }
 

@@ -53,12 +53,22 @@ object Text {
     when(length(c) === 0, 0.0)
       .otherwise(regexp_count(c, lit("[A-Z]")).cast("double") / length(c))
 
-  def meanWordLength(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, 0.0)
-      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w))
-        .cast("double") / size(t))
+  /** Mean word length over a MATERIALIZED token array (the *Of-variant
+    * convention — see shinglesOf). Empty-text token arrays are [""] from
+    * split, so the word count excludes empty tokens. */
+  def meanWordLengthOf(toks: Column): Column = {
+    val wc = wordCountOf(toks)
+    when(wc === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / wc)
   }
+
+  def meanWordLength(c: Column): Column = meanWordLengthOf(tokens(c))
+
+  /** Non-empty token count: `split("", " ")` yields [""] (one empty
+    * token), so size() alone reports 1 word for an empty document. */
+  def wordCountOf(toks: Column): Column =
+    size(filter(toks, w => w =!= ""))
 
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it", "that", "for", "on", "with", "as")
@@ -156,9 +166,11 @@ object Text {
     *  - >= 80% of words contain an alphabetic character
     *  - >= 2 distinct required stopwords present */
   def gopherFlags(raw: Column, toks: Column): Column = {
-    val wc = size(toks)
-    val mwl = when(wc === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / wc)
+    // non-empty word count: size(toks) alone is 1 for an empty document
+    // ([""] from split), which would make every wc-guard dead and let
+    // symbol_ratio_ok pass zero-word docs
+    val wc = wordCountOf(toks)
+    val mwl = meanWordLengthOf(toks)
     val symbols = regexp_count(raw, lit("#|\\.\\.\\.")).cast("double")
     val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
     val requiredStop = Seq("the", "be", "to", "of", "and", "that",

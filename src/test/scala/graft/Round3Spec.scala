@@ -288,6 +288,13 @@ class Round3Spec extends AnyFunSuite {
     val heavyKept = k1.count(_ % 2 == 0)
     assert(heavyKept > 150 && heavyKept < 350, s"heavy kept $heavyKept")
     assert(k1.count(_ % 2 == 1) == 1000) // unlisted source keeps all
+    // chained mixes compose: the stage-position salt decorrelates the
+    // hash decisions, so two 0.5 mixes keep ~25%, not ~50%
+    val twice = Curate(docs, "doc_id", "text")
+      .mixDomains("source", Map("heavy" -> 0.5))
+      .mixDomains("source", Map("heavy" -> 0.5))
+      .df.filter(col("source") === "heavy").count()
+    assert(twice > 150 && twice < 350, s"chained kept $twice of 1000")
   }
 
   test("ocsvm registry entry constructs and runs") {
