@@ -92,4 +92,85 @@ object Reporters {
     Files.writeString(dir.resolve("report.html"), html(r))
     dir.toString
   }
+
+  /** Data-docs profile page (reference `datadocs/` builder): one static
+    * HTML page rendered from a learned baseline — table stats plus a
+    * card per column. Pure string rendering, no engine coupling. */
+  def dataDocs(tableName: String,
+      baseline: graft.profiler.TableBaseline): String = {
+    def hesc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    def od(v: Option[Double]): String = v.map(d => f"$d%.4f").getOrElse("—")
+    def os(v: Option[String]): String = v.map(hesc).getOrElse("—")
+    val cards = baseline.columns.map { c =>
+      val vals = c.allowedValues.map(_.take(20).map(hesc)
+        .mkString("<div class=\"vals\">", ", ", "</div>")).getOrElse("")
+      s"""<div class="card"><h3>${hesc(c.name)} <small>${hesc(c.dtype)}</small></h3>
+         |<table>
+         |<tr><td>nulls</td><td>${c.nullCount} (${f"${c.nullRatio * 100}%.2f"}%)</td></tr>
+         |<tr><td>distinct</td><td>${c.distinctCount} (uniq ${f"${c.uniqueRatio * 100}%.2f"}%)</td></tr>
+         |<tr><td>min / max</td><td>${os(c.min)} / ${os(c.max)}</td></tr>
+         |<tr><td>mean ± std</td><td>${od(c.mean)} ± ${od(c.std)}</td></tr>
+         |<tr><td>q25 / q50 / q75</td><td>${od(c.q25)} / ${od(c.q50)} / ${od(c.q75)}</td></tr>
+         |${c.minLength.map(l => s"<tr><td>len</td><td>$l–${c.maxLength.getOrElse(l)}</td></tr>").getOrElse("")}
+         |</table>$vals</div>""".stripMargin
+    }.mkString("\n")
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>Data docs — ${hesc(tableName)}</title>
+       |<style>body{font-family:sans-serif;margin:2em}
+       |.card{display:inline-block;vertical-align:top;margin:8px;padding:8px 12px;
+       |border:1px solid #ccc;border-radius:6px}
+       |.card table{border-collapse:collapse}.card td{padding:2px 8px}
+       |.vals{max-width:320px;color:#666;font-size:90%}
+       |small{color:#888}</style></head><body>
+       |<h1>${hesc(tableName)}</h1>
+       |<p>${baseline.rowCount} rows · ${baseline.columns.size} columns</p>
+       |$cards</body></html>""".stripMargin
+  }
+}
+
+/** Audit trail (reference `audit/` — AuditEvent + JSONL storage +
+  * filters, 8 classes distilled): append-only JSONL of validation-run
+  * events with actor/outcome/severity, plus a predicate reader. Events
+  * are driver-side metadata (bytes per run, not per row) — file IO is
+  * the honest medium, exactly like the reference's file storage
+  * backend. */
+object AuditLog {
+  final case class AuditEvent(timestampMs: Long, eventType: String,
+      dataset: String, actor: String, outcome: String, severity: String,
+      detail: String)
+
+  def record(path: String, e: AuditEvent): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val line = s"""{"ts":${e.timestampMs},"event":"${e.eventType}",""" +
+      s""""dataset":"${e.dataset}","actor":"${e.actor}",""" +
+      s""""outcome":"${e.outcome}","severity":"${e.severity}",""" +
+      s""""detail":"${e.detail.replace("\"", "'")}"}""" + "\n"
+    Files.writeString(p, line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Record a validation run's outcome (the reference's
+    * VALIDATION_COMPLETED event shape). */
+  def recordRun(path: String, r: ValidationRunResult,
+      actor: String = "graft", nowMs: Long = System.currentTimeMillis())
+      : Unit =
+    record(path, AuditEvent(nowMs, "validation_completed", r.dataset,
+      actor, if (r.passed) "success" else "failure",
+      if (r.passed) "info" else "warning",
+      s"checks=${r.checks.size} failed=${r.checks.count(!_.passed)} " +
+        s"rows=${r.rowCount}"))
+
+  /** Read events back, newest last, optionally filtered. */
+  def read(path: String, dataset: Option[String] = None,
+      outcome: Option[String] = None): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.toSeq
+      .filter(l => dataset.forall(d => l.contains(s""""dataset":"$d"""")))
+      .filter(l => outcome.forall(o => l.contains(s""""outcome":"$o"""")))
+  }
 }

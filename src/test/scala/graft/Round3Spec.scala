@@ -297,6 +297,28 @@ class Round3Spec extends AnyFunSuite {
     assert(twice > 150 && twice < 350, s"chained kept $twice of 1000")
   }
 
+  test("data-docs page renders baseline stats; audit log round-trips") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val baseline = graft.profiler.Learn.learn(df)
+    val page = graft.reporters.Reporters.dataDocs("t", baseline)
+    assert(page.contains("<h1>t</h1>") && page.contains("3 rows"))
+    assert(page.contains("id") && page.contains("v"))
+    val log = java.nio.file.Files.createTempDirectory("audit")
+      .resolve("audit.jsonl").toString
+    val r = graft.core.SuiteRunner.run(df,
+      Seq(graft.validators.NullCheck(Seq("v"))),
+      graft.core.SuiteRunner.Config(datasetName = "t"))
+    graft.reporters.AuditLog.recordRun(log, r, nowMs = 1000L)
+    graft.reporters.AuditLog.recordRun(log, r.copy(dataset = "u"),
+      nowMs = 2000L)
+    assert(graft.reporters.AuditLog.read(log).size == 2)
+    assert(graft.reporters.AuditLog.read(log,
+      dataset = Some("t")).size == 1)
+    assert(graft.reporters.AuditLog.read(log,
+      outcome = Some("failure")).size == 2) // v has a null -> failed
+  }
+
   test("ocsvm registry entry constructs and runs") {
     val v = graft.validators.ValidatorRegistry.create("one_class_svm",
       Map("columns" -> "x,y", "nu" -> "0.05"))
