@@ -18,13 +18,83 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * fleet-wide via spark-defaults. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64",
-        "simhash64(array<string>) - 64-bit SimHash fingerprint of a token array"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1, "simhash64 takes exactly one argument")
-        SimHash64(children.head)
-      }))
+    GraftExtensions.all.foreach { case (name, usage, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        (children: Seq[Expression]) => {
+          require(children.size == arity,
+            s"$name takes exactly $arity argument(s)")
+          builder(children)
+        }))
+    }
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  // Builders must emit plain catalyst Expression trees: converting a
+  // functions._ Column composition back through the bridge yields opaque
+  // unresolved ColumnNode wrappers that the mid-analysis function
+  // registry cannot resolve (INTERNAL_ERROR: cannot generate code).
+  private def lamVar(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+  private def lam2(n1: String, n2: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val x = lamVar(n1); val y = lamVar(n2)
+    LambdaFunction(f(x, y), Seq(x, y))
+  }
+  private def lam1(n: String)(f: Expression => Expression): LambdaFunction = {
+    val x = lamVar(n); LambdaFunction(f(x), Seq(x))
+  }
+
+  /** lower → strip non-[a-z0-9 ] → collapse runs → trim (Text.normalize
+    * stated in catalyst terms — same literals, same result). */
+  private def normalizeExpr(e: Expression): Expression =
+    StringTrim(RegExpReplace(
+      RegExpReplace(Lower(e), Literal("[^a-z0-9 ]"), Literal(" ")),
+      Literal(" +"), Literal(" ")))
+
+  private def sumAgg(arr: Expression, term: Expression => Expression)
+      : Expression =
+    ArrayAggregate(arr, Literal(0.0),
+      lam2("acc", "v")((acc, v) => Add(acc, term(v))), lam1("r")(identity))
+
+  /** Similarity.cosine in catalyst terms (zip_with dot product +
+    * aggregate norms, zero-norm guard). */
+  private def cosineExpr(a: Expression, b: Expression): Expression = {
+    val ad = Cast(a, ArrayType(DoubleType))
+    val bd = Cast(b, ArrayType(DoubleType))
+    val dot = ArrayAggregate(
+      ZipWith(ad, bd, lam2("x", "y")((x, y) => Multiply(x, y))),
+      Literal(0.0), lam2("acc", "v")((acc, v) => Add(acc, v)),
+      lam1("r")(identity))
+    val na = Sqrt(sumAgg(ad, v => Multiply(v, v)))
+    val nb = Sqrt(sumAgg(bd, v => Multiply(v, v)))
+    CaseWhen(
+      Seq((Or(EqualTo(na, Literal(0.0)), EqualTo(nb, Literal(0.0))),
+        Literal(0.0))),
+      Some(Divide(dot, Multiply(na, nb))))
+  }
+
+  /** (name, usage, arity, builder). simhash64 is a native Catalyst
+    * expression; normalize/fingerprint/cosine are the pipeline ops
+    * restated as catalyst trees — one semantics, shared by the DataFrame
+    * API and `spark.sql`. (The marker-lexicon language-ID and composite
+    * quality score stay DataFrame-API-only: their higher-order lambda
+    * forests are impractical to hand-build in catalyst terms.) */
+  val all: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      "simhash64(array<string>) - 64-bit SimHash fingerprint of a token array",
+      1, cs => SimHash64(cs.head)),
+    ("graft_normalize",
+      "graft_normalize(str) - canonical text normalization (dedup key basis)",
+      1, cs => normalizeExpr(cs.head)),
+    ("graft_fingerprint",
+      "graft_fingerprint(str) - md5 content fingerprint of normalized text",
+      1, cs => Md5(Cast(normalizeExpr(cs.head), BinaryType))),
+    ("graft_cosine",
+      "graft_cosine(array<double>, array<double>) - cosine similarity",
+      2, cs => cosineExpr(cs(0), cs(1))))
 }

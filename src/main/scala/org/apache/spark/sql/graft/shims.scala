@@ -56,14 +56,23 @@ object PlanBridge {
   * config path `spark.sql.extensions=graft.functions.GraftExtensions`
   * covers new sessions; this covers notebooks/REPLs attaching later). */
 object FunctionBridge {
-  def registerSimhash(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Register every graft SQL function (the GraftExtensions set) on an
+    * already-running session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64",
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.size == 1, "simhash64 takes exactly one argument")
-        graft.functions.SimHash64(exprs.head)
-      },
-      "built-in")
+    graft.functions.GraftExtensions.all.foreach {
+      case (name, _, arity, builder) =>
+        classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name,
+          (exprs: Seq[Expression]) => {
+            require(exprs.size == arity,
+              s"$name takes exactly $arity argument(s)")
+            builder(exprs)
+          },
+          "built-in")
+    }
   }
+
+  def registerSimhash(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerAll(spark)
 }

@@ -319,6 +319,32 @@ class Round3Spec extends AnyFunSuite {
       outcome = Some("failure")).size == 2) // v has a null -> failed
   }
 
+  test("graft SQL functions register and evaluate through spark.sql") {
+    org.apache.spark.sql.graft.FunctionBridge.registerAll(spark)
+    Seq(("The cat and the dog", Seq(1.0, 0.0), Seq(1.0, 0.0)))
+      .toDF("text", "va", "vb").createOrReplaceTempView("fx")
+    val r = spark.sql(
+      """SELECT graft_normalize(text) AS n,
+           graft_fingerprint(text) AS fp,
+           graft_cosine(va, vb) AS cos
+         FROM fx""").head()
+    assert(r.getAs[String]("n") == "the cat and the dog")
+    assert(r.getAs[String]("fp").length == 32)
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    // SQL and DataFrame forms agree (one semantics, two surfaces)
+    val both = spark.sql("SELECT text FROM fx")
+      .select(expr("graft_fingerprint(text)").as("sqlFp"),
+        graft.pipeline.Text.fingerprint(col("text")).as("dfFp")).head()
+    assert(both.getString(0) == both.getString(1))
+    // DataFrame-API simhash and SQL simhash agree (shared expression)
+    val toks = Seq(Seq("a", "b", "c")).toDF("t")
+    toks.createOrReplaceTempView("tk")
+    val viaSql = spark.sql("SELECT simhash64(t) FROM tk").head().getLong(0)
+    val viaDf = toks.select(graft.functions.SimHash64(col("t")))
+      .head().getLong(0)
+    assert(viaSql == viaDf)
+  }
+
   test("ocsvm registry entry constructs and runs") {
     val v = graft.validators.ValidatorRegistry.create("one_class_svm",
       Map("columns" -> "x,y", "nu" -> "0.05"))
