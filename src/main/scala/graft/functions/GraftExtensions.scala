@@ -21,7 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach { case (name, usage, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        // DESCRIBE FUNCTION should point at the real implementation:
+        // the native expression class for simhash64, the registrar for
+        // the composed builders
+        new ExpressionInfo(
+          if (name == "simhash64") classOf[SimHash64].getName
+          else classOf[GraftExtensions].getName, name, usage),
         (children: Seq[Expression]) => {
           require(children.size == arity,
             s"$name takes exactly $arity argument(s)")

@@ -27,7 +27,15 @@ object Reporters {
     sb.toString
   }
 
-  private def esc(s: String): String = s.flatMap {
+  private def hesc(s: String): String = s.replace("&", "&amp;")
+    .replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Locale-stable number rendering (the f interpolator follows the JVM
+    * default locale — a de_DE driver would emit comma decimals). */
+  private def num(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
+  private[reporters] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case '\r' => "\\r"; case '\t' => "\\t"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -62,8 +70,6 @@ object Reporters {
   }
 
   def html(r: ValidationRunResult): String = {
-    def hesc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;")
     val rows = r.checks.map { c =>
       val cls = if (c.passed) "ok" else "fail"
       val issues = c.issues.map(i =>
@@ -98,17 +104,15 @@ object Reporters {
     * card per column. Pure string rendering, no engine coupling. */
   def dataDocs(tableName: String,
       baseline: graft.profiler.TableBaseline): String = {
-    def hesc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;")
-    def od(v: Option[Double]): String = v.map(d => f"$d%.4f").getOrElse("—")
+    def od(v: Option[Double]): String = v.map(num(_, 4)).getOrElse("—")
     def os(v: Option[String]): String = v.map(hesc).getOrElse("—")
     val cards = baseline.columns.map { c =>
       val vals = c.allowedValues.map(_.take(20).map(hesc)
         .mkString("<div class=\"vals\">", ", ", "</div>")).getOrElse("")
       s"""<div class="card"><h3>${hesc(c.name)} <small>${hesc(c.dtype)}</small></h3>
          |<table>
-         |<tr><td>nulls</td><td>${c.nullCount} (${f"${c.nullRatio * 100}%.2f"}%)</td></tr>
-         |<tr><td>distinct</td><td>${c.distinctCount} (uniq ${f"${c.uniqueRatio * 100}%.2f"}%)</td></tr>
+         |<tr><td>nulls</td><td>${c.nullCount} (${num(c.nullRatio * 100, 2)}%)</td></tr>
+         |<tr><td>distinct</td><td>${c.distinctCount} (uniq ${num(c.uniqueRatio * 100, 2)}%)</td></tr>
          |<tr><td>min / max</td><td>${os(c.min)} / ${os(c.max)}</td></tr>
          |<tr><td>mean ± std</td><td>${od(c.mean)} ± ${od(c.std)}</td></tr>
          |<tr><td>q25 / q50 / q75</td><td>${od(c.q25)} / ${od(c.q50)} / ${od(c.q75)}</td></tr>
@@ -143,10 +147,14 @@ object AuditLog {
   def record(path: String, e: AuditEvent): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    val line = s"""{"ts":${e.timestampMs},"event":"${e.eventType}",""" +
-      s""""dataset":"${e.dataset}","actor":"${e.actor}",""" +
-      s""""outcome":"${e.outcome}","severity":"${e.severity}",""" +
-      s""""detail":"${e.detail.replace("\"", "'")}"}""" + "\n"
+    // every field goes through the shared JSON escaper: un-escaped quotes/
+    // backslashes/newlines would corrupt the JSONL stream and let one
+    // field's content false-match another field's read() filter
+    import Reporters.{esc => js}
+    val line = s"""{"ts":${e.timestampMs},"event":"${js(e.eventType)}",""" +
+      s""""dataset":"${js(e.dataset)}","actor":"${js(e.actor)}",""" +
+      s""""outcome":"${js(e.outcome)}","severity":"${js(e.severity)}",""" +
+      s""""detail":"${js(e.detail)}"}""" + "\n"
     Files.writeString(p, line,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

@@ -58,21 +58,25 @@ object PlanBridge {
 object FunctionBridge {
   /** Register every graft SQL function (the GraftExtensions set) on an
     * already-running session. */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    graft.functions.GraftExtensions.all.foreach {
-      case (name, _, arity, builder) =>
-        classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-          name,
-          (exprs: Seq[Expression]) => {
-            require(exprs.size == arity,
-              s"$name takes exactly $arity argument(s)")
-            builder(exprs)
-          },
-          "built-in")
-    }
-  }
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftExtensions.all.foreach(e => register(spark, e))
 
+  /** Register exactly the function asked for — a caller wanting only
+    * simhash64 must not have its other temp functions silently replaced. */
   def registerSimhash(spark: org.apache.spark.sql.SparkSession): Unit =
-    registerAll(spark)
+    register(spark,
+      graft.functions.GraftExtensions.all.find(_._1 == "simhash64").get)
+
+  private def register(spark: org.apache.spark.sql.SparkSession,
+      entry: (String, String, Int, Seq[Expression] => Expression)): Unit = {
+    val (name, _, arity, builder) = entry
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == arity, s"$name takes exactly $arity argument(s)")
+        builder(exprs)
+      },
+      "built-in")
+  }
 }
