@@ -1243,6 +1243,31 @@ object SparkEntry {
       r.checks.map(c => (c.validator, c.passed, c.issues.map(_.count).sum))
         .toDF("validator", "passed", "violations").orderBy("validator")
     }),
+    "q131_source_roundtrip" -> ((s, dir) => {
+      // CSV + NDJSON reader gate: write the parquet customer table out in
+      // both formats, read back through Readers (multi-token nulls +
+      // post-clean type inference), and prove metric identity with the
+      // parquet original — which is exactly what the DuckDB oracle
+      // computes. Doubles round-trip exactly (Spark writes the shortest
+      // representation that parses back to the same value).
+      import s.implicits._
+      val cust = table(s, dir, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      cust.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/csv")
+      cust.write.mode("overwrite").json(tmp + "/json")
+      def metrics(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("rows"),
+        cnt(col("c_acctbal").isNull).as("nulls"),
+        round(sum(col("c_acctbal")), 4).as("bal"),
+        count_distinct(col("c_mktsegment")).as("segs")).head()
+      val c = metrics(graft.sources.Readers.csv(s, tmp + "/csv"))
+      val j = metrics(graft.sources.Readers.ndjson(s, tmp + "/json"))
+      Seq((c.getLong(0), j.getLong(0), c.getLong(1), j.getLong(1),
+          c.getDouble(2), j.getDouble(2), c.getLong(3)))
+        .toDF("rows_csv", "rows_json", "nulls_csv", "nulls_json",
+          "bal_csv", "bal_json", "segs_csv")
+    }),
     "q128_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (GPT-3/LLaMA style): 13-gram overlap +
       // exact-match vs an eval set built from the corpus's own first ten
@@ -2269,6 +2294,14 @@ object SparkEntry {
     "q124_ocsvm" ->
       """SELECT CAST(5 AS BIGINT) AS planted_flagged,
            TRUE AS base_rate_sane""",
+    "q131_source_roundtrip" ->
+      """SELECT count(*) AS rows_csv, count(*) AS rows_json,
+           count(*) - count(c_acctbal) AS nulls_csv,
+           count(*) - count(c_acctbal) AS nulls_json,
+           round(sum(c_acctbal), 4) AS bal_csv,
+           round(sum(c_acctbal), 4) AS bal_json,
+           count(DISTINCT c_mktsegment) AS segs_csv
+         FROM customer""",
     "q128_decontaminate" ->
       """WITH t AS (
            SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
