@@ -189,6 +189,42 @@ object GraftProps extends Properties("graft") {
       got == expectedHist
     }
 
+  property("decontaminate removes exactly the contaminated ids (idempotent)") =
+    forAll(Gen.choose(5, 25), Gen.choose(0, 4)) { (nDocs, nBench) =>
+      // random corpora of word sequences; benchmark = a prefix slice, so
+      // overlap is guaranteed for copied docs and possible via shared runs
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") < nBench)
+        .select(org.apache.spark.sql.functions.col("text"))
+      val flagged = graft.pipeline.Dedup.contaminatedIds(
+        docs, "doc_id", "text", bench, "text", n = 5)
+        .collect().map(_.getLong(0)).toSet
+      val surv = graft.pipeline.Dedup.decontaminate(
+        docs, "doc_id", "text", bench, "text", n = 5)
+      val survIds = surv.collect().map(_.getLong(0)).toSet
+      // partition: survivors = all − flagged, planted docs always flagged
+      survIds == (0L until nDocs).toSet -- flagged &&
+        (0L until nBench).forall(flagged.contains) &&
+        // idempotence: re-decontaminating survivors removes nothing new
+        graft.pipeline.Dedup.decontaminate(surv, "doc_id", "text",
+          bench, "text", n = 5).count() == survIds.size
+    }
+
+  property("mixDomains kept set is monotone in the keep probability") =
+    forAll(Gen.choose(0.1, 0.5), Gen.choose(0.5, 0.9)) { (w1, w2) =>
+      val docs = (1 to 300).map(i => (i.toLong, "t", "s"))
+        .toDF("doc_id", "text", "source")
+      def kept(w: Double) = graft.pipeline.Curate(docs, "doc_id", "text")
+        .mixDomains("source", Map("s" -> w))
+        .df.collect().map(_.getLong(0)).toSet
+      val (k1, k2) = (kept(math.min(w1, w2)), kept(math.max(w1, w2)))
+      // same stage position + seed => same hash; larger keep-probability
+      // strictly widens the threshold, so the smaller sample is nested
+      k1.subsetOf(k2)
+    }
+
   property("SeqScan long path equals window count on random integer walks") =
     forAll(Gen.listOfN(200, Gen.choose(-5L, 50L))) { steps =>
       val rows = steps.zipWithIndex.map { case (dv, i) =>
