@@ -311,14 +311,17 @@ object Drift {
   def autoBin(cur: DataFrame, ref: DataFrame, column: String,
       maxExactDistinct: Long = 65536, bins: Int = 4096)
       : (DataFrame, DataFrame) = {
-    val d = cur.select(col(column)).unionAll(ref.select(col(column)))
-      .agg(approx_count_distinct(col(column))).head().getLong(0)
+    // One fused scan decides the dispatch AND supplies the bin bounds —
+    // cardinality, min and max are all global aggregates over the same
+    // union, so computing them in separate jobs would read the data twice.
+    val row = cur.select(col(column).cast("double").as("v"))
+      .unionAll(ref.select(col(column).cast("double").as("v")))
+      .agg(approx_count_distinct(col("v")), min(col("v")), max(col("v")))
+      .head()
+    val d = row.getLong(0)
     if (d <= maxExactDistinct) (cur, ref)
     else {
-      val r = cur.select(col(column).cast("double").as("v"))
-        .unionAll(ref.select(col(column).cast("double").as("v")))
-        .agg(min(col("v")), max(col("v"))).head()
-      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val (lo, hi) = (row.getDouble(1), row.getDouble(2))
       val w = if (hi > lo) (hi - lo) / bins else 1.0
       def bucketize(df: DataFrame): DataFrame = {
         val b = least(greatest(floor((col(column).cast("double") - lo) / w),

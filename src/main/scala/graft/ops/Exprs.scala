@@ -57,4 +57,17 @@ object Exprs {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+
+  /** Silence known-benign ERROR-level logging that would otherwise land in
+    * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a
+    * full Derby stack trace at ERROR when an aggregate pushdown attempt is
+    * rejected by the dialect (it falls back to a plain scan and the query
+    * still succeeds) — that is a planning fallback, not a failure. */
+  def quietNoisyLoggers(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCScanBuilder",
+      Level.OFF)
+  }
 }

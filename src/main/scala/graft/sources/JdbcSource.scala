@@ -20,9 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver works the same way. */
 object JdbcSource {
 
+  /** Route Derby's engine log away from the working directory and — more
+    * importantly — away from the process stdout/stderr the bench driver
+    * captures. Must run before the Derby engine boots (first connection in
+    * the JVM), so every entry point below calls it first. Idempotent. */
+  def quietDerby(): Unit =
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/graft_derby.log")
+
   /** Register `name` as a DSv2 JDBC catalog with pushdown enabled. */
   def registerCatalog(spark: SparkSession, name: String, url: String,
       driver: String = "org.apache.derby.iapi.jdbc.AutoloadedDriver"): Unit = {
+    quietDerby()
     val p = s"spark.sql.catalog.$name"
     spark.conf.set(p,
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
@@ -42,13 +52,22 @@ object JdbcSource {
     * (test/demo helper: batched inserts, drop-and-recreate semantics). */
   def loadIntoDerby(df: DataFrame, url: String, tbl: String,
       ddlCols: String, maxRows: Int): Unit = {
+    quietDerby()
     val rows = df.limit(maxRows).collect()
     val cols = df.columns
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $tbl")
-      catch { case _: java.sql.SQLException => () } // didn't exist
+      // Probe existence via JDBC metadata rather than try/DROP — a failed
+      // DROP makes Derby print a full parser stack trace, which pollutes
+      // the stdout tail the bench driver parses.
+      val Array(schemaPart, tblPart) = tbl.split("\\.", 2) match {
+        case a if a.length == 2 => a
+        case a                  => Array(null, a(0))
+      }
+      val rs = conn.getMetaData.getTables(null, schemaPart, tblPart, null)
+      val exists = rs.next(); rs.close()
+      if (exists) st.executeUpdate(s"DROP TABLE $tbl")
       st.executeUpdate(s"CREATE TABLE $tbl ($ddlCols)")
       st.close()
       val ps = conn.prepareStatement(

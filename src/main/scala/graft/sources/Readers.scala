@@ -21,9 +21,16 @@ object Readers {
     * the file is read untyped, tokens are nulled, and each column is
     * promoted to the narrowest type that try_casts cleanly (bigint →
     * double → timestamp → string) in ONE inference aggregation. */
+  /** @param inferRows when set, the type-inference aggregation reads only
+    *   the first N rows instead of the whole file — the reference infers
+    *   from bounded reads too, and at 100 TB of CSV an exact inference
+    *   pass doubles ingestion cost. Values outside the sampled prefix that
+    *   fail the inferred cast become NULL (standard bounded-inference
+    *   semantics, same as Spark's samplingRatio). Default None = exact. */
   def csv(spark: SparkSession, path: String,
           nullValues: Seq[String] = Seq("", "NULL"),
-          delimiter: String = ",", header: Boolean = true): DataFrame = {
+          delimiter: String = ",", header: Boolean = true,
+          inferRows: Option[Int] = None): DataFrame = {
     val raw = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
@@ -35,12 +42,13 @@ object Readers {
       when(col(f.name).isin(extra: _*), lit(null)).otherwise(col(f.name))
         .as(f.name)
     }.toIndexedSeq: _*)
-    inferTypes(cleaned)
+    inferTypes(cleaned, inferRows)
   }
 
   /** Promote string columns to the narrowest type every non-null value
-    * try_casts to — one fused aggregation over all columns. */
-  private def inferTypes(df: DataFrame): DataFrame = {
+    * try_casts to — one fused aggregation over all columns (bounded to a
+    * row prefix when `inferRows` is set). */
+  private def inferTypes(df: DataFrame, inferRows: Option[Int]): DataFrame = {
     val cols = df.columns.toSeq
     if (cols.isEmpty) return df
     def fails(c: String, t: String): org.apache.spark.sql.Column =
@@ -51,7 +59,8 @@ object Readers {
       fails(c, "BIGINT").as(s"${c}__nl"),
       fails(c, "DOUBLE").as(s"${c}__nd"),
       fails(c, "TIMESTAMP").as(s"${c}__nt")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val inferSrc = inferRows.map(df.limit).getOrElse(df)
+    val row = inferSrc.agg(aggs.head, aggs.tail: _*).head()
     df.select(cols.map { c =>
       val n = row.getAs[Long](s"${c}__n")
       val t =
@@ -60,7 +69,9 @@ object Readers {
         else if (row.getAs[Long](s"${c}__nd") == 0) "double"
         else if (row.getAs[Long](s"${c}__nt") == 0) "timestamp"
         else "string"
-      col(c).cast(t).as(c)
+      // try_cast, not cast: under bounded inference a value outside the
+      // sampled prefix may not conform (and ANSI mode would throw on it)
+      expr(s"try_cast(`$c` AS $t)").as(c)
     }.toIndexedSeq: _*)
   }
 

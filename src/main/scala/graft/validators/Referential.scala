@@ -200,10 +200,14 @@ final case class GroupedAggregateCompareCheck(tableA: String, tableB: String,
     val b = tables(tableB).groupBy(col(keyB).as("__k"))
       .agg(aggOf(colB).as("__b"))
     val joined = a.join(b, Seq("__k"), "full_outer")
-    val mismatches = joined.filter(
-      col("__a").isNull || col("__b").isNull ||
-        abs(col("__a") - col("__b")) > eps).count()
-    val totalGroups = joined.count()
+    // One job: counting matches and total in a single aggregate avoids
+    // executing the full-outer join (both groupBys + shuffle) twice.
+    val row = joined.agg(
+      count(lit(1)).as("total"),
+      count(when(col("__a").isNull || col("__b").isNull ||
+        abs(col("__a") - col("__b")) > eps, 1)).as("mismatch")).head()
+    val totalGroups = row.getLong(0)
+    val mismatches = row.getLong(1)
     if (mismatches > 0)
       Seq(issue(s"$keyA/$keyB", "group_aggregate_mismatch", mismatches,
         totalGroups, Severity.High))
