@@ -1268,6 +1268,83 @@ object SparkEntry {
         .toDF("rows_csv", "rows_json", "nulls_csv", "nulls_json",
           "bal_csv", "bal_json", "segs_csv")
     }),
+    "q132_timezone" -> ((s, dir) => {
+      // TimezoneCheck is schema-only (TimestampType = tz-aware vs
+      // TimestampNTZType = naive): exercise aware/naive/non-timestamp/
+      // missing expectations over one projection; the oracle restates the
+      // same classification from DuckDB DESCRIBE type names
+      import s.implicits._
+      val df = table(s, dir, "lineitem").select(col("l_shipdate"),
+        col("l_shipdate").cast("timestamp").as("l_ship_tz"),
+        col("l_quantity"))
+      val cases = Seq(("l_shipdate", true), ("l_shipdate", false),
+        ("l_ship_tz", true), ("l_ship_tz", false),
+        ("l_quantity", true), ("l_missing", true))
+      cases.flatMap { case (c, e) =>
+        graft.validators.TimezoneCheck(c, e).schemaIssues(df.schema)
+          .map(i => (c, if (e) 1 else 0, i.issueType))
+      }.toDF("colname", "expect_aware", "code")
+        .orderBy("colname", "expect_aware")
+    }),
+    "q133_grubbs" -> ((s, dir) => {
+      // Grubbs single-outlier test, one fused pass: max|v-mean| =
+      // max(max-mean, mean-min), so stats and extrema share one scan; the
+      // critical value is a pure function of (n, alpha) the oracle
+      // re-derives through the same BSM + Cornish-Fisher chain
+      import s.implicits._
+      val df = table(s, dir, "customer")
+        .select(col("c_acctbal").cast("double").as("v"))
+      val r = df.agg(count(col("v")).as("n"), avg(col("v")).as("m"),
+        stddev_samp(col("v")).as("sd"), max(col("v")).as("mx"),
+        min(col("v")).as("mn")).head()
+      val n = r.getLong(0); val m = r.getDouble(1); val sd = r.getDouble(2)
+      val g = math.max(r.getDouble(3) - m, m - r.getDouble(4)) / sd
+      val crit = graft.validators.Grubbs.criticalValue(n, 0.05)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n, r6(g), r6(crit), if (g > crit) 1L else 0L))
+        .toDF("n", "max_z", "crit_value", "outlier_detected")
+    }),
+    "q134_pca_residual" -> ((s, dir) => {
+      // PcaAnomalyCheck on a fixed 2-D fixture: points near y = x/2 with
+      // bounded deterministic noise, every 211th key displaced 5000
+      // off-line (planted outliers, 67x residual separation around the
+      // 1e6 threshold). The outlier COUNT is invariant to eigenvector
+      // sign/scale, so Jacobi (Spark driver) and the closed-form 2x2
+      // eigensystem (oracle) must agree.
+      import s.implicits._
+      val d = table(s, dir, "customer").select(
+        col("c_acctbal").cast("double").as("x"),
+        (col("c_acctbal").cast("double") * 0.5 +
+          ((col("c_custkey") % 97) - 48).cast("double") * 10 +
+          when(col("c_custkey") % 211 === 0, 5000.0).otherwise(0.0)).as("y"))
+      val total = d.count()
+      val issues = graft.validators.PcaAnomalyCheck(Seq("x", "y"), 1, 1e6)
+        .runScan(d, total)
+      Seq((issues.headOption.map(_.count).getOrElse(0L), total))
+        .toDF("pca_outliers", "total")
+    }),
+    "q135_countmin" -> ((s, dir) => {
+      // CountMin frequency sketch (mergeable partial aggregate — each
+      // partition sketches, merge is sketch-union, the 100 TB shape).
+      // 3 keys in a 2000-wide x 5-deep array collide with probability
+      // ~(1/2000)^5, so estimates equal the exact group counts the
+      // oracle computes.
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val bytes = li.agg(
+        graft.profiler.Sketches.countMin(col("l_returnflag")).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val flags = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact"))
+        .collect().map(r => (r.getString(0), r.getLong(1))) // bounded: 3 groups
+      flags.toSeq.map { case (f, exact) =>
+        (f, cms.estimateCount(f), exact) }
+        .toDF("flag", "cms_estimate", "exact_cnt")
+        .orderBy("flag")
+    }),
     "q128_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (GPT-3/LLaMA style): 13-gram overlap +
       // exact-match vs an eval set built from the corpus's own first ten
@@ -1403,6 +1480,76 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q132_timezone" ->
+      """WITH d AS (SELECT column_name AS c, lower(column_type) AS ty
+           FROM (DESCRIBE SELECT l_shipdate,
+             CAST(l_shipdate AS TIMESTAMPTZ) AS l_ship_tz, l_quantity
+             FROM lineitem)),
+         cls AS (SELECT c,
+           CASE WHEN ty = 'timestamp with time zone' THEN 'aware'
+                WHEN ty LIKE 'timestamp%' THEN 'naive'
+                ELSE 'not_ts' END AS k FROM d),
+         cases(colname, expect_aware) AS (VALUES
+           ('l_shipdate', 1), ('l_shipdate', 0), ('l_ship_tz', 1),
+           ('l_ship_tz', 0), ('l_quantity', 1), ('l_missing', 1)),
+         j AS (SELECT colname, expect_aware, k
+           FROM cases LEFT JOIN cls ON cls.c = cases.colname)
+         SELECT colname, expect_aware,
+           CASE WHEN k IS NULL THEN 'missing_column'
+                WHEN k = 'not_ts' THEN 'not_a_timestamp'
+                ELSE 'timezone_awareness_mismatch' END AS code
+         FROM j
+         WHERE k IS NULL OR k = 'not_ts'
+            OR (CASE WHEN k = 'aware' THEN 1 ELSE 0 END) <> expect_aware
+         ORDER BY colname, expect_aware""",
+    "q133_grubbs" ->
+      """WITH s AS (SELECT count(v) AS n, avg(v) AS m, stddev_samp(v) AS sd,
+             max(v) AS mx, min(v) AS mn
+           FROM (SELECT CAST(c_acctbal AS DOUBLE) AS v FROM customer)),
+         g AS (SELECT n, greatest(mx - m, m - mn) / sd AS gstat,
+             CAST(n - 2 AS DOUBLE) AS dof,
+             sqrt(-2 * ln(0.05 / (2 * n))) AS q FROM s),
+         z AS (SELECT *,
+             -(((((-7.784894002430293e-03 * q + -3.223964580411365e-01) * q
+               + -2.400758277161838e+00) * q + -2.549732539343734e+00) * q
+               + 4.374664141464968e+00) * q + 2.938163982698783e+00) /
+             ((((7.784695709041462e-03 * q + 3.224671290700398e-01) * q
+               + 2.445134137142996e+00) * q + 3.754408661907416e+00) * q + 1)
+             AS zq FROM g),
+         t AS (SELECT *, zq + (pow(zq,3) + zq) / 4 / dof
+             + (5*pow(zq,5) + 16*pow(zq,3) + 3*zq) / 96 / (dof*dof)
+             + (3*pow(zq,7) + 19*pow(zq,5) + 17*pow(zq,3) - 15*zq) / 384
+               / pow(dof,3) AS tq FROM z),
+         c AS (SELECT *, ((n - 1) / sqrt(n)) * sqrt(tq*tq / (dof + tq*tq))
+             AS crit FROM t)
+         SELECT CAST(n AS BIGINT) AS n, round(gstat, 6) AS max_z,
+           round(crit, 6) AS crit_value,
+           CAST(CASE WHEN gstat > crit THEN 1 ELSE 0 END AS BIGINT)
+             AS outlier_detected
+         FROM c""",
+    "q134_pca_residual" ->
+      """WITH d AS (SELECT CAST(c_acctbal AS DOUBLE) AS x,
+             CAST(c_acctbal AS DOUBLE) * 0.5
+               + CAST((c_custkey % 97) - 48 AS DOUBLE) * 10
+               + CASE WHEN c_custkey % 211 = 0 THEN 5000.0 ELSE 0.0 END AS y
+           FROM customer),
+         s AS (SELECT avg(x) AS mx, avg(y) AS my, var_samp(x) AS a,
+             covar_samp(x, y) AS b, var_samp(y) AS c FROM d),
+         e AS (SELECT *, (a + c) / 2
+             + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS lmax FROM s),
+         v AS (SELECT mx, my, b AS vx, (lmax - a) AS vy,
+             sqrt(b * b + (lmax - a) * (lmax - a)) AS vn FROM e),
+         r AS (SELECT ((x - mx) * (x - mx) + (y - my) * (y - my))
+             - pow((x - mx) * vx / vn + (y - my) * vy / vn, 2) AS r2
+           FROM d, v)
+         SELECT CAST(count(*) FILTER (WHERE r2 > 1e6) AS BIGINT)
+             AS pca_outliers,
+           CAST(count(*) AS BIGINT) AS total FROM r""",
+    "q135_countmin" ->
+      """SELECT l_returnflag AS flag,
+         CAST(count(*) AS BIGINT) AS cms_estimate,
+         CAST(count(*) AS BIGINT) AS exact_cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q00_mixed_core_suite" ->
       """SELECT * FROM (
          SELECT 'null[c_name]' AS validator,

@@ -79,9 +79,27 @@ final case class GrubbsCheck(column: String, alpha: Double = 0.05)
     val mean = stats.double(mk).getOrElse(0.0)
     Seq(xk -> max(abs(col(column) - mean)))
   }
+  private def criticalValue(n: Long): Double = Grubbs.criticalValue(n, alpha)
+  def evaluate(m: Metrics, total: Long) = {
+    val sd = m.double(sk).getOrElse(0.0)
+    if (sd == 0.0 || total < 3) Nil
+    else {
+      val g = m.double(xk).getOrElse(0.0) / sd
+      val crit = criticalValue(total)
+      if (g > crit)
+        Seq(issue(column, "grubbs_outlier_detected", 1, total, Severity.Medium,
+          expected = f"G<=$crit%.4f", actual = f"$g%.4f"))
+      else Nil
+    }
+  }
+}
+
+/** Grubbs test driver math, shared by GrubbsCheck and the query surface
+  * (public so the oracle query runs the exact same approximation chain). */
+object Grubbs {
   /** Two-sided Grubbs critical value G = ((n-1)/sqrt(n)) *
     * sqrt(t^2 / (n - 2 + t^2)), t = t_{alpha/(2n), n-2}. */
-  private def criticalValue(n: Long): Double = {
+  def criticalValue(n: Long, alpha: Double): Double = {
     if (n < 3) return Double.PositiveInfinity
     val dof = (n - 2).toDouble
     val p = alpha / (2.0 * n)
@@ -91,7 +109,7 @@ final case class GrubbsCheck(column: String, alpha: Double = 0.05)
   }
   /** Student-t quantile via Cornish-Fisher expansion on the normal
     * quantile (standard approximation, adequate for the test). */
-  private def tQuantile(p: Double, dof: Double): Double = {
+  def tQuantile(p: Double, dof: Double): Double = {
     val z = normQuantile(p)
     val g1 = (math.pow(z, 3) + z) / 4
     val g2 = (5 * math.pow(z, 5) + 16 * math.pow(z, 3) + 3 * z) / 96
@@ -124,18 +142,6 @@ final case class GrubbsCheck(column: String, alpha: Double = 0.05)
       val q = math.sqrt(-2 * math.log(1 - p))
       -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
         ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-    }
-  }
-  def evaluate(m: Metrics, total: Long) = {
-    val sd = m.double(sk).getOrElse(0.0)
-    if (sd == 0.0 || total < 3) Nil
-    else {
-      val g = m.double(xk).getOrElse(0.0) / sd
-      val crit = criticalValue(total)
-      if (g > crit)
-        Seq(issue(column, "grubbs_outlier_detected", 1, total, Severity.Medium,
-          expected = f"G<=$crit%.4f", actual = f"$g%.4f"))
-      else Nil
     }
   }
 }
