@@ -170,7 +170,9 @@ object Cli {
     }
 
   /** `--checks "null:c1,c2;range:col:0:100;unique:id;format:email_col:email"` */
-  private def parseChecks(spec: String): Seq[Validator] =
+  /** Public so stored suite specs (stores.SuiteStore) round-trip back into
+    * executable validators. */
+  private[graft] def parseChecks(spec: String): Seq[Validator] =
     spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
       s.split(":").toList match {
         case "null" :: cols :: Nil =>

@@ -1345,6 +1345,31 @@ object SparkEntry {
         .toDF("flag", "cms_estimate", "exact_cnt")
         .orderBy("flag")
     }),
+    "q136_result_store_trend" -> ((s, dir) => {
+      // Run-history store (reference stores/): persist three validation
+      // runs with planted, strictly-growing null rates, then answer "has
+      // the null-violation count drifted over the stored runs?" from the
+      // store's history API alone — the oracle recomputes each run's
+      // violation count from the same key-derived mutation
+      import s.implicits._
+      val ws = java.nio.file.Files.createTempDirectory("graft_store").toString
+      val store = graft.stores.ResultStore(ws)
+      val cust = table(s, dir, "customer")
+      Seq(("r1", 211L), ("r2", 101L), ("r3", 53L)).zipWithIndex.foreach {
+        case ((rid, k), i) =>
+          val mutated = cust.withColumn("c_name_m",
+            when(col("c_custkey") % k === 0, lit(null))
+              .otherwise(col("c_name")))
+          val r = graft.core.SuiteRunner.run(mutated,
+            Seq(graft.validators.NullCheck(Seq("c_name_m"))),
+            graft.core.SuiteRunner.Config(datasetName = "cust_history"))
+          store.save(s, r, rid, 1700000000000L + i * 3600000L)
+      }
+      store.metricTrend(s, "cust_history")
+        .select(col("runId").as("run_id"), col("rowCount").as("row_count"),
+          col("violations"))
+        .orderBy(col("run_id"))
+    }),
     "q128_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (GPT-3/LLaMA style): 13-gram overlap +
       // exact-match vs an eval set built from the corpus's own first ten
@@ -1545,6 +1570,19 @@ object SparkEntry {
          SELECT CAST(count(*) FILTER (WHERE r2 > 1e6) AS BIGINT)
              AS pca_outliers,
            CAST(count(*) AS BIGINT) AS total FROM r""",
+    "q136_result_store_trend" ->
+      """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
+           CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)
+             AS violations FROM customer
+         UNION ALL
+         SELECT 'r2', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c_custkey % 101 = 0) AS BIGINT)
+           FROM customer
+         UNION ALL
+         SELECT 'r3', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c_custkey % 53 = 0) AS BIGINT)
+           FROM customer
+         ORDER BY run_id""",
     "q135_countmin" ->
       """SELECT l_returnflag AS flag,
          CAST(count(*) AS BIGINT) AS cms_estimate,

@@ -1,0 +1,191 @@
+package graft.checkpoint
+
+/** Checkpoint trigger layer (reference: truthound
+  * `checkpoint/triggers/base.py` BaseTrigger/TriggerResult,
+  * `triggers/schedule.py:23-178` ScheduleTrigger,
+  * `triggers/event.py:46-380` EventTrigger + FileWatchTrigger).
+  *
+  * Design: triggers are pure decision objects — `shouldTrigger(nowMs)`
+  * answers "run now?" with a reason and the next due time; a tiny runner
+  * loop (`TriggerRunner`) polls them and calls `Checkpoint.run()`. The
+  * clock is an explicit argument, so tests advance time deterministically
+  * (no sleeping, no wall-clock coupling) and the decision logic is
+  * identical under a real scheduler thread.
+  */
+final case class TriggerDecision(shouldRun: Boolean, reason: String,
+    nextRunMs: Option[Long] = None)
+
+trait Trigger {
+  def name: String
+  /** Pure decision — does NOT record a run. */
+  def shouldTrigger(nowMs: Long): TriggerDecision
+  /** Record that the checkpoint ran (triggers keyed on last-run state). */
+  def markRun(nowMs: Long): Unit = ()
+}
+
+/** Interval schedule with optional start/end window and weekday
+  * restriction (reference ScheduleTrigger). First poll inside the window
+  * fires immediately, then every `intervalMs` after the last run. */
+final class ScheduleTrigger(
+    val intervalMs: Long,
+    startMs: Option[Long] = None,
+    endMs: Option[Long] = None,
+    weekdays: Option[Set[Int]] = None, // 0=Mon .. 6=Sun, UTC
+    val name: String = "schedule") extends Trigger {
+  require(intervalMs > 0, "interval must be positive")
+  @volatile private var lastRunMs: Option[Long] = None
+
+  private def weekdayUtc(nowMs: Long): Int = {
+    // 1970-01-01 was a Thursday = weekday 3 in Mon=0 indexing
+    val days = Math.floorDiv(nowMs, 86400000L)
+    ((days + 3) % 7 + 7).toInt % 7
+  }
+
+  def shouldTrigger(nowMs: Long): TriggerDecision = {
+    if (startMs.exists(nowMs < _))
+      return TriggerDecision(false, "before start time", startMs)
+    if (endMs.exists(nowMs > _))
+      return TriggerDecision(false, "after end time", None)
+    weekdays.foreach { wd =>
+      if (!wd.contains(weekdayUtc(nowMs))) {
+        // next midnight that lands on an allowed weekday
+        var next = (Math.floorDiv(nowMs, 86400000L) + 1) * 86400000L
+        while (!wd.contains(weekdayUtc(next))) next += 86400000L
+        return TriggerDecision(false,
+          s"weekday ${weekdayUtc(nowMs)} not allowed", Some(next))
+      }
+    }
+    lastRunMs match {
+      case None => TriggerDecision(true, "first scheduled run",
+        Some(nowMs + intervalMs))
+      case Some(last) if nowMs - last >= intervalMs =>
+        TriggerDecision(true, s"interval elapsed (${nowMs - last} ms)",
+          Some(nowMs + intervalMs))
+      case Some(last) =>
+        TriggerDecision(false, "waiting for interval",
+          Some(last + intervalMs))
+    }
+  }
+
+  override def markRun(nowMs: Long): Unit = { lastRunMs = Some(nowMs) }
+}
+
+/** Externally-fired event trigger (reference EventTrigger): callers queue
+  * events (`fire`), the poll drains them — `minEvents` batches low-rate
+  * streams, `maxBatch` bounds a burst. */
+final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
+    val name: String = "event") extends Trigger {
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+
+  def fire(event: Map[String, String] = Map.empty): Unit = pending.add(event)
+  def pendingCount: Int = pending.size()
+
+  def shouldTrigger(nowMs: Long): TriggerDecision =
+    if (pending.size() >= minEvents)
+      TriggerDecision(true, s"${pending.size()} pending event(s)")
+    else TriggerDecision(false,
+      s"${pending.size()}/$minEvents events pending")
+
+  /** Drain up to maxBatch pending events (the runner calls this when it
+    * fires the checkpoint). */
+  def drain(): Seq[Map[String, String]] = {
+    val b = Seq.newBuilder[Map[String, String]]
+    var n = 0
+    while (n < maxBatch && !pending.isEmpty) {
+      val e = pending.poll(); if (e != null) { b += e; n += 1 }
+    }
+    b.result()
+  }
+}
+
+/** File-watch trigger (reference FileWatchTrigger): fires when files under
+  * `dir` matching `glob` appear, disappear, or change (size, mtime). State
+  * is one (size, mtime) pair per matched file — a directory listing per
+  * poll, no content hashing on the hot path. */
+final class FileWatchTrigger(dir: String, glob: String = "*",
+    val name: String = "file_watch") extends Trigger {
+  import java.nio.file.{Files, FileSystems, Paths}
+  @volatile private var seen: Map[String, (Long, Long)] = Map.empty
+  @volatile private var primed = false
+  private val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+
+  private def scan(): Map[String, (Long, Long)] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Map.empty
+    else {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        val b = Map.newBuilder[String, (Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f) && matcher.matches(f.getFileName))
+            b += f.getFileName.toString ->
+              (Files.size(f), Files.getLastModifiedTime(f).toMillis)
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  def shouldTrigger(nowMs: Long): TriggerDecision = {
+    val cur = scan()
+    if (!primed) { // first poll establishes the baseline, never fires
+      seen = cur; primed = true
+      return TriggerDecision(false, s"baseline: ${cur.size} file(s)")
+    }
+    val added = cur.keySet -- seen.keySet
+    val removed = seen.keySet -- cur.keySet
+    val changed = cur.collect {
+      case (k, v) if seen.get(k).exists(_ != v) => k
+    }
+    if (added.nonEmpty || removed.nonEmpty || changed.nonEmpty)
+      TriggerDecision(true,
+        s"+${added.size} -${removed.size} ~${changed.size} file(s)")
+    else TriggerDecision(false, "no file changes")
+  }
+
+  override def markRun(nowMs: Long): Unit = { seen = scan() }
+}
+
+/** Polls triggers and runs their checkpoints when due. `pollOnce` is the
+  * deterministic unit (tests drive it with a fake clock); `start` wraps it
+  * in a daemon scheduler thread for real deployments. */
+final class TriggerRunner(
+    bindings: Seq[(Trigger, Checkpoint)],
+    onResult: (String, CheckpointResult) => Unit = (_, _) => ()) {
+
+  /** One poll pass: fire every due trigger, return results. */
+  def pollOnce(nowMs: Long): Seq[(String, CheckpointResult)] =
+    bindings.flatMap { case (t, cp) =>
+      val d = t.shouldTrigger(nowMs)
+      if (!d.shouldRun) None
+      else {
+        t match { case e: EventTrigger => e.drain(); case _ => () }
+        val r = cp.run()
+        t.markRun(nowMs)
+        onResult(t.name, r)
+        Some(t.name -> r)
+      }
+    }
+
+  @volatile private var exec:
+      Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  def start(pollIntervalMs: Long): Unit = synchronized {
+    if (exec.isEmpty) {
+      val e = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val t = new Thread(r, "graft-trigger-runner")
+          t.setDaemon(true); t })
+      e.scheduleAtFixedRate(
+        () => { try pollOnce(System.currentTimeMillis()) catch {
+          case _: Exception => () } },
+        pollIntervalMs, pollIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      exec = Some(e)
+    }
+  }
+
+  def stop(): Unit = synchronized { exec.foreach(_.shutdownNow()); exec = None }
+}

@@ -1,0 +1,215 @@
+package graft.stores
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Validation-result store (reference: truthound `stores/base.py` BaseStore
+  * CRUD + StoreQuery, `stores/results.py` ValidationResult records,
+  * `stores/backends/filesystem.py` — persist run results, query history,
+  * fetch latest).
+  *
+  * Spark-first shape: the store IS a parquet dataset partitioned by
+  * `dataset`, so "query the last 30 runs of table X" is a partition-pruned
+  * scan, and drift-over-runs is an ordinary DataFrame the existing drift
+  * operators consume directly. One row per check per run, issues nested —
+  * the same grain as the reference's per-validator results. Run volume is
+  * tiny relative to the data being validated (a few rows per run), so the
+  * store stays cheap at any fleet size; the layout still scales to
+  * millions of runs because every query prunes to one dataset partition.
+  */
+final case class StoredIssue(column: String, issueType: String, count: Long,
+    totalCount: Long, severity: String, expected: String, actual: String)
+
+final case class StoredCheck(dataset: String, runId: String, runTs: Long,
+    validator: String, category: String, passed: Boolean,
+    elapsedMillis: Long, rowCount: Long, executionMode: String,
+    scanCount: Int, issues: Seq[StoredIssue], tags: Map[String, String])
+
+final case class ResultStore(workspace: String) {
+  private def root = s"$workspace/store/results"
+
+  /** Persist one run. Appends a small parquet file under the dataset's
+    * partition; returns the runId. Idempotency is the caller's contract
+    * (re-saving the same runId appends duplicate rows — use a fresh runId
+    * per run, which is what Checkpoint does). */
+  def save(spark: SparkSession, r: ValidationRunResult, runId: String,
+           runTs: Long, tags: Map[String, String] = Map.empty): String = {
+    import spark.implicits._
+    val rows = r.checks.map { c =>
+      StoredCheck(r.dataset, runId, runTs, c.validator, c.category, c.passed,
+        c.elapsedMillis, r.rowCount, r.executionMode, r.scanCount,
+        c.issues.map(i => StoredIssue(i.column, i.issueType, i.count,
+          i.totalCount, i.severity, i.expected, i.actual)), tags)
+    }
+    rows.toDS().toDF().write.mode("append").partitionBy("dataset")
+      .parquet(root)
+    runId
+  }
+
+  /** All stored checks for one dataset — partition-pruned scan. */
+  def history(spark: SparkSession, dataset: String): DataFrame =
+    runs(spark).filter(col("dataset") === dataset)
+
+  /** Whole store (all datasets). */
+  def runs(spark: SparkSession): DataFrame = spark.read.parquet(root)
+
+  /** Issue-grain history: one row per issue, for trend queries over a
+    * specific metric/validator (drift-over-runs feeds straight into the
+    * drift operators). */
+  def issueHistory(spark: SparkSession, dataset: String): DataFrame =
+    history(spark, dataset)
+      .select(col("runId"), col("runTs"), col("validator"), col("rowCount"),
+        explode(col("issues")).as("i"))
+      .select(col("runId"), col("runTs"), col("validator"), col("rowCount"),
+        col("i.column").as("column"), col("i.issueType").as("issueType"),
+        col("i.count").as("violations"), col("i.totalCount").as("totalCount"),
+        col("i.severity").as("severity"))
+
+  /** Run-grain trend: one row per run with pass/violation aggregates,
+    * ordered by time — "has null-rate drifted over the last N runs?" is a
+    * filter + window over this frame. */
+  def metricTrend(spark: SparkSession, dataset: String): DataFrame =
+    history(spark, dataset)
+      .groupBy(col("runId"), col("runTs"))
+      .agg(first(col("rowCount")).as("rowCount"),
+        count(lit(1)).as("checks"),
+        count(when(!col("passed"), 1)).as("failedChecks"),
+        sum(expr(
+          "aggregate(issues, 0L, (acc, i) -> acc + i.count)"))
+          .as("violations"))
+      .orderBy(col("runTs"))
+
+  /** Most recent runId for a dataset, if any. */
+  def latestRunId(spark: SparkSession, dataset: String): Option[String] =
+    history(spark, dataset).orderBy(col("runTs").desc)
+      .select("runId").limit(1).collect().headOption.map(_.getString(0))
+
+  /** Checks of one run (across datasets — runIds are globally unique). */
+  def get(spark: SparkSession, runId: String): DataFrame =
+    runs(spark).filter(col("runId") === runId)
+
+  def exists(spark: SparkSession, runId: String): Boolean =
+    !get(spark, runId).isEmpty
+
+  /** Remove a run. Store rows are tiny (a few per run), so the rewrite of
+    * the affected dataset partitions is cheap; data-scale tables are never
+    * stored here. */
+  def delete(spark: SparkSession, runId: String): Boolean = {
+    val all = runs(spark)
+    val hit = !all.filter(col("runId") === runId).isEmpty
+    if (hit) {
+      val keep = all.filter(col("runId") =!= runId).collect()
+      val schema = all.schema
+      val tmp = spark.createDataFrame(
+        spark.sparkContext.parallelize(keep.toIndexedSeq), schema)
+      val staging = s"$workspace/store/.results_rewrite"
+      tmp.write.mode("overwrite").partitionBy("dataset").parquet(staging)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(root))
+    }
+    hit
+  }
+}
+
+/** Expectation-suite store (reference `stores/expectations.py`:
+  * ExpectationSuite persistence with versioning). Suites are stored in the
+  * CLI's round-trippable spec grammar (`null:c;range:col:lo:hi;...`) as
+  * versioned JSON records — small driver-side config artifacts, no Spark
+  * coupling. `Cli.parseChecks` turns a loaded spec back into validators. */
+final case class SuiteStore(workspace: String) {
+  import java.nio.file.{Files, Paths}
+  private def dir(name: String) =
+    Paths.get(workspace, "store", "suites", name)
+
+  /** Save a new version of `name`; returns the version number (1-based). */
+  def save(name: String, spec: String, createdTs: Long): Int = {
+    Files.createDirectories(dir(name))
+    val v = versions(name).lastOption.getOrElse(0) + 1
+    val body = s"""{"name":${q(name)},"version":$v,"createdTs":$createdTs,""" +
+      s""""spec":${q(spec)}}"""
+    Files.writeString(dir(name).resolve(f"v$v%05d.json"), body)
+    v
+  }
+
+  def versions(name: String): Seq[Int] =
+    if (!Files.isDirectory(dir(name))) Nil
+    else {
+      val s = Files.list(dir(name))
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[Int]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".json"))
+            b += n.substring(1, n.length - 5).toInt
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+
+  def list(): Seq[String] = {
+    val p = Paths.get(workspace, "store", "suites")
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result().sorted
+      } finally s.close()
+    }
+  }
+
+  /** Load the spec string of `name` at `version` (default: latest). */
+  def get(name: String, version: Option[Int] = None): Option[String] = {
+    val vs = versions(name)
+    val v = version.orElse(vs.lastOption)
+    v.filter(vs.contains).map { ver =>
+      val body = Files.readString(dir(name).resolve(f"v$ver%05d.json"))
+      // minimal extraction: the spec field is the last JSON member
+      val m = """"spec":"((?:[^"\\]|\\.)*)"""".r
+      m.findFirstMatchIn(body).map(g => unescape(g.group(1))).getOrElse(body)
+    }
+  }
+
+  def delete(name: String): Boolean = {
+    if (!Files.isDirectory(dir(name))) false
+    else {
+      val s = Files.list(dir(name))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) Files.delete(it.next())
+      } finally s.close()
+      Files.delete(dir(name)); true
+    }
+  }
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private def unescape(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
+            .toChar; i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s(i); i += 1 }
+    }
+    b.result()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.validators._
+import graft.stores.{ResultStore, SuiteStore}
+
+class StoresSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runOnce(name: String, nulls: Int): ValidationRunResult = {
+    val df = (1 to 10).map(i =>
+      (i, if (i <= nulls) None else Some(s"v$i"))).toDF("id", "v")
+    SuiteRunner.run(df, Seq(NullCheck(Seq("v"))),
+      SuiteRunner.Config(datasetName = name))
+  }
+
+  test("result store round-trips runs and serves history per dataset") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 2), "run1", 1000L)
+    store.save(spark, runOnce("a", 5), "run2", 2000L)
+    store.save(spark, runOnce("b", 0), "run3", 3000L)
+
+    assert(store.history(spark, "a").count() == 2)
+    assert(store.history(spark, "b").count() == 1)
+    assert(store.latestRunId(spark, "a").contains("run2"))
+    assert(store.exists(spark, "run1"))
+    assert(!store.exists(spark, "nope"))
+
+    val trend = store.metricTrend(spark, "a").collect()
+    assert(trend.map(_.getAs[String]("runId")).toSeq == Seq("run1", "run2"))
+    assert(trend.map(_.getAs[Long]("violations")).toSeq == Seq(2L, 5L))
+
+    val issues = store.issueHistory(spark, "a")
+      .filter($"runId" === "run2").collect()
+    assert(issues.length == 1 && issues.head.getAs[Long]("violations") == 5L)
+  }
+
+  test("result store delete removes exactly the named run") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs2").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "r1", 1000L)
+    store.save(spark, runOnce("a", 2), "r2", 2000L)
+    assert(store.delete(spark, "r1"))
+    assert(!store.delete(spark, "r1")) // already gone
+    assert(!store.exists(spark, "r1"))
+    assert(store.exists(spark, "r2"))
+    assert(store.history(spark, "a").count() == 1)
+  }
+
+  test("suite store versions and round-trips executable specs") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val ss = SuiteStore(ws)
+    assert(ss.get("s") == None)
+    assert(ss.save("s", "null:v;unique:id", 1000L) == 1)
+    assert(ss.save("s", "null:v;unique:id;range:age:0:120", 2000L) == 2)
+    assert(ss.versions("s") == Seq(1, 2))
+    assert(ss.get("s").contains("null:v;unique:id;range:age:0:120"))
+    assert(ss.get("s", Some(1)).contains("null:v;unique:id"))
+    assert(ss.list() == Seq("s"))
+    // the stored spec is directly executable
+    val vs = Cli.parseChecks(ss.get("s").get)
+    assert(vs.size == 3)
+    val df = Seq((1, Some("x"), 30), (1, None, 500)).toDF("id", "v", "age")
+    val res = SuiteRunner.run(df, vs)
+    assert(!res.passed)
+    assert(ss.delete("s") && ss.get("s") == None)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.checkpoint._
+import graft.validators.NullCheck
+
+class TriggersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cp(name: String) = Checkpoint(name,
+    () => Seq((1, Some("a")), (2, None)).toDF("id", "v"),
+    Seq(NullCheck(Seq("v"))))
+
+  test("schedule trigger: first poll fires, then only after the interval") {
+    val t = new ScheduleTrigger(intervalMs = 1000)
+    val d0 = t.shouldTrigger(5000)
+    assert(d0.shouldRun && d0.nextRunMs.contains(6000))
+    t.markRun(5000)
+    assert(!t.shouldTrigger(5500).shouldRun)
+    assert(t.shouldTrigger(6000).shouldRun)
+    t.markRun(6000)
+    val waiting = t.shouldTrigger(6100)
+    assert(!waiting.shouldRun && waiting.nextRunMs.contains(7000))
+  }
+
+  test("schedule trigger respects start/end window and weekdays") {
+    val t = new ScheduleTrigger(1000, startMs = Some(10000),
+      endMs = Some(20000))
+    assert(!t.shouldTrigger(9999).shouldRun)
+    assert(t.shouldTrigger(10000).shouldRun)
+    assert(!t.shouldTrigger(20001).shouldRun)
+    // 1970-01-01 (epoch day 0) was a Thursday = weekday 3
+    val wd = new ScheduleTrigger(1000, weekdays = Some(Set(0))) // Mondays only
+    val thursday = 12 * 3600 * 1000L
+    val dec = wd.shouldTrigger(thursday)
+    assert(!dec.shouldRun)
+    // next allowed day: Monday = epoch day 4
+    assert(dec.nextRunMs.contains(4 * 86400000L))
+    assert(wd.shouldTrigger(4 * 86400000L + 60000).shouldRun)
+  }
+
+  test("event trigger batches to minEvents and drains") {
+    val t = new EventTrigger(minEvents = 2)
+    assert(!t.shouldTrigger(0).shouldRun)
+    t.fire(Map("k" -> "1"))
+    assert(!t.shouldTrigger(0).shouldRun)
+    t.fire(Map("k" -> "2"))
+    assert(t.shouldTrigger(0).shouldRun)
+    assert(t.drain().size == 2)
+    assert(!t.shouldTrigger(0).shouldRun)
+  }
+
+  test("file-watch trigger fires on add/change/remove, not on baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw")
+    val t = new FileWatchTrigger(dir.toString, "*.csv")
+    assert(!t.shouldTrigger(0).shouldRun) // baseline
+    val f = dir.resolve("a.csv")
+    java.nio.file.Files.writeString(f, "x")
+    assert(t.shouldTrigger(1).shouldRun) // added
+    t.markRun(1)
+    assert(!t.shouldTrigger(2).shouldRun)
+    java.nio.file.Files.writeString(f, "longer content")
+    assert(t.shouldTrigger(3).shouldRun) // size changed
+    t.markRun(3)
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "ignored")
+    assert(!t.shouldTrigger(4).shouldRun) // non-matching glob
+    java.nio.file.Files.delete(f)
+    assert(t.shouldTrigger(5).shouldRun) // removed
+  }
+
+  test("runner fires due checkpoints deterministically via pollOnce") {
+    var results = List.empty[(String, CheckpointStatus)]
+    val sched = new ScheduleTrigger(1000, name = "s1")
+    val ev = new EventTrigger(name = "e1")
+    val runner = new TriggerRunner(
+      Seq(sched -> cp("cp_sched"), ev -> cp("cp_event")),
+      (n, r) => results ::= (n -> r.status))
+    val fired0 = runner.pollOnce(1000) // schedule first-fire, event has none
+    assert(fired0.map(_._1) == Seq("s1"))
+    assert(runner.pollOnce(1500).isEmpty) // schedule waiting, no events
+    ev.fire()
+    assert(runner.pollOnce(1600).map(_._1) == Seq("e1"))
+    assert(runner.pollOnce(2100).map(_._1) == Seq("s1")) // interval elapsed
+    assert(results.size == 3)
+    // NullCheck sees the planted null each run -> Fail status routed out
+    assert(results.forall(_._2 == CheckpointStatus.Fail))
+  }
+}
