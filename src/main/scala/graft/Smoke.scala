@@ -20,6 +20,7 @@ object Smoke {
     import graft.validators._
     import graft.checkpoint._
     val ws = sys.env.getOrElse("GRAFT_WORKSPACE", "/tmp/graft-workspace")
+    val runId = s"smoke-${System.currentTimeMillis()}"
     val cp = Checkpoint("lineitem-smoke",
       () => graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "lineitem"),
       Seq(UniqueCheck(Seq("l_orderkey", "l_linenumber")),
@@ -27,11 +28,20 @@ object Smoke {
           TrendCheck("l_shipdate", "l_quantity", -1.0, 1.0)),
       actions = Seq(
         ActionRule(ConsoleAction()),
-        ActionRule(PersistAction(ws, "smoke-run"),
+        ActionRule(PersistAction(ws, runId),
           when = s => s != CheckpointStatus.Error)))
     val cr = cp.run()
     println(s"[smoke] checkpoint status=${cr.status} elapsed=${cr.elapsedMillis}ms" +
       cr.error.map(e => s" error=$e").getOrElse(""))
+
+    // run-history store + data-docs site: persist the checkpoint result,
+    // then render the browsable index (links the per-run report the
+    // PersistAction wrote plus this run's history row)
+    val store = graft.stores.ResultStore(ws)
+    cr.result.foreach(r =>
+      store.save(spark, r, runId, System.currentTimeMillis()))
+    val idx = graft.reporters.Reporters.dataDocsSite(spark, store, ws)
+    println(s"[smoke] datadocs index=$idx")
     spark.stop()
   }
 }

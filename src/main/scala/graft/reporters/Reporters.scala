@@ -131,6 +131,62 @@ object Reporters {
        |<p>${baseline.rowCount} rows · ${baseline.columns.size} columns</p>
        |$cards</body></html>""".stripMargin
   }
+
+  /** Data-docs index (reference `datadocs/` site builder: index page →
+    * per-run pages → per-table profile pages). Rendered from the
+    * run-history store: one section per dataset, one row per stored run,
+    * linking the per-run report `persistRun` wrote under
+    * `<workspace>/runs/<runId>/report.html` and any profile pages passed
+    * in. Run metadata is bytes per run, so the driver-side collect is
+    * bounded by run count, not data size. Returns the index path. */
+  def dataDocsSite(spark: org.apache.spark.sql.SparkSession,
+      store: graft.stores.ResultStore, workspace: String,
+      profilePages: Map[String, String] = Map.empty): String = {
+    import org.apache.spark.sql.functions._
+    val runs =
+      try store.runs(spark)
+        .groupBy(col("dataset"), col("runId"), col("runTs"))
+        .agg(count(lit(1)).as("checks"),
+          count(when(!col("passed"), 1)).as("failed"),
+          first(col("rowCount")).as("rows"))
+        .orderBy(col("dataset"), col("runTs").desc)
+        .collect().toIndexedSeq
+      catch { case _: Exception => IndexedSeq.empty } // empty store
+    val byDataset = runs.groupBy(_.getAs[String]("dataset")).toSeq.sortBy(_._1)
+    val sections = byDataset.map { case (ds, rs) =>
+      val rows = rs.map { r =>
+        val rid = r.getAs[String]("runId")
+        val failed = r.getAs[Long]("failed")
+        val status = if (failed == 0) "PASS" else s"FAIL ($failed)"
+        val ts = java.time.Instant.ofEpochMilli(r.getAs[Long]("runTs"))
+        s"""<tr><td><a href="../runs/${hesc(rid)}/report.html">${hesc(rid)}</a></td>
+           |<td>$ts</td><td class="${if (failed == 0) "ok" else "bad"}">$status</td>
+           |<td>${r.getAs[Long]("rows")}</td><td>${r.getAs[Long]("checks")}</td></tr>"""
+          .stripMargin
+      }.mkString("\n")
+      val profile = profilePages.get(ds)
+        .map(p => s""" · <a href="${hesc(p)}">profile</a>""").getOrElse("")
+      s"""<h2>${hesc(ds)}$profile</h2>
+         |<table><tr><th>run</th><th>time</th><th>status</th><th>rows</th>
+         |<th>checks</th></tr>
+         |$rows</table>""".stripMargin
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+         |<title>Data docs</title>
+         |<style>body{font-family:sans-serif;margin:2em}
+         |table{border-collapse:collapse}td,th{padding:4px 12px;
+         |border-bottom:1px solid #ddd;text-align:left}
+         |.ok{color:#0a0}.bad{color:#c00}</style></head><body>
+         |<h1>Data docs</h1>
+         |<p>${byDataset.size} dataset(s) · ${runs.size} stored run(s)</p>
+         |$sections</body></html>""".stripMargin
+    val dir = Paths.get(workspace, "datadocs")
+    Files.createDirectories(dir)
+    val idx = dir.resolve("index.html")
+    Files.writeString(idx, html)
+    idx.toString
+  }
 }
 
 /** Audit trail (reference `audit/` — AuditEvent + JSONL storage +

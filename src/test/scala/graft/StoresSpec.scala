@@ -50,6 +50,29 @@ class StoresSpec extends AnyFunSuite {
     assert(store.history(spark, "a").count() == 1)
   }
 
+  test("data-docs site renders an index from the run-history store") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("orders", 0), "r_pass", 1000L)
+    store.save(spark, runOnce("orders", 3), "r_fail", 2000L)
+    graft.reporters.Reporters.persistRun(runOnce("orders", 3), ws, "r_fail")
+    val idx = graft.reporters.Reporters.dataDocsSite(spark, store, ws,
+      profilePages = Map("orders" -> "profile_orders.html"))
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(idx))
+    assert(html.contains("r_pass") && html.contains("r_fail"))
+    assert(html.contains("PASS") && html.contains("FAIL"))
+    assert(html.contains("../runs/r_fail/report.html"))
+    assert(html.contains("profile_orders.html"))
+    // linked per-run page exists -> two-page browsable site
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ws, "runs", "r_fail", "report.html")))
+    // empty store degrades to an empty index, not an exception
+    val emptyIdx = graft.reporters.Reporters.dataDocsSite(spark,
+      ResultStore(ws + "_empty"), ws + "_empty")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(emptyIdx)).contains("0 dataset(s)"))
+  }
+
   test("suite store versions and round-trips executable specs") {
     val ws = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ss = SuiteStore(ws)
