@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-replicate the driver's sf0.1 test tables by an integer factor to
+  * produce larger bench fixtures (sf1 = factor 10), preserving the star
+  * schema's FK structure:
+  *
+  *   - region/nation copy unchanged (fixed dimensions);
+  *   - every fact/dim key shifts by `replica * (max(key)+1)`, applied
+  *     consistently on both sides of each FK (orders.o_custkey shifts with
+  *     customer.c_custkey, lineitem.l_orderkey with orders.o_orderkey, …),
+  *     so orphan ratios, join fan-outs and group cardinalities scale
+  *     linearly like a real bigger dataset;
+  *   - events keep their distribution; event ids/user ids shift, ts gets a
+  *     +replica ns offset to break exact ties (ts is read as raw ns longs
+  *     under the session's nanosAsLong setting and written back as longs —
+  *     Exprs.table restores timestamp semantics on load);
+  *   - documents are NOT copied verbatim: replica i recombines the first
+  *     half of doc d with the second half of doc d+i, so texts are new but
+  *     distribution-alike. Verbatim copies would plant 10-clique exact
+  *     duplicates and make every near-dup/pair query quadratically heavier
+  *     BY CONSTRUCTION, which would drown the real scaling signal the sf1
+  *     bench exists to measure;
+  *   - embeddings get a small deterministic per-replica perturbation for
+  *     the same reason (identical vectors would make ANN self-top-k
+  *     degenerate).
+  *
+  * Usage: runMain graft.GenScale <srcDir> <destDir> <factor>
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dest, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1)
+    val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    def keyBase(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    val cust = read("customer"); val custBase = keyBase(cust, "c_custkey")
+    val supp = read("supplier"); val suppBase = keyBase(supp, "s_suppkey")
+    val part = read("part");     val partBase = keyBase(part, "p_partkey")
+    val ord  = read("orders");   val ordBase  = keyBase(ord, "o_orderkey")
+    val li   = read("lineitem")
+    val ev   = read("events");   val evBase   = keyBase(ev, "event_id")
+    val usrBase = keyBase(ev, "user_id")
+
+    def reps(f: Int => DataFrame): DataFrame =
+      (0 until factor).map(f).reduce(_ unionAll _)
+
+    write(reps(i => cust.withColumn("c_custkey",
+      col("c_custkey") + lit(i * custBase))), "customer")
+    write(reps(i => supp.withColumn("s_suppkey",
+      col("s_suppkey") + lit(i * suppBase))), "supplier")
+    write(reps(i => part.withColumn("p_partkey",
+      col("p_partkey") + lit(i * partBase))), "part")
+    write(reps(i => ord
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordBase))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * custBase))),
+      "orders")
+    write(reps(i => li
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordBase))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * partBase))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppBase))),
+      "lineitem")
+    write(reps(i => ev
+      .withColumn("event_id", col("event_id") + lit(i * evBase))
+      .withColumn("user_id", col("user_id") + lit(i * usrBase))
+      .withColumn("ts", col("ts") + lit(i.toLong))), "events")
+
+    val docs = read("documents")
+    val nDocs = docs.count()
+    val docBase = keyBase(docs, "doc_id")
+    val partner = docs.select(col("doc_id").as("p_id"),
+      col("text").as("p_text"))
+    def docRep(i: Int): DataFrame =
+      if (i == 0) docs
+      else docs
+        .withColumn("p_id", (col("doc_id") + i) % nDocs)
+        .join(partner, "p_id")
+        .withColumn("w1", split(col("text"), " "))
+        .withColumn("w2", split(col("p_text"), " "))
+        .withColumn("text", expr(
+          """concat_ws(' ', concat(
+            |  slice(w1, 1, greatest(cast(size(w1) / 2 AS INT), 1)),
+            |  slice(w2, greatest(cast(size(w2) / 2 AS INT), 1),
+            |        size(w2))))""".stripMargin))
+        .select((col("doc_id") + lit(i * docBase)).as("doc_id"), col("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+    write(reps(docRep), "documents")
+
+    val emb = read("embeddings")
+    val vecBase = keyBase(emb, "vec_id")
+    def embRep(i: Int): DataFrame =
+      if (i == 0) emb
+      else emb.select((col("vec_id") + lit(i * vecBase)).as("vec_id"),
+        expr(s"""transform(embedding, (x, j) ->
+          |x + CAST(pmod(vec_id * 31 + j * 7 + $i * 13, 997) AS FLOAT)
+          |  * CAST(1e-4 AS FLOAT))""".stripMargin).as("embedding"),
+        col("label"))
+    write(reps(embRep), "embeddings")
+
+    val rows = spark.read.parquet(s"$dest/lineitem.parquet").count()
+    spark.stop()
+    println(s"[genscale] wrote $dest factor=$factor lineitem_rows=$rows")
+  }
+}
