@@ -108,6 +108,10 @@ final class FileWatchTrigger(dir: String, glob: String = "*",
   import java.nio.file.{Files, FileSystems, Paths}
   @volatile private var seen: Map[String, (Long, Long)] = Map.empty
   @volatile private var primed = false
+  // Snapshot from the shouldTrigger call that fired, reused by markRun: a
+  // re-scan there would silently absorb files that changed between the two
+  // calls into the baseline without ever triggering on them.
+  @volatile private var lastScan: Option[Map[String, (Long, Long)]] = None
   private val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
 
   private def scan(): Map[String, (Long, Long)] = {
@@ -140,13 +144,17 @@ final class FileWatchTrigger(dir: String, glob: String = "*",
     val changed = cur.collect {
       case (k, v) if seen.get(k).exists(_ != v) => k
     }
-    if (added.nonEmpty || removed.nonEmpty || changed.nonEmpty)
+    if (added.nonEmpty || removed.nonEmpty || changed.nonEmpty) {
+      lastScan = Some(cur)
       TriggerDecision(true,
         s"+${added.size} -${removed.size} ~${changed.size} file(s)")
-    else TriggerDecision(false, "no file changes")
+    } else TriggerDecision(false, "no file changes")
   }
 
-  override def markRun(nowMs: Long): Unit = { seen = scan() }
+  override def markRun(nowMs: Long): Unit = {
+    seen = lastScan.getOrElse(scan())
+    lastScan = None
+  }
 }
 
 /** Polls triggers and runs their checkpoints when due. `pollOnce` is the
@@ -172,6 +180,11 @@ final class TriggerRunner(
 
   @volatile private var exec:
       Option[java.util.concurrent.ScheduledExecutorService] = None
+  private val pollFailures = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Consecutive failed poll passes — a monitoring hook: non-zero means the
+    * runner is alive but its checkpoints are erroring. */
+  def consecutiveFailures: Long = pollFailures.get()
 
   def start(pollIntervalMs: Long): Unit = synchronized {
     if (exec.isEmpty) {
@@ -179,8 +192,18 @@ final class TriggerRunner(
         (r: Runnable) => { val t = new Thread(r, "graft-trigger-runner")
           t.setDaemon(true); t })
       e.scheduleAtFixedRate(
-        () => { try pollOnce(System.currentTimeMillis()) catch {
-          case _: Exception => () } },
+        // Catch Throwable, not Exception: an Error escaping the Runnable
+        // permanently cancels the fixed-rate task and triggers stop firing
+        // with no signal. Fatal JVM errors still surface via the failure
+        // counter instead of a dead-silent scheduler.
+        () => {
+          try { pollOnce(System.currentTimeMillis()); pollFailures.set(0) }
+          catch { case t: Throwable =>
+            pollFailures.incrementAndGet()
+            System.err.println(
+              s"[graft] trigger poll failed (${pollFailures.get()} in a row): $t")
+          }
+        },
         pollIntervalMs, pollIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       exec = Some(e)

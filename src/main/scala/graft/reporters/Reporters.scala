@@ -143,15 +143,16 @@ object Reporters {
       store: graft.stores.ResultStore, workspace: String,
       profilePages: Map[String, String] = Map.empty): String = {
     import org.apache.spark.sql.functions._
-    val runs =
-      try store.runs(spark)
+    // A never-written store reads as an empty frame (ResultStore.runs), so
+    // no catch-all here: a genuinely corrupt/unreadable store must fail the
+    // build of the site, not render as "0 dataset(s)".
+    val runs = store.runs(spark)
         .groupBy(col("dataset"), col("runId"), col("runTs"))
         .agg(count(lit(1)).as("checks"),
           count(when(!col("passed"), 1)).as("failed"),
           first(col("rowCount")).as("rows"))
         .orderBy(col("dataset"), col("runTs").desc)
         .collect().toIndexedSeq
-      catch { case _: Exception => IndexedSeq.empty } // empty store
     val byDataset = runs.groupBy(_.getAs[String]("dataset")).toSeq.sortBy(_._1)
     val sections = byDataset.map { case (ds, rs) =>
       val rows = rs.map { r =>

@@ -51,8 +51,23 @@ final case class ResultStore(workspace: String) {
   def history(spark: SparkSession, dataset: String): DataFrame =
     runs(spark).filter(col("dataset") === dataset)
 
-  /** Whole store (all datasets). */
-  def runs(spark: SparkSession): DataFrame = spark.read.parquet(root)
+  /** True once at least one run has been saved. */
+  def isInitialized(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whole store (all datasets). A never-written store reads as an EMPTY
+    * frame with the store schema (so history()/metricTrend()/latestRunId
+    * compose without every caller guarding AnalysisException); real read
+    * errors on an existing store still propagate. */
+  def runs(spark: SparkSession): DataFrame =
+    if (isInitialized(spark)) spark.read.parquet(root)
+    else {
+      import spark.implicits._
+      Seq.empty[StoredCheck].toDS().toDF()
+    }
 
   /** Issue-grain history: one row per issue, for trend queries over a
     * specific metric/validator (drift-over-runs feeds straight into the
@@ -96,20 +111,39 @@ final case class ResultStore(workspace: String) {
     * the affected dataset partitions is cheap; data-scale tables are never
     * stored here. */
   def delete(spark: SparkSession, runId: String): Boolean = {
+    import org.apache.hadoop.fs.Path
     val all = runs(spark)
     val hit = !all.filter(col("runId") === runId).isEmpty
     if (hit) {
-      val keep = all.filter(col("runId") =!= runId).collect()
-      val schema = all.schema
-      val tmp = spark.createDataFrame(
-        spark.sparkContext.parallelize(keep.toIndexedSeq), schema)
-      val staging = s"$workspace/store/.results_rewrite"
-      tmp.write.mode("overwrite").partitionBy("dataset").parquet(staging)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(root))
+      val keep = all.filter(col("runId") =!= runId).collect()
+      if (keep.isEmpty) {
+        // Deleting the last run: an "empty partitioned parquet dir" has no
+        // schema-bearing files and poisons every later read — remove the
+        // store root instead (runs()/history() treat absence as empty).
+        fs.delete(new Path(root), true)
+      } else {
+        val schema = all.schema
+        val tmp = spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toIndexedSeq), schema)
+        val staging = new Path(s"$workspace/store/.results_rewrite")
+        val retired = new Path(s"$workspace/store/.results_retired")
+        tmp.write.mode("overwrite").partitionBy("dataset")
+          .parquet(staging.toString)
+        // Swap via rename-aside: the store root is only ever absent for the
+        // instant between the two renames, and a crash in that window leaves
+        // the full old copy at `retired` for manual recovery instead of
+        // losing the store.
+        fs.delete(retired, true)
+        fs.rename(new Path(root), retired)
+        if (!fs.rename(staging, new Path(root))) {
+          fs.rename(retired, new Path(root))
+          throw new java.io.IOException(
+            s"ResultStore.delete: failed to promote rewrite at $staging")
+        }
+        fs.delete(retired, true)
+      }
     }
     hit
   }

@@ -50,6 +50,32 @@ class StoresSpec extends AnyFunSuite {
     assert(store.history(spark, "a").count() == 1)
   }
 
+  test("deleting the last run leaves a readable (empty) store") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs3").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "only", 1000L)
+    assert(store.delete(spark, "only"))
+    // the regression: an empty partitioned parquet dir used to poison
+    // every later read with 'unable to infer schema'
+    assert(store.runs(spark).count() == 0)
+    assert(store.history(spark, "a").count() == 0)
+    assert(store.latestRunId(spark, "a").isEmpty)
+    assert(!store.isInitialized(spark))
+    // and the store accepts new runs afterwards
+    store.save(spark, runOnce("a", 2), "next", 2000L)
+    assert(store.latestRunId(spark, "a").contains("next"))
+  }
+
+  test("never-written store reads as empty with the store schema") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs4").toString
+    val store = ResultStore(ws)
+    assert(!store.isInitialized(spark))
+    assert(store.runs(spark).count() == 0)
+    assert(store.runs(spark).columns.contains("validator"))
+    assert(store.metricTrend(spark, "a").count() == 0)
+    assert(store.latestRunId(spark, "a").isEmpty)
+  }
+
   test("data-docs site renders an index from the run-history store") {
     val ws = java.nio.file.Files.createTempDirectory("graft_dd").toString
     val store = ResultStore(ws)

@@ -69,6 +69,21 @@ class TriggersSpec extends AnyFunSuite {
     assert(t.shouldTrigger(5).shouldRun) // removed
   }
 
+  test("file-watch markRun baselines the firing snapshot, not a re-scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw2")
+    val t = new FileWatchTrigger(dir.toString, "*.csv")
+    assert(!t.shouldTrigger(0).shouldRun) // baseline (empty)
+    java.nio.file.Files.writeString(dir.resolve("a.csv"), "x")
+    assert(t.shouldTrigger(1).shouldRun) // fired on a.csv
+    // a file lands BETWEEN the firing decision and markRun — the
+    // regression was markRun re-scanning and silently absorbing it
+    java.nio.file.Files.writeString(dir.resolve("b.csv"), "y")
+    t.markRun(1)
+    assert(t.shouldTrigger(2).shouldRun) // must still fire for b.csv
+    t.markRun(2)
+    assert(!t.shouldTrigger(3).shouldRun)
+  }
+
   test("runner fires due checkpoints deterministically via pollOnce") {
     var results = List.empty[(String, CheckpointStatus)]
     val sched = new ScheduleTrigger(1000, name = "s1")
