@@ -1345,6 +1345,31 @@ object SparkEntry {
         .toDF("flag", "cms_estimate", "exact_cnt")
         .orderBy("flag")
     }),
+    "q137_lineage_impact" -> ((s, dir) => {
+      // Lineage + impact analysis (reference lineage/): source nodes are
+      // derived from the analyzed plan of a real two-table query (they
+      // cannot drift from what was read), a validation node carries a
+      // data-derived pass flag, and the output is the downstream impact
+      // of the customer file — node-per-row with distance + level. The
+      // oracle restates the deterministic graph shape and recomputes the
+      // pass flag from the same data.
+      import s.implicits._
+      val t = new graft.lineage.LineageTracker
+      val cust = table(s, dir, "customer")
+      val nat = table(s, dir, "nation")
+      val byNation = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      t.trackFromPlan(byNation, "cust_by_nation", "aggregate")
+      val passed = byNation.count() == 25
+      t.trackValidation("cust_by_nation", s"run-$passed", passed)
+      t.trackOutput("cust_by_nation", "report.html", "report")
+      val custNode = graft.lineage.Lineage.planSources(cust).head
+      val impact = t.analyzer.analyzeImpact(custNode.id)
+      impact.affected.map(a =>
+          (a.node.name, a.node.nodeType, a.distance, a.impactLevel))
+        .toDF("name", "node_type", "distance", "impact_level")
+        .orderBy("distance", "name")
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1570,6 +1595,21 @@ object SparkEntry {
          SELECT CAST(count(*) FILTER (WHERE r2 > 1e6) AS BIGINT)
              AS pca_outliers,
            CAST(count(*) AS BIGINT) AS total FROM r""",
+    "q137_lineage_impact" ->
+      """SELECT * FROM (
+           SELECT 'plan:cust_by_nation' AS name,
+                  'transformation' AS node_type,
+                  CAST(1 AS INT) AS distance, 'medium' AS impact_level
+           UNION ALL
+           SELECT 'cust_by_nation', 'table', CAST(2 AS INT), 'high'
+           UNION ALL
+           SELECT 'report', 'report', CAST(3 AS INT), 'medium'
+           UNION ALL
+           SELECT 'run-' || CAST(
+                    (SELECT count(DISTINCT c_nationkey) FROM customer) = 25
+                    AS VARCHAR),
+                  'validation', CAST(3 AS INT), 'low'
+         ) ORDER BY distance, name""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)

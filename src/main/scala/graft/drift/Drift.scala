@@ -218,26 +218,28 @@ object Drift {
     n1 * n2 / (nTot * nTot) * s
   }
 
+  /** One-job bounded sample: order by a seeded hash of (value, row-id)
+    * and take the global top-k — Spark plans this as
+    * TakeOrderedAndProject (per-partition top-k + driver merge), so it is
+    * a single job with O(k) driver memory: no count() pre-pass, no full
+    * collect. Hashing the row-id in keeps heavy-tie columns unbiased (a
+    * value's copies scatter across the hash order instead of clumping);
+    * like the seeded `sample()` it replaces, the draw is deterministic
+    * for a fixed partition layout. */
+  private def hashSample(df: DataFrame, column: String,
+                         sampleSize: Int): Array[Double] =
+    df.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(xxhash64(col("v"), monotonically_increasing_id() + lit(42L)))
+      .limit(sampleSize)
+      .collect().map(_.getDouble(0))
+
   /** Energy distance on bounded deterministic samples (the reference also
-    * computes the O(n^2) statistics on samples). Sample = first
-    * `sampleSize` rows by the column's own ordering — deterministic. */
+    * computes the O(n^2) statistics on samples). */
   def energyDistance(cur: DataFrame, ref: DataFrame, column: String,
                      sampleSize: Int = 500): Double = {
-    def sample(df: DataFrame): Array[Double] = {
-      // seeded row sampling (representative under heavy ties), collected
-      // in full (expected ~2x sampleSize) then deterministically shuffled
-      // and truncated — a limit() would bias toward early partitions on
-      // range-partitioned data
-      val base = df.select(col(column).cast("double").as("v"))
-        .filter(col("v").isNotNull)
-      val n = base.count()
-      val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
-      val collected = base.sample(withReplacement = false, fraction, seed = 42L)
-        .collect().map(_.getDouble(0))
-      new scala.util.Random(42).shuffle(collected.toSeq)
-        .take(sampleSize).toArray
-    }
-    val x = sample(cur); val y = sample(ref)
+    val x = hashSample(cur, column, sampleSize)
+    val y = hashSample(ref, column, sampleSize)
     def meanAbsDiff(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -255,21 +257,8 @@ object Drift {
     * distance heuristic) on bounded deterministic samples. */
   def mmd(cur: DataFrame, ref: DataFrame, column: String,
           sampleSize: Int = 500): Double = {
-    def sample(df: DataFrame): Array[Double] = {
-      // seeded row sampling (representative under heavy ties), collected
-      // in full (expected ~2x sampleSize) then deterministically shuffled
-      // and truncated — a limit() would bias toward early partitions on
-      // range-partitioned data
-      val base = df.select(col(column).cast("double").as("v"))
-        .filter(col("v").isNotNull)
-      val n = base.count()
-      val fraction = math.min(1.0, 2.0 * sampleSize / math.max(n, 1L))
-      val collected = base.sample(withReplacement = false, fraction, seed = 42L)
-        .collect().map(_.getDouble(0))
-      new scala.util.Random(42).shuffle(collected.toSeq)
-        .take(sampleSize).toArray
-    }
-    val x = sample(cur); val y = sample(ref)
+    val x = hashSample(cur, column, sampleSize)
+    val y = hashSample(ref, column, sampleSize)
     val all = x ++ y
     val dists = for (i <- all.indices; j <- (i + 1) until all.length)
       yield math.abs(all(i) - all(j))
