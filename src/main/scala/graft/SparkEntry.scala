@@ -1370,6 +1370,81 @@ object SparkEntry {
         .toDF("name", "node_type", "distance", "impact_level")
         .orderBy("distance", "name")
     }),
+    "q138_monitor_rules" -> ((s, dir) => {
+      // Metric monitoring rule engine (reference ml/monitoring): the
+      // events table's rows-per-day series evaluated against a threshold
+      // rule (value > 1.05x series mean), an anomaly rule (z > 1.5 over
+      // the trailing 30 points, min 10) and a trend rule (first/second
+      // half of an 8-point window moved >= +5%) — all three in ONE window
+      // pass; output is the per-rule alert count. The oracle restates the
+      // windows as SQL window functions.
+      import s.implicits._
+      import graft.monitoring._
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val series = daily.select(lit("events").as("series"),
+        lit("rows_per_day").as("metric"), unix_micros(col("day")).as("ts"),
+        col("value"))
+      val meanV = series.agg(avg(col("value"))).head().getDouble(0)
+      val alerts = RuleEngine(Seq(
+        ThresholdRule("thr", "rows_per_day", meanV * 1.05, "gt"),
+        AnomalyRule("anom", "rows_per_day", zThreshold = 1.5,
+          windowSize = 30, minHistory = 10),
+        TrendRule("trend", "rows_per_day", "increasing", windowSize = 8,
+          minChangePercent = 5.0))).evaluate(series)
+      val counts = alerts.groupBy(col("rule"))
+        .agg(count(lit(1)).as("alerts"))
+      Seq("anom", "thr", "trend").toDF("rule")
+        .join(counts, Seq("rule"), "left")
+        .select(col("rule"), coalesce(col("alerts"), lit(0L)).as("alerts"))
+        .orderBy("rule")
+    }),
+    "q139_concept_drift" -> ((s, dir) => {
+      // Concept drift (reference ml/drift_detection/concept.py): engineer
+      // a target y = 2*qty + 10*disc on the reference frame and reverse
+      // the qty relationship on the current frame — the detector must
+      // flag the x1 correlation sign flip (score 1.0 with the 0.5 sign
+      // penalty) and the target mean shift (target_shift wins the type).
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val ref = li.select(col("l_quantity").as("x1"),
+        col("l_discount").as("x2"),
+        (col("l_quantity") * 2 + col("l_discount") * 10).as("y"))
+      val cur = li.select(col("l_quantity").as("x1"),
+        col("l_discount").as("x2"),
+        (col("l_quantity") * -2 + col("l_discount") * 10).as("y"))
+      val r = graft.drift.ConceptDrift.detect(ref, cur, Seq("x1", "x2"), "y")
+      val cs = r.columnScores.toMap
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r4(cs("x1")), r4(cs("x2")),
+          r4(cs.getOrElse("_target_distribution", 0.0)), r4(r.driftScore),
+          if (r.isDrifted) 1L else 0L, r.driftType))
+        .toDF("x1_score", "x2_score", "target_score", "max_score",
+          "is_drifted", "drift_type")
+    }),
+    "q140_multivariate_drift" -> ((s, dir) => {
+      // Multivariate correlation-structure drift (reference
+      // ml/drift_detection/multivariate.py, correlation method): column b
+      // flips its linear relationship to a between the frames; max
+      // pairwise |dCorr| ~ 2 saturates the score, per-column scores are
+      // each column's mean |dCorr| against the others.
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      def frame(sign: Int) = li.select(col("l_quantity").as("a"),
+        (col("l_quantity") * (3 * sign) + col("l_discount") * 5).as("b"),
+        col("l_discount").as("c"))
+      val r = graft.drift.MultivariateDrift.detectCorrelation(
+        frame(1), frame(-1), Seq("a", "b", "c"))
+      val cs = r.columnScores.toMap
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r4(r.driftScore), if (r.isDrifted) 1L else 0L, r.driftType,
+          r4(cs("a")), r4(cs("b")), r4(cs("c"))))
+        .toDF("score", "is_drifted", "drift_type",
+          "a_score", "b_score", "c_score")
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1610,6 +1685,90 @@ object SparkEntry {
                     AS VARCHAR),
                   'validation', CAST(3 AS INT), 'low'
          ) ORDER BY distance, name""",
+    "q138_monitor_rules" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1),
+         s AS (SELECT epoch_us(day) AS ts, value FROM daily),
+         w AS (SELECT ts, value,
+           avg(value) OVER win30 AS m,
+           stddev_pop(value) OVER win30 AS sd,
+           count(*) OVER win30 AS n,
+           avg(value) OVER (ORDER BY ts
+             ROWS BETWEEN 7 PRECEDING AND 4 PRECEDING) AS fh,
+           avg(value) OVER (ORDER BY ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sh,
+           count(*) OVER (ORDER BY ts
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fullw
+           FROM s WINDOW win30 AS (ORDER BY ts
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT 'anom' AS rule, CAST(count(*) FILTER (WHERE n >= 10 AND
+             abs(value - m) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) > 1.5)
+             AS BIGINT) AS alerts FROM w
+         UNION ALL
+         SELECT 'thr', CAST(count(*) FILTER (WHERE
+             value > 1.05 * (SELECT avg(value) FROM s)) AS BIGINT) FROM w
+         UNION ALL
+         SELECT 'trend', CAST(count(*) FILTER (WHERE fullw = 8 AND
+             fh <> 0 AND (sh - fh) / abs(fh) * 100 >= 5.0) AS BIGINT) FROM w
+         ORDER BY rule""",
+    "q139_concept_drift" ->
+      """WITH r AS (SELECT
+             corr(l_quantity, 2*l_quantity + 10*l_discount) AS c1,
+             corr(l_discount, 2*l_quantity + 10*l_discount) AS c2,
+             avg(2*l_quantity + 10*l_discount) AS m,
+             stddev_pop(2*l_quantity + 10*l_discount) AS sd FROM lineitem),
+         c AS (SELECT
+             corr(l_quantity, -2*l_quantity + 10*l_discount) AS c1,
+             corr(l_discount, -2*l_quantity + 10*l_discount) AS c2,
+             avg(-2*l_quantity + 10*l_discount) AS m FROM lineitem),
+         sc AS (SELECT
+           least(1.0, (abs(c.c1 - r.c1) + CASE WHEN r.c1 * c.c1 < 0 AND
+             abs(r.c1) > 0.1 AND abs(c.c1) > 0.1 THEN 0.5 ELSE 0 END)
+             / 0.5) AS x1s,
+           least(1.0, (abs(c.c2 - r.c2) + CASE WHEN r.c2 * c.c2 < 0 AND
+             abs(r.c2) > 0.1 AND abs(c.c2) > 0.1 THEN 0.5 ELSE 0 END)
+             / 0.5) AS x2s,
+           CASE WHEN r.sd > 0 THEN least(1.0, abs(c.m - r.m) / (3 * r.sd))
+             WHEN c.m <> r.m THEN 1.0 ELSE 0.0 END AS ts
+           FROM r, c),
+         mx AS (SELECT x1s, x2s, ts,
+           CASE WHEN ts > 0.3 THEN greatest(x1s, x2s, ts)
+             ELSE greatest(x1s, x2s) END AS maxs FROM sc)
+         SELECT round(x1s, 4) AS x1_score, round(x2s, 4) AS x2_score,
+           round(ts, 4) AS target_score, round(maxs, 4) AS max_score,
+           CAST(CASE WHEN maxs >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_drifted,
+           CASE WHEN ts >= 0.5 THEN 'target_shift'
+             WHEN maxs >= 0.5 THEN CASE WHEN
+               (CASE WHEN x1s >= 0.5 THEN 1 ELSE 0 END +
+                CASE WHEN x2s >= 0.5 THEN 1 ELSE 0 END) > 1
+               THEN 'concept_shift' ELSE 'partial_concept_drift' END
+             ELSE 'none' END AS drift_type
+         FROM mx""",
+    "q140_multivariate_drift" ->
+      """WITH r AS (SELECT
+             corr(l_quantity, 3*l_quantity + 5*l_discount) AS ab,
+             corr(l_quantity, l_discount) AS ac,
+             corr(3*l_quantity + 5*l_discount, l_discount) AS bc
+           FROM lineitem),
+         c AS (SELECT
+             corr(l_quantity, -3*l_quantity + 5*l_discount) AS ab,
+             corr(l_quantity, l_discount) AS ac,
+             corr(-3*l_quantity + 5*l_discount, l_discount) AS bc
+           FROM lineitem),
+         d AS (SELECT abs(c.ab - r.ab) AS dab, abs(c.ac - r.ac) AS dac,
+             abs(c.bc - r.bc) AS dbc FROM r, c),
+         sc AS (SELECT least(1.0, greatest(dab, dac, dbc) / 0.5) AS score,
+             (dab + dac) / 2 AS a_s, (dab + dbc) / 2 AS b_s,
+             (dac + dbc) / 2 AS c_s FROM d)
+         SELECT round(score, 4) AS score,
+           CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_drifted,
+           CASE WHEN score >= 0.5 THEN 'correlation_shift' ELSE 'none' END
+             AS drift_type,
+           round(a_s, 4) AS a_score, round(b_s, 4) AS b_score,
+           round(c_s, 4) AS c_score
+         FROM sc""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)

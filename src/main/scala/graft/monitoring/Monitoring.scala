@@ -1,0 +1,178 @@
+package graft.monitoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Metric monitoring with alert rules (reference: truthound
+  * `ml/monitoring/monitor.py` ModelMonitor/MonitoringPipeline,
+  * `ml/monitoring/alerting/rules.py:96,206,307` Threshold/Anomaly/Trend
+  * rules + RuleEngine, `ml/monitoring/alerting/handlers.py`).
+  *
+  * Spark-first shape: the reference evaluates rules one metric-point at a
+  * time against per-model in-memory history lists. Here a rule engine is a
+  * single window-function pass over a metric-series DataFrame
+  * `(series, metric, ts, value)` — the trailing-window mean/std/halves the
+  * reference keeps as driver state become `avg/stddev/count OVER
+  * (PARTITION BY series, metric ORDER BY ts ROWS BETWEEN ...)`. One
+  * shuffle by series key evaluates millions of independent series in
+  * parallel and is stateless across calls, which is the shape that
+  * survives a 1000-executor fleet emitting metrics; alerts come back as an
+  * ordinary DataFrame to join, store, or route to notification actions.
+  *
+  * Series sources: `ResultStore.metricTrend` / `issueHistory` (run
+  * history), or any ad-hoc aggregation (e.g. rows-per-day of a fact
+  * table). `MetricSeries.fromTrend` adapts the store's trend frame.
+  */
+sealed trait AlertRule {
+  def name: String
+  /** Metric this rule watches (matches the `metric` column). */
+  def metric: String
+  def severity: String
+}
+
+/** Reference ThresholdRule (`rules.py:96-203`): fire when value crosses a
+  * fixed threshold. `comparison` ∈ gt, lt, gte, lte, eq. */
+final case class ThresholdRule(name: String, metric: String,
+    threshold: Double, comparison: String = "gt",
+    severity: String = "warning") extends AlertRule
+
+/** Reference AnomalyRule (`rules.py:206-305`): fire when the value's
+  * z-score against the trailing `windowSize` points (inclusive,
+  * population variance, at least `minHistory` points — reference
+  * hard-codes 10) exceeds `zThreshold`. A zero-variance window never
+  * fires (the value equals the window mean). */
+final case class AnomalyRule(name: String, metric: String,
+    zThreshold: Double = 3.0, windowSize: Int = 100, minHistory: Int = 10,
+    severity: String = "warning") extends AlertRule
+
+/** Reference TrendRule (`rules.py:307-422`): over the last `windowSize`
+  * points split into halves (first floor(w/2), rest), fire when the
+  * second-half mean moved >= `minChangePercent`% from the first-half mean
+  * in the configured direction. Needs the full window. */
+final case class TrendRule(name: String, metric: String,
+    trend: String = "increasing", windowSize: Int = 10,
+    minChangePercent: Double = 10.0,
+    severity: String = "warning") extends AlertRule
+
+object MetricSeries {
+  /** Adapt `ResultStore.metricTrend` output to the engine's series shape:
+    * one input row fans out to one row per tracked metric. */
+  def fromTrend(trend: DataFrame, dataset: String): DataFrame = {
+    val metricCols = Seq("rowCount", "failedChecks", "violations")
+    val stacked = metricCols.map(m =>
+      trend.select(lit(dataset).as("series"), lit(m).as("metric"),
+        col("runTs").as("ts"), col(m).cast("double").as("value")))
+    stacked.reduce(_ unionAll _)
+  }
+}
+
+/** Evaluates every rule in one window pass (reference RuleEngine
+  * `rules.py:425-505`, evaluated per point; here set-at-once). */
+final case class RuleEngine(rules: Seq[AlertRule]) {
+
+  /** `series` must have columns (series: string, metric: string,
+    * ts: long/numeric, value: double). Returns alerts:
+    * (series, metric, ts, value, rule, ruleType, severity, detail) —
+    * one row per (point, rule) that fired. */
+  def evaluate(series: DataFrame): DataFrame = {
+    require(rules.nonEmpty, "RuleEngine needs at least one rule")
+    val bySeries = Window.partitionBy(col("series"), col("metric"))
+      .orderBy(col("ts"))
+    val fired: Seq[Column] = rules.map {
+      case ThresholdRule(n, m, t, cmp, sev) =>
+        val hit = cmp match {
+          case "gt"  => col("value") > t
+          case "lt"  => col("value") < t
+          case "gte" => col("value") >= t
+          case "lte" => col("value") <= t
+          case "eq"  => col("value") === t
+          case other => throw new IllegalArgumentException(
+            s"ThresholdRule comparison '$other' (want gt|lt|gte|lte|eq)")
+        }
+        when(col("metric") === m && hit,
+          struct(lit(n).as("rule"), lit("threshold").as("ruleType"),
+            lit(sev).as("severity"),
+            concat(lit(s"value "), col("value"),
+              lit(s" $cmp threshold $t")).as("detail")))
+      case AnomalyRule(n, m, z, w, minH, sev) =>
+        val win = bySeries.rowsBetween(-(w - 1), Window.currentRow)
+        val mean = avg(col("value")).over(win)
+        val sd = stddev_pop(col("value")).over(win)
+        val npts = count(col("value")).over(win)
+        // reference: std := 1.0 when variance == 0 (then z = |v-mean| = 0)
+        val zScore = abs(col("value") - mean) /
+          when(sd > 0, sd).otherwise(lit(1.0))
+        when(col("metric") === m && npts >= minH && zScore > z,
+          struct(lit(n).as("rule"), lit("anomaly").as("ruleType"),
+            lit(sev).as("severity"),
+            concat(lit("z="), round(zScore, 2), lit(" mean="),
+              round(mean, 4)).as("detail")))
+      case TrendRule(n, m, dir, w, minPct, sev) =>
+        val h1 = w / 2         // first floor(w/2) points of the window
+        val h2 = w - h1        // remaining points, ending at current row
+        val firstHalf = avg(col("value"))
+          .over(bySeries.rowsBetween(-(w - 1), -h2))
+        val secondHalf = avg(col("value"))
+          .over(bySeries.rowsBetween(-(h2 - 1), Window.currentRow))
+        val full = count(col("value"))
+          .over(bySeries.rowsBetween(-(w - 1), Window.currentRow))
+        val pct = (secondHalf - firstHalf) / abs(firstHalf) * 100
+        val hit = dir match {
+          case "increasing" => pct >= minPct
+          case "decreasing" => pct <= -minPct
+          case other => throw new IllegalArgumentException(
+            s"TrendRule trend '$other' (want increasing|decreasing)")
+        }
+        when(col("metric") === m && full === w && firstHalf =!= 0 && hit,
+          struct(lit(n).as("rule"), lit("trend").as("ruleType"),
+            lit(sev).as("severity"),
+            concat(lit("change="), round(pct, 2), lit("% "),
+              round(firstHalf, 4), lit(" -> "),
+              round(secondHalf, 4)).as("detail")))
+    }
+    // Evaluate all rules in the same projection (shared window frames are
+    // computed once by Spark's window-exec), explode the fired structs.
+    series
+      .withColumn("__fired", array(fired: _*))
+      .select(col("series"), col("metric"), col("ts"), col("value"),
+        explode(col("__fired")).as("a"))
+      .filter(col("a").isNotNull)
+      .select(col("series"), col("metric"), col("ts"), col("value"),
+        col("a.rule").as("rule"), col("a.ruleType").as("ruleType"),
+        col("a.severity").as("severity"), col("a.detail").as("detail"))
+  }
+
+  /** Latest-point alerts only (the reference engine's per-new-point shape):
+    * evaluate the whole series, keep each series' newest ts. */
+  def evaluateLatest(series: DataFrame): DataFrame = {
+    val latest = series.groupBy(col("series").as("s2"), col("metric").as("m2"))
+      .agg(max(col("ts")).as("t2"))
+    evaluate(series).join(latest,
+      col("series") === col("s2") && col("metric") === col("m2") &&
+        col("ts") === col("t2"))
+      .drop("s2", "m2", "t2")
+  }
+}
+
+object Monitoring {
+  /** Route alerts to a notification transport (reference
+    * `alerting/handlers.py` → our checkpoint Notify payloads). Bounded
+    * driver collect: top `maxAlerts` by severity/ts. Returns the number
+    * of alerts sent. */
+  def dispatch(alerts: DataFrame,
+      send: (String, String) => Unit, maxAlerts: Int = 100): Int = {
+    val sevRank = when(col("severity") === "critical", 0)
+      .when(col("severity") === "error", 1)
+      .when(col("severity") === "warning", 2).otherwise(3)
+    val top = alerts.orderBy(sevRank, col("ts").desc).limit(maxAlerts)
+      .collect()
+    top.foreach { r =>
+      val subject = s"[graft:${r.getAs[String]("severity")}] " +
+        s"${r.getAs[String]("rule")} on ${r.getAs[String]("series")}/" +
+        r.getAs[String]("metric")
+      send(subject, r.getAs[String]("detail"))
+    }
+    top.length
+  }
+}

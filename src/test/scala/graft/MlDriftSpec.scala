@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.drift.{ConceptDrift, MultivariateDrift}
+
+class MlDriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // y = 2x + noise-free; z uncorrelated-ish deterministic pattern
+  private def frame(slope: Double, n: Int = 200) =
+    (1 to n).map { i =>
+      val x = i.toDouble
+      (x, slope * x, (i % 7).toDouble) }.toDF("x", "y", "z")
+
+  test("concept drift: stable correlations -> none") {
+    val r = ConceptDrift.detect(frame(2.0), frame(2.0), Seq("x", "z"), "y")
+    assert(!r.isDrifted && r.driftType == "none")
+    assert(r.columnScores.find(_._1 == "x").exists(_._2 < 0.05))
+  }
+
+  test("concept drift: relationship reversal fires with sign penalty") {
+    val r = ConceptDrift.detect(frame(2.0), frame(-2.0), Seq("x", "z"), "y")
+    assert(r.isDrifted)
+    assert(r.columnScores.find(_._1 == "x").exists(_._2 == 1.0))
+    assert(r.details.contains("sign changed"))
+  }
+
+  test("concept drift: target mean shift surfaces as target_shift") {
+    val ref = (1 to 300).map(i => ((i % 10).toDouble, (i % 10).toDouble))
+      .toDF("x", "y")
+    val cur = (1 to 300).map(i => ((i % 10).toDouble, (i % 10) + 100.0))
+      .toDF("x", "y")
+    val r = ConceptDrift.detect(ref, cur, Seq("x"), "y")
+    assert(r.isDrifted && r.driftType == "target_shift")
+    assert(r.columnScores.exists(_._1 == "_target_distribution"))
+  }
+
+  test("correlation matrix is symmetric with unit diagonal; fused one-job") {
+    val m = MultivariateDrift.corrMatrix(frame(2.0), Seq("x", "y", "z"))
+    assert(m(0)(0) == 1.0 && m(1)(1) == 1.0)
+    assert(math.abs(m(0)(1) - 1.0) < 1e-9) // perfect linear x~y
+    assert(m(0)(2) == m(2)(0))
+  }
+
+  test("multivariate correlation drift: break one pair") {
+    val ref = frame(2.0)
+    // current: y independent of x (constant-slope replaced by modular)
+    val cur = (1 to 200).map { i =>
+      (i.toDouble, ((i * 17) % 13).toDouble, (i % 7).toDouble)
+    }.toDF("x", "y", "z")
+    val r = MultivariateDrift.detectCorrelation(ref, cur, Seq("x", "y", "z"))
+    assert(r.isDrifted && r.driftType == "correlation_shift")
+    assert(r.columnScores.find(_._1 == "y").exists(_._2 > 0.2))
+    assert(r.details.contains("Changed pairs"))
+  }
+
+  test("power iteration recovers dominant eigenpair of a known matrix") {
+    val m = Array(Array(2.0, 0.0), Array(0.0, 0.5))
+    val (comps, eigs) = MultivariateDrift.powerIteration(m, 2)
+    assert(math.abs(eigs(0) - 2.0) < 1e-6)
+    assert(math.abs(math.abs(comps(0)(0)) - 1.0) < 1e-6)
+    assert(math.abs(eigs(1) - 0.5) < 1e-6)
+  }
+
+  test("pca drift: same distribution scores ~0, structural break scores high") {
+    val same = MultivariateDrift.detectPca(frame(2.0), frame(2.0),
+      Seq("x", "y", "z"))
+    assert(same.driftScore < 0.05)
+    val cur = (1 to 200).map { i =>
+      (i.toDouble, ((i * 17) % 13).toDouble, (i % 7).toDouble)
+    }.toDF("x", "y", "z")
+    val broke = MultivariateDrift.detectPca(frame(2.0), cur, Seq("x", "y", "z"))
+    assert(broke.driftScore > same.driftScore + 0.2)
+  }
+
+  test("mahalanobis drift: mean shift detected, stable means are not") {
+    val ref = frame(2.0)
+    val shifted = (1 to 200).map { i =>
+      val x = i.toDouble + 1000.0
+      (x, 2.0 * x, (i % 7).toDouble) }.toDF("x", "y", "z")
+    val stable = MultivariateDrift.detectMahalanobis(ref, frame(2.0),
+      Seq("x", "y", "z"))
+    val moved = MultivariateDrift.detectMahalanobis(ref, shifted,
+      Seq("x", "y", "z"))
+    assert(stable.driftScore < 0.05)
+    assert(moved.isDrifted && moved.driftType == "multivariate_shift")
+  }
+
+  test("matrix inverse round-trips") {
+    val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
+    val inv = MultivariateDrift.invert(m)
+    val prod = Array.tabulate(2, 2)((i, j) =>
+      (0 until 2).map(k => m(i)(k) * inv(k)(j)).foldLeft(0.0)(_ + _))
+    assert(math.abs(prod(0)(0) - 1.0) < 1e-9 &&
+      math.abs(prod(0)(1)) < 1e-9)
+  }
+}

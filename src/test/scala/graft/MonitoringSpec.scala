@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.monitoring._
+import org.apache.spark.sql.functions._
+
+class MonitoringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(vals: Seq[Double], name: String = "s1",
+      metric: String = "m") =
+    vals.zipWithIndex.map { case (v, i) =>
+      (name, metric, i.toLong, v) }.toDF("series", "metric", "ts", "value")
+
+  test("threshold rule fires on crossing points only") {
+    val df = series(Seq(1.0, 5.0, 2.0, 9.0))
+    val alerts = RuleEngine(Seq(
+      ThresholdRule("hi", "m", threshold = 4.0, comparison = "gt")))
+      .evaluate(df).collect()
+    assert(alerts.map(_.getAs[Long]("ts")).sorted.toSeq == Seq(1L, 3L))
+    assert(alerts.forall(_.getAs[String]("ruleType") == "threshold"))
+  }
+
+  test("threshold comparisons lt/gte/lte/eq") {
+    val df = series(Seq(1.0, 2.0, 3.0))
+    def fired(cmp: String, t: Double) =
+      RuleEngine(Seq(ThresholdRule("r", "m", t, cmp)))
+        .evaluate(df).count()
+    assert(fired("lt", 2.0) == 1)   // 1.0
+    assert(fired("gte", 2.0) == 2)  // 2,3
+    assert(fired("lte", 2.0) == 2)  // 1,2
+    assert(fired("eq", 3.0) == 1)
+  }
+
+  test("anomaly rule needs minHistory and fires on the spike") {
+    // noisy-but-stable points then a spike: spike z huge, noise z < 2
+    val df = series(Seq(1.0, 1.2, 0.8, 1.1, 0.9, 1.0, 1.2, 0.8, 1.1, 0.9,
+      1.0, 1.2, 0.8, 1.1, 50.0))
+    val alerts = RuleEngine(Seq(
+      AnomalyRule("spike", "m", zThreshold = 3.0, windowSize = 100)))
+      .evaluate(df).collect()
+    assert(alerts.length == 1 && alerts.head.getAs[Long]("ts") == 14L)
+  }
+
+  test("anomaly rule silent below minHistory and on constant series") {
+    val few = series(Seq(1.0, 99.0, 1.0)) // < 10 points
+    assert(RuleEngine(Seq(AnomalyRule("a", "m"))).evaluate(few).count() == 0)
+    val const = series(Seq.fill(20)(7.0))
+    assert(RuleEngine(Seq(AnomalyRule("a", "m"))).evaluate(const)
+      .count() == 0)
+  }
+
+  test("trend rule detects increase over full window, halves split") {
+    // window 6: halves of 3; first half mean 10, second 20 => +100%
+    val df = series(Seq(10.0, 10, 10, 20, 20, 20))
+    val up = RuleEngine(Seq(TrendRule("up", "m", "increasing",
+      windowSize = 6, minChangePercent = 50))).evaluate(df).collect()
+    assert(up.length == 1 && up.head.getAs[Long]("ts") == 5L)
+    val down = RuleEngine(Seq(TrendRule("dn", "m", "decreasing",
+      windowSize = 6, minChangePercent = 50))).evaluate(df)
+    assert(down.count() == 0)
+    // incomplete window never fires
+    val short = series(Seq(10.0, 20, 40))
+    assert(RuleEngine(Seq(TrendRule("up", "m", "increasing", 6, 10)))
+      .evaluate(short).count() == 0)
+  }
+
+  test("rules are metric-scoped and series are independent") {
+    val a = series(Seq(1.0, 9.0), "s1", "m1")
+    val b = series(Seq(1.0, 9.0), "s1", "m2")
+    val c = series(Seq(1.0, 1.0), "s2", "m1")
+    val alerts = RuleEngine(Seq(
+      ThresholdRule("r", "m1", 5.0))).evaluate(a.unionAll(b).unionAll(c))
+      .collect()
+    assert(alerts.length == 1 &&
+      alerts.head.getAs[String]("series") == "s1" &&
+      alerts.head.getAs[String]("metric") == "m1")
+  }
+
+  test("evaluateLatest keeps only each series' newest point") {
+    val df = series(Seq(9.0, 9.0, 1.0)) // fires at ts 0,1 but latest is 2
+    val eng = RuleEngine(Seq(ThresholdRule("r", "m", 5.0)))
+    assert(eng.evaluate(df).count() == 2)
+    assert(eng.evaluateLatest(df).count() == 0)
+    val df2 = series(Seq(1.0, 9.0))
+    assert(eng.evaluateLatest(df2).count() == 1)
+  }
+
+  test("metric series adapter stacks trend metrics; dispatch routes alerts") {
+    val trend = Seq(("r1", 100L, 50L, 0L, 3L), ("r2", 200L, 50L, 1L, 9L))
+      .toDF("runId", "runTs", "rowCount", "failedChecks", "violations")
+    val s = MetricSeries.fromTrend(trend, "orders")
+    assert(s.count() == 6)
+    val alerts = RuleEngine(Seq(
+      ThresholdRule("viol", "violations", 5.0, severity = "critical")))
+      .evaluate(s)
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val n = Monitoring.dispatch(alerts, (s0, b) => sent += ((s0, b)))
+    assert(n == 1 && sent.head._1.contains("critical") &&
+      sent.head._1.contains("orders/violations"))
+  }
+}
