@@ -166,6 +166,47 @@ object Cli {
         println(specs.mkString(";"))
         0
 
+      case "check-incremental" :: path :: ws :: dataset :: wmCol :: rest =>
+        // watermark-delta validation: only rows past the store's last
+        // high-water mark are scanned; the mark advances on success
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        val df = load(spark, path)
+        val wm = df.schema(wmCol).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col(wmCol))
+          case _ => col(wmCol)
+        }
+        val checks = argOf(rest, "--checks")
+          .map(parseChecks).getOrElse(defaultChecks(spark, path))
+        val inc = graft.stores.Incremental.run(spark,
+          graft.stores.ResultStore(ws), df, wm, checks, dataset,
+          runId = java.util.UUID.randomUUID().toString,
+          runTs = System.currentTimeMillis())
+        println(s"delta rows: ${inc.deltaRows} " +
+          s"(watermark ${inc.fromWatermark.getOrElse("-")} -> " +
+          s"${inc.toWatermark.getOrElse("-")})")
+        emit(inc.result, argOf(rest, "--format").getOrElse("console"))
+        if (inc.result.passed) 0 else 1
+
+      case "history" :: ws :: dataset :: _ =>
+        val trend = graft.stores.ResultStore(ws).metricTrend(spark, dataset)
+          .collect()
+        if (trend.isEmpty) { println(s"no runs stored for $dataset"); 0 }
+        else {
+          trend.foreach(r => println(
+            f"${r.getAs[String]("runId")}%-38s ts=${r.getAs[Long]("runTs")} " +
+            f"rows=${r.getAs[Long]("rowCount")}%-10d " +
+            f"failed=${r.getAs[Long]("failedChecks")}%-4d " +
+            f"violations=${r.getAs[Long]("violations")}"))
+          0
+        }
+
+      case "prune" :: ws :: rest =>
+        val keep = argOf(rest, "--keep").map(_.toInt)
+        val maxAge = argOf(rest, "--max-age-ms").map(_.toLong)
+        val n = graft.stores.ResultStore(ws).prune(spark, keep, maxAge)
+        println(s"removed $n run(s)"); 0
+
       case _ => usage(); 2
     }
 
@@ -225,5 +266,8 @@ object Cli {
       |  schema-diff <path> <baseline>
       |  generate-suite <path>
       |  list-validators
-      |  compare <pathA> <pathB> <column>""".stripMargin)
+      |  compare <pathA> <pathB> <column>
+      |  check-incremental <path> <workspace> <dataset> <wmCol> [--checks spec]
+      |  history <workspace> <dataset>
+      |  prune <workspace> [--keep N] [--max-age-ms M]""".stripMargin)
 }

@@ -806,7 +806,7 @@ object SparkEntry {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
       graft.pipeline.Similarity.lshTopK(
           emb, "vec_id", "embedding", queries, "vec_id", "embedding", 3,
-          planes = 8, probe1 = true)
+          planes = 8, probe1 = true, dim = 64)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("nn_id").as("top_nn"),
           col("cos").as("top_cos"))
@@ -1445,6 +1445,54 @@ object SparkEntry {
         .toDF("score", "is_drifted", "drift_type",
           "a_score", "b_score", "c_score")
     }),
+    "q141_incremental" -> ((s, dir) => {
+      // Incremental (watermark-delta) validation: run 1 sees events
+      // before the cutoff and persists max(ts) as the high-water mark;
+      // run 2 gets the full table but validates ONLY rows past the mark.
+      // The delta filter is an ordinary pushed-down predicate — on a
+      // date-partitioned 100 TB table it is partition pruning. The
+      // oracle recomputes both slice counts from the cutoff.
+      import s.implicits._
+      import graft.stores.{Incremental, ResultStore}
+      val ev = table(s, dir, "events")
+      val ws = java.nio.file.Files.createTempDirectory("graft_q141").toString
+      val store = ResultStore(ws)
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val wm = unix_micros(col("ts"))
+      val checks = Seq(graft.validators.NullCheck(Seq("event_type")))
+      val r1 = Incremental.run(s, store, ev.filter(col("ts") < cutoff), wm,
+        checks, "events_inc", "run1", 1000L)
+      val r2 = Incremental.run(s, store, ev, wm, checks,
+        "events_inc", "run2", 2000L)
+      Seq((r1.deltaRows, r2.deltaRows, r1.deltaRows + r2.deltaRows,
+          if (r2.fromWatermark == r1.toWatermark) 1L else 0L))
+        .toDF("run1_rows", "run2_rows", "total_rows", "watermark_chained")
+    }),
+    "q142_store_retention" -> ((s, dir) => {
+      // Store retention (reference stores/retention): persist five runs
+      // with planted key-derived violation counts, prune to the last
+      // two, and read the surviving history — the oracle recomputes the
+      // survivors' violation counts from the same mutation.
+      import s.implicits._
+      val ws = java.nio.file.Files.createTempDirectory("graft_q142").toString
+      val store = graft.stores.ResultStore(ws)
+      val cust = table(s, dir, "customer")
+      Seq(("r1", 211L), ("r2", 101L), ("r3", 53L), ("r4", 29L), ("r5", 17L))
+        .zipWithIndex.foreach { case ((rid, k), i) =>
+          val mutated = cust.withColumn("c_name_m",
+            when(col("c_custkey") % k === 0, lit(null))
+              .otherwise(col("c_name")))
+          val r = graft.core.SuiteRunner.run(mutated,
+            Seq(graft.validators.NullCheck(Seq("c_name_m"))),
+            graft.core.SuiteRunner.Config(datasetName = "cust_retention"))
+          store.save(s, r, rid, 1700000000000L + i * 3600000L)
+        }
+      val removed = store.prune(s, keepLastRuns = Some(2))
+      store.metricTrend(s, "cust_retention")
+        .select(col("runId").as("run_id"), col("violations"),
+          lit(removed.toLong).as("removed_runs"))
+        .orderBy(col("run_id"))
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1769,6 +1817,25 @@ object SparkEntry {
            round(a_s, 4) AS a_score, round(b_s, 4) AS b_score,
            round(c_s, 4) AS c_score
          FROM sc""",
+    "q141_incremental" ->
+      """SELECT
+           CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+             AS BIGINT) AS run1_rows,
+           CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+             AS BIGINT) AS run2_rows,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS watermark_chained
+         FROM events""",
+    "q142_store_retention" ->
+      """SELECT 'r4' AS run_id,
+           CAST(count(*) FILTER (WHERE c_custkey % 29 = 0) AS BIGINT)
+             AS violations,
+           CAST(3 AS BIGINT) AS removed_runs FROM customer
+         UNION ALL
+         SELECT 'r5',
+           CAST(count(*) FILTER (WHERE c_custkey % 17 = 0) AS BIGINT),
+           CAST(3 AS BIGINT) FROM customer
+         ORDER BY run_id""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)

@@ -45,22 +45,36 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: unit-free sign
-    * basis derived from xxhash64(plane, dim) — no RNG state, same buckets
-    * on every run/cluster. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim) % 1000).cast("double") / 500.0 - 1.0
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * a splitmix64-style avalanche of the pair — no RNG state, same
+    * buckets on every run/cluster/JVM. */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong + 1
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (math.floorMod(z, 1000L).toDouble / 500.0) - 1.0
+  }
 
-  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Sign-bit LSH bucket id from `planes` hyperplanes over a `dim`-wide
+    * vector. The plane matrix is computed ONCE on the driver and ships
+    * as a constant 2-D array literal — the earlier form regenerated
+    * every weight per row per plane through xxhash64 (planes × dim hash
+    * evaluations per row; the dominant cost of the whole ANN query at
+    * sf10, found by the 100× scaling bench). The expression tree is
+    * constant-size regardless of planes × dim, same discipline as
+    * Ivf.dist2All. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val w = typedlit((0 until planes).map(p =>
+      (0 until dim).map(d => planeWeight(p, d))))
     val vd = vec.cast("array<double>")
-    val bits = (0 until planes).map { p =>
-      val dot = aggregate(zip_with(vd,
-        transform(sequence(lit(0), size(vd) - 1), i => planeComponent(p, i)),
-        (x, w) => x * w), lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // dots[p] = vec . plane_p ; bucket = Σ 2^p [dots[p] >= 0]
+    val dots = transform(w, pw =>
+      aggregate(zip_with(vd, pw, (x, y) => x * y), lit(0.0), _ + _))
+    val powers = typedlit((0 until planes).map(p => 1L << p))
+    aggregate(
+      zip_with(dots, powers, (d, pw) => when(d >= 0, pw).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** ANN top-k: only corpus rows in the query's LSH bucket are scored.
@@ -69,11 +83,16 @@ object Similarity {
     * Hamming distance 1 when `probe1` is set. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 8, probe1: Boolean = true): DataFrame = {
+              k: Int, planes: Int = 8, probe1: Boolean = true,
+              dim: Int = 0): DataFrame = {
+    // vector width for the constant plane matrix; one 1-row probe job
+    // when the caller doesn't pass it
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(corpusVec))).head().getInt(0)
     val cb = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"),
-      lshBucket(col(corpusVec), planes).as("cb"))
+      lshBucket(col(corpusVec), planes, d).as("cb"))
     val qb0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-      lshBucket(col(queryVec), planes).as("qb"))
+      lshBucket(col(queryVec), planes, d).as("qb"))
     // multi-probe: expand each query to its bucket + all 1-bit flips
     val qb =
       if (!probe1) qb0.withColumn("probe", col("qb"))

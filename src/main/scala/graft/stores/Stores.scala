@@ -111,41 +111,72 @@ final case class ResultStore(workspace: String) {
     * the affected dataset partitions is cheap; data-scale tables are never
     * stored here. */
   def delete(spark: SparkSession, runId: String): Boolean = {
-    import org.apache.hadoop.fs.Path
     val all = runs(spark)
     val hit = !all.filter(col("runId") === runId).isEmpty
-    if (hit) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val keep = all.filter(col("runId") =!= runId).collect()
-      if (keep.isEmpty) {
-        // Deleting the last run: an "empty partitioned parquet dir" has no
-        // schema-bearing files and poisons every later read — remove the
-        // store root instead (runs()/history() treat absence as empty).
-        fs.delete(new Path(root), true)
-      } else {
-        val schema = all.schema
-        val tmp = spark.createDataFrame(
-          spark.sparkContext.parallelize(keep.toIndexedSeq), schema)
-        val staging = new Path(s"$workspace/store/.results_rewrite")
-        val retired = new Path(s"$workspace/store/.results_retired")
-        tmp.write.mode("overwrite").partitionBy("dataset")
-          .parquet(staging.toString)
-        // Swap via rename-aside: the store root is only ever absent for the
-        // instant between the two renames, and a crash in that window leaves
-        // the full old copy at `retired` for manual recovery instead of
-        // losing the store.
-        fs.delete(retired, true)
-        fs.rename(new Path(root), retired)
-        if (!fs.rename(staging, new Path(root))) {
-          fs.rename(retired, new Path(root))
-          throw new java.io.IOException(
-            s"ResultStore.delete: failed to promote rewrite at $staging")
-        }
-        fs.delete(retired, true)
-      }
-    }
+    if (hit) rewriteWith(spark, all, col("runId") =!= runId)
     hit
+  }
+
+  /** Retention policy (reference `stores/retention/`): keep at most
+    * `keepLastRuns` newest runs per dataset and/or drop runs older than
+    * `maxAgeMs` relative to `nowTs`. Returns the number of runs
+    * removed. Store rows are tiny, so one rewrite is cheap at any fleet
+    * size. */
+  def prune(spark: SparkSession, keepLastRuns: Option[Int] = None,
+      maxAgeMs: Option[Long] = None,
+      nowTs: Long = System.currentTimeMillis()): Int = {
+    require(keepLastRuns.nonEmpty || maxAgeMs.nonEmpty,
+      "prune needs keepLastRuns and/or maxAgeMs")
+    val all = runs(spark)
+    if (all.isEmpty) return 0
+    import org.apache.spark.sql.expressions.Window
+    val runGrain = all.select("dataset", "runId", "runTs").distinct()
+    val ranked = runGrain.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("dataset"))
+        .orderBy(col("runTs").desc, col("runId").desc)))
+    val keepPred = keepLastRuns.map(n => col("__rk") <= n)
+      .getOrElse(lit(true)) &&
+      maxAgeMs.map(a => col("runTs") >= nowTs - a).getOrElse(lit(true))
+    val victims = ranked.filter(!keepPred)
+      .select("runId").collect().map(_.getString(0)).toSet
+    if (victims.nonEmpty)
+      rewriteWith(spark, all, !col("runId").isInCollection(victims))
+    victims.size
+  }
+
+  /** Rewrite the store keeping only rows matching `keep`, with the
+    * rename-aside swap. An all-rows-removed rewrite deletes the store
+    * root instead of leaving an empty partitioned dir (which has no
+    * schema-bearing files and poisons every later read). */
+  private def rewriteWith(spark: SparkSession,
+      all: org.apache.spark.sql.DataFrame,
+      keep: org.apache.spark.sql.Column): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val kept = all.filter(keep).collect()
+    if (kept.isEmpty) {
+      fs.delete(new Path(root), true)
+    } else {
+      val tmp = spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toIndexedSeq), all.schema)
+      val staging = new Path(s"$workspace/store/.results_rewrite")
+      val retired = new Path(s"$workspace/store/.results_retired")
+      tmp.write.mode("overwrite").partitionBy("dataset")
+        .parquet(staging.toString)
+      // Swap via rename-aside: the store root is only ever absent for the
+      // instant between the two renames, and a crash in that window leaves
+      // the full old copy at `retired` for manual recovery instead of
+      // losing the store.
+      fs.delete(retired, true)
+      fs.rename(new Path(root), retired)
+      if (!fs.rename(staging, new Path(root))) {
+        fs.rename(retired, new Path(root))
+        throw new java.io.IOException(
+          s"ResultStore: failed to promote rewrite at $staging")
+      }
+      fs.delete(retired, true)
+    }
   }
 }
 

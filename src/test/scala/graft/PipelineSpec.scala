@@ -72,7 +72,7 @@ class PipelineSpec extends AnyFunSuite {
       queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ann = Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "vec_id", "embedding", 5, planes = 4, probe1 = true)
+      queries, "vec_id", "embedding", 5, planes = 3, probe1 = true)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // recall@5 of the bucketed variant vs exact (multi-probe, few planes)
     val recall = (bf intersect ann).size.toDouble / bf.size
