@@ -1493,6 +1493,50 @@ object SparkEntry {
           lit(removed.toLong).as("removed_runs"))
         .orderBy(col("run_id"))
     }),
+    "q143_feature_drift" -> ((s, dir) => {
+      // Per-feature drift (reference ml/drift_detection/feature.py):
+      // planted shifts — a: +50 mean (saturates the 3-sigma component),
+      // b: 1.4x scale (std component 0.4, range breach 0.5 wins),
+      // c: unchanged (0). Two fused profile scans total; the oracle
+      // restates the max-of-components scoring in SQL.
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val ref = li.select(col("l_quantity").as("a"), col("l_tax").as("b"),
+        col("l_discount").as("c"))
+      val cur = li.select((col("l_quantity") + 50).as("a"),
+        (col("l_tax") * 1.4).as("b"), col("l_discount").as("c"))
+      val r = graft.drift.FeatureDrift.detectNumeric(ref, cur,
+        Seq("a", "b", "c"))
+      val cs = r.columnScores.toMap
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r4(cs("a")), r4(cs("b")), r4(cs("c")), r4(r.driftScore),
+          if (r.isDrifted) 1L else 0L))
+        .toDF("a_score", "b_score", "c_score", "max_score", "is_drifted")
+    }),
+    "q144_page_hinkley" -> ((s, dir) => {
+      // Page-Hinkley sequential change detection as a monitoring rule:
+      // events rows-per-day with a +200 level shift planted after day
+      // 15 — PH must stay silent through the stable regime (max 30.3)
+      // and fire on every point from day 17 on (min firing value
+      // 369.7 vs lambda 300). Three chained window layers, restated as
+      // CTEs in the oracle.
+      import s.implicits._
+      import graft.monitoring._
+      val byDay = Window.orderBy(col("day"))
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("v0"))
+        .withColumn("value", col("v0") +
+          when(row_number().over(byDay) > 15, 200.0).otherwise(0.0))
+      val series = daily.select(lit("events").as("series"),
+        lit("rows_per_day").as("metric"), unix_micros(col("day")).as("ts"),
+        col("value"))
+      val alerts = RuleEngine(Seq(PageHinkleyRule("ph", "rows_per_day",
+        delta = 1.0, lambda = 300.0, minPoints = 10))).evaluate(series)
+      alerts.agg(count(lit(1)).as("alerts"),
+        min(col("ts")).as("first_alert_ts"))
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1836,6 +1880,64 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE c_custkey % 17 = 0) AS BIGINT),
            CAST(3 AS BIGINT) FROM customer
          ORDER BY run_id""",
+    "q143_feature_drift" ->
+      """WITH r AS (SELECT avg(l_quantity) AS am, stddev(l_quantity) AS asd,
+             min(l_quantity) AS amn, max(l_quantity) AS amx,
+             avg(l_tax) AS bm, stddev(l_tax) AS bsd,
+             min(l_tax) AS bmn, max(l_tax) AS bmx,
+             avg(l_discount) AS cm, stddev(l_discount) AS csd,
+             min(l_discount) AS cmn, max(l_discount) AS cmx
+           FROM lineitem),
+         c AS (SELECT avg(l_quantity + 50) AS am,
+             stddev(l_quantity + 50) AS asd, min(l_quantity + 50) AS amn,
+             max(l_quantity + 50) AS amx,
+             avg(l_tax * 1.4) AS bm, stddev(l_tax * 1.4) AS bsd,
+             min(l_tax * 1.4) AS bmn, max(l_tax * 1.4) AS bmx,
+             avg(l_discount) AS cm, stddev(l_discount) AS csd,
+             min(l_discount) AS cmn, max(l_discount) AS cmx
+           FROM lineitem),
+         sc AS (SELECT
+           greatest(least(1.0, abs(c.am - r.am) / r.asd / 3),
+             least(1.0, abs(c.asd / r.asd - 1)),
+             CASE WHEN c.amn < r.amn OR c.amx > r.amx THEN 0.5 ELSE 0 END)
+             AS a_s,
+           greatest(least(1.0, abs(c.bm - r.bm) / r.bsd / 3),
+             least(1.0, abs(c.bsd / r.bsd - 1)),
+             CASE WHEN c.bmn < r.bmn OR c.bmx > r.bmx THEN 0.5 ELSE 0 END)
+             AS b_s,
+           greatest(least(1.0, abs(c.cm - r.cm) / r.csd / 3),
+             least(1.0, abs(c.csd / r.csd - 1)),
+             CASE WHEN c.cmn < r.cmn OR c.cmx > r.cmx THEN 0.5 ELSE 0 END)
+             AS c_s
+           FROM r, c)
+         SELECT round(a_s, 4) AS a_score, round(b_s, 4) AS b_score,
+           round(c_s, 4) AS c_score,
+           round(greatest(a_s, b_s, c_s), 4) AS max_score,
+           CAST(CASE WHEN greatest(a_s, b_s, c_s) >= 0.5 THEN 1 ELSE 0 END
+             AS BIGINT) AS is_drifted
+         FROM sc""",
+    "q144_page_hinkley" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1),
+         s AS (SELECT epoch_us(day) AS ts,
+             value + CASE WHEN row_number() OVER (ORDER BY day) > 15
+               THEN 200 ELSE 0 END AS value
+           FROM daily),
+         l1 AS (SELECT ts, value,
+             value - avg(value) OVER w - 1.0 AS dev, count(*) OVER w AS n
+           FROM s WINDOW w AS (ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l2 AS (SELECT ts, n, sum(dev) OVER w AS m
+           FROM l1 WINDOW w AS (ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l3 AS (SELECT ts, n, m - min(m) OVER w AS ph
+           FROM l2 WINDOW w AS (ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(count(*) FILTER (WHERE n >= 10 AND ph > 300)
+             AS BIGINT) AS alerts,
+           CAST(min(ts) FILTER (WHERE n >= 10 AND ph > 300) AS BIGINT)
+             AS first_alert_ts
+         FROM l3""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)

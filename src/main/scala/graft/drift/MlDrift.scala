@@ -90,6 +90,115 @@ object ConceptDrift {
   }
 }
 
+/** Per-feature drift profiles and scores (reference
+  * `ml/drift_detection/feature.py`: numeric mean/std/range/null-ratio
+  * drift, categorical new/missing-value and proportion drift; overall
+  * score = max over components).
+  *
+  * Spark-first: the reference profiles column-by-column over a collected
+  * frame; here ALL numeric profiles come out of ONE fused aggregate per
+  * frame, and each categorical column is one bounded groupBy (the same
+  * maxCategories discipline as Drift.categoricalPq). */
+object FeatureDrift {
+
+  final case class NumericProfile(count: Long, nullCount: Long,
+      mean: Double, std: Double, min: Double, max: Double) {
+    def nullRatio: Double =
+      if (count + nullCount == 0) 0.0
+      else nullCount.toDouble / (count + nullCount)
+  }
+
+  /** Numeric profiles for every column in ONE scan. */
+  def profileNumeric(df: DataFrame, cols: Seq[String])
+      : Map[String, NumericProfile] = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+      avg(col(c)).as(s"${c}__mean"),
+      stddev_samp(col(c)).as(s"${c}__std"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 6
+      def d(j: Int) = if (row.isNullAt(b + j)) 0.0 else
+        row.getDouble(b + j) match { case v if v.isNaN => 0.0; case v => v }
+      c -> NumericProfile(row.getLong(b), row.getLong(b + 1),
+        d(2), d(3), d(4), d(5))
+    }.toMap
+  }
+
+  /** Categorical proportions (value -> share of ALL rows, matching the
+    * reference's `c / total`); bounded driver collect. */
+  def profileCategorical(df: DataFrame, column: String,
+      maxCategories: Int = 100000): (Map[String, Double], Double) = {
+    val total = df.count()
+    val rows = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as("n")).limit(maxCategories + 1).collect()
+    require(rows.length <= maxCategories,
+      s"$column exceeds $maxCategories categories — not categorical")
+    val nulls = total - rows.map(_.getAs[Long]("n")).sum
+    (rows.map(r => r.getAs[String]("v") ->
+        r.getAs[Long]("n").toDouble / math.max(total, 1)).toMap,
+     if (total == 0) 0.0 else nulls.toDouble / total)
+  }
+
+  /** Reference `feature.py:322-381` numeric scoring
+    * (relative_threshold form): mean shift in reference sigmas (3σ
+    * saturates), std ratio change, range-exceeded adds a 0.5 component,
+    * null-ratio change above 0.1; score = max component. */
+  def numericScore(ref: NumericProfile, cur: NumericProfile): Double = {
+    val comps = Seq.newBuilder[Double]
+    val meanDrift =
+      if (ref.std > 0) math.min(1.0, (math.abs(cur.mean - ref.mean) / ref.std) / 3.0)
+      else if (cur.mean != ref.mean) math.min(1.0, math.abs(cur.mean - ref.mean) / 3.0)
+      else 0.0
+    comps += meanDrift
+    if (ref.std > 0) comps += math.min(1.0, math.abs(cur.std / ref.std - 1.0))
+    if (cur.min < ref.min || cur.max > ref.max) comps += 0.5
+    val nullDrift = math.abs(cur.nullRatio - ref.nullRatio)
+    if (nullDrift > 0.1) comps += nullDrift
+    val all = comps.result()
+    if (all.isEmpty) 0.0 else all.max
+  }
+
+  /** Reference `feature.py:383-434` categorical scoring: new-value
+    * share > 5%, vanished-value reference share > 10%, max proportion
+    * change > 10%, null-ratio change > 10%; score = max component. */
+  def categoricalScore(refProps: Map[String, Double], refNull: Double,
+      curProps: Map[String, Double], curNull: Double): Double = {
+    val comps = Seq.newBuilder[Double]
+    val newShare = (curProps.keySet -- refProps.keySet).toSeq
+      .map(curProps).sum
+    if (newShare > 0.05) comps += newShare
+    val missingShare = (refProps.keySet -- curProps.keySet).toSeq
+      .map(refProps).sum
+    if (missingShare > 0.1) comps += missingShare
+    val common = refProps.keySet & curProps.keySet
+    val maxProp = if (common.isEmpty) 0.0
+      else common.map(v => math.abs(curProps(v) - refProps(v))).max
+    if (maxProp > 0.1) comps += maxProp
+    val nullDrift = math.abs(curNull - refNull)
+    if (nullDrift > 0.1) comps += nullDrift
+    val all = comps.result()
+    if (all.isEmpty) 0.0 else all.max
+  }
+
+  /** Per-feature drift over numeric columns: two fused scans total. */
+  def detectNumeric(reference: DataFrame, current: DataFrame,
+      cols: Seq[String], threshold: Double = 0.5): DriftScore = {
+    val ref = profileNumeric(reference, cols)
+    val cur = profileNumeric(current, cols)
+    val scores = cols.map(c => c -> numericScore(ref(c), cur(c)))
+    val maxScore = if (scores.isEmpty) 0.0 else scores.map(_._2).max
+    DriftScore(maxScore >= threshold, maxScore,
+      if (maxScore >= threshold) "feature_drift" else "none", scores,
+      scores.filter(_._2 >= threshold).map(_._1).mkString(", ") match {
+        case "" => "No drifted features"; case s => s"Drifted: $s" })
+  }
+}
+
 object MultivariateDrift {
 
   /** Full k×k correlation matrix in ONE scan (k(k-1)/2 corr aggregates

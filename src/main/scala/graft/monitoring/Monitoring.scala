@@ -55,6 +55,19 @@ final case class TrendRule(name: String, metric: String,
     minChangePercent: Double = 10.0,
     severity: String = "warning") extends AlertRule
 
+/** Page-Hinkley sequential change detection (the reference names the
+  * method in `ml/drift_detection/concept.py:41` ConceptDriftConfig;
+  * classic formulation: cumulate deviations from the running mean,
+  * alert when the cumulation rises `lambda` above its running minimum).
+  * `delta` is the drift insensitivity margin; `direction` picks
+  * upward/downward mean shifts. Expressed as three chained window
+  * layers — running mean, cumulative deviation, running minimum — all
+  * per (series, metric) partitions. */
+final case class PageHinkleyRule(name: String, metric: String,
+    delta: Double = 0.005, lambda: Double = 50.0, minPoints: Int = 30,
+    direction: String = "increasing",
+    severity: String = "warning") extends AlertRule
+
 object MetricSeries {
   /** Adapt `ResultStore.metricTrend` output to the engine's series shape:
     * one input row fans out to one row per tracked metric. */
@@ -79,7 +92,52 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
     require(rules.nonEmpty, "RuleEngine needs at least one rule")
     val bySeries = Window.partitionBy(col("series"), col("metric"))
       .orderBy(col("ts"))
-    val fired: Seq[Column] = rules.map {
+    val cum = bySeries.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // Page-Hinkley needs nested window results (running mean feeds the
+    // cumulative deviation, whose running min feeds the statistic) —
+    // Spark forbids window-in-window expressions, so PH rules get three
+    // chained projection layers before the shared fired-rules pass.
+    val phRules = rules.zipWithIndex.collect {
+      case (p: PageHinkleyRule, i) => (p, i) }
+    val withPh0 = phRules.foldLeft(series) { case (f, (p, i)) =>
+      val dev0 = col("value") - avg(col("value")).over(cum)
+      val dev = (if (p.direction == "decreasing") -dev0 else dev0) - p.delta
+      f.withColumn(s"__phdev$i", when(col("metric") === p.metric, dev))
+    }
+    val withPh1 = phRules.foldLeft(withPh0) { case (f, (_, i)) =>
+      f.withColumn(s"__phm$i", sum(col(s"__phdev$i")).over(cum))
+    }
+    val prepared = phRules.foldLeft(withPh1) { case (f, (_, i)) =>
+      f.withColumn(s"__ph$i",
+        col(s"__phm$i") - min(col(s"__phm$i")).over(cum))
+    }
+    val fired: Seq[Column] = rules.zipWithIndex.map {
+      case (PageHinkleyRule(n, m, _, lam, minPts, _, sev), i) =>
+        val npts = count(col("value")).over(cum)
+        when(col("metric") === m && npts >= minPts &&
+            col(s"__ph$i") > lam,
+          struct(lit(n).as("rule"), lit("page_hinkley").as("ruleType"),
+            lit(sev).as("severity"),
+            concat(lit("ph="), round(col(s"__ph$i"), 2),
+              lit(s" lambda=$lam")).as("detail")))
+      case (r, _) => firedSimple(r, bySeries)
+    }
+    // Evaluate all rules in the same projection (shared window frames are
+    // computed once by Spark's window-exec), explode the fired structs.
+    prepared
+      .withColumn("__fired", array(fired: _*))
+      .select(col("series"), col("metric"), col("ts"), col("value"),
+        explode(col("__fired")).as("a"))
+      .filter(col("a").isNotNull)
+      .select(col("series"), col("metric"), col("ts"), col("value"),
+        col("a.rule").as("rule"), col("a.ruleType").as("ruleType"),
+        col("a.severity").as("severity"), col("a.detail").as("detail"))
+  }
+
+  private def firedSimple(rule: AlertRule,
+      bySeries: org.apache.spark.sql.expressions.WindowSpec): Column =
+    rule match {
       case ThresholdRule(n, m, t, cmp, sev) =>
         val hit = cmp match {
           case "gt"  => col("value") > t
@@ -130,18 +188,9 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
             concat(lit("change="), round(pct, 2), lit("% "),
               round(firstHalf, 4), lit(" -> "),
               round(secondHalf, 4)).as("detail")))
+      case p: PageHinkleyRule => throw new IllegalStateException(
+        s"PageHinkleyRule ${p.name} must go through the prepared-layer path")
     }
-    // Evaluate all rules in the same projection (shared window frames are
-    // computed once by Spark's window-exec), explode the fired structs.
-    series
-      .withColumn("__fired", array(fired: _*))
-      .select(col("series"), col("metric"), col("ts"), col("value"),
-        explode(col("__fired")).as("a"))
-      .filter(col("a").isNotNull)
-      .select(col("series"), col("metric"), col("ts"), col("value"),
-        col("a.rule").as("rule"), col("a.ruleType").as("ruleType"),
-        col("a.severity").as("severity"), col("a.detail").as("detail"))
-  }
 
   /** Latest-point alerts only (the reference engine's per-new-point shape):
     * evaluate the whole series, keep each series' newest ts. */

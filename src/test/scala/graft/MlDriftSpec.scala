@@ -87,6 +87,39 @@ class MlDriftSpec extends AnyFunSuite {
     assert(moved.isDrifted && moved.driftType == "multivariate_shift")
   }
 
+  test("feature drift: mean shift, std shift, range breach, stability") {
+    import graft.drift.FeatureDrift
+    val ref = (1 to 100).map(i => (i.toDouble, (i % 10).toDouble))
+      .toDF("a", "b")
+    // a: +1000 mean shift (>> 3 sigma -> component 1.0); b: unchanged
+    val cur = (1 to 100).map(i => (i + 1000.0, (i % 10).toDouble))
+      .toDF("a", "b")
+    val r = FeatureDrift.detectNumeric(ref, cur, Seq("a", "b"))
+    assert(r.isDrifted && r.driftType == "feature_drift")
+    assert(r.columnScores.find(_._1 == "a").exists(_._2 == 1.0))
+    assert(r.columnScores.find(_._1 == "b").exists(_._2 < 0.01))
+    val same = FeatureDrift.detectNumeric(ref, ref, Seq("a", "b"))
+    assert(!same.isDrifted && same.driftScore == 0.0)
+    // std doubled with same mean: std component dominates
+    val wide = (1 to 100).map(i =>
+      ((i - 50.5) * 2 + 50.5, (i % 10).toDouble)).toDF("a", "b")
+    val rs = FeatureDrift.detectNumeric(ref, wide, Seq("a", "b"))
+    assert(rs.columnScores.find(_._1 == "a").exists(_._2 >= 0.5))
+  }
+
+  test("categorical drift: new values, vanished values, proportion shift") {
+    import graft.drift.FeatureDrift
+    val ref = ((1 to 80).map(_ => "x") ++ (1 to 20).map(_ => "y"))
+      .toDF("c")
+    val cur = ((1 to 40).map(_ => "x") ++ (1 to 20).map(_ => "y")
+      ++ (1 to 40).map(_ => "z")).toDF("c")
+    val (rp, rn) = FeatureDrift.profileCategorical(ref, "c")
+    val (cp, cn) = FeatureDrift.profileCategorical(cur, "c")
+    val score = FeatureDrift.categoricalScore(rp, rn, cp, cn)
+    assert(score >= 0.4) // new value 'z' at 40% share dominates
+    assert(FeatureDrift.categoricalScore(rp, rn, rp, rn) == 0.0)
+  }
+
   test("matrix inverse round-trips") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val inv = MultivariateDrift.invert(m)

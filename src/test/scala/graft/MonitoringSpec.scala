@@ -87,6 +87,42 @@ class MonitoringSpec extends AnyFunSuite {
     assert(eng.evaluateLatest(df2).count() == 1)
   }
 
+  test("page-hinkley fires on a sustained mean shift, not on noise") {
+    // 30 stable points then a level shift: PH accumulates (value - mean)
+    // and must cross lambda a few points into the shifted regime
+    val stable = Seq.tabulate(30)(i => 10.0 + (i % 2) * 0.2)
+    val shifted = Seq.fill(15)(25.0)
+    val eng = RuleEngine(Seq(PageHinkleyRule("ph", "m",
+      delta = 0.1, lambda = 30.0, minPoints = 20)))
+    val alerts = eng.evaluate(series(stable ++ shifted)).collect()
+    assert(alerts.nonEmpty)
+    assert(alerts.map(_.getAs[Long]("ts")).min >= 30L) // only after shift
+    assert(alerts.forall(_.getAs[String]("ruleType") == "page_hinkley"))
+    // pure noise never fires
+    assert(eng.evaluate(series(stable ++ stable.map(_ + 0.1))).count() == 0)
+  }
+
+  test("page-hinkley decreasing direction catches downward shifts") {
+    val s = Seq.fill(30)(50.0) ++ Seq.fill(15)(20.0)
+    val down = RuleEngine(Seq(PageHinkleyRule("phd", "m",
+      delta = 0.1, lambda = 30.0, minPoints = 20,
+      direction = "decreasing")))
+    assert(down.evaluate(series(s)).count() > 0)
+    val up = RuleEngine(Seq(PageHinkleyRule("phu", "m",
+      delta = 0.1, lambda = 30.0, minPoints = 20)))
+    assert(up.evaluate(series(s)).count() == 0)
+  }
+
+  test("page-hinkley composes with simple rules in one pass") {
+    val s = Seq.fill(30)(10.0) ++ Seq.fill(10)(30.0)
+    val eng = RuleEngine(Seq(
+      PageHinkleyRule("ph", "m", delta = 0.1, lambda = 20.0, minPoints = 20),
+      ThresholdRule("thr", "m", 25.0)))
+    val byType = eng.evaluate(series(s)).groupBy("ruleType").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.contains("page_hinkley") && byType("threshold") == 10)
+  }
+
   test("metric series adapter stacks trend metrics; dispatch routes alerts") {
     val trend = Seq(("r1", 100L, 50L, 0L, 3L), ("r2", 200L, 50L, 1L, 9L))
       .toDF("runId", "runTs", "rowCount", "failedChecks", "violations")
