@@ -114,8 +114,10 @@ object FeatureDrift {
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__n"),
       count(when(col(c).isNull, 1)).as(s"${c}__nn"),
-      avg(col(c)).as(s"${c}__mean"),
-      stddev_samp(col(c)).as(s"${c}__std"),
+      // double casts: decimal columns would otherwise surface as
+      // java.math.BigDecimal and break the typed row reads below
+      avg(col(c)).cast("double").as(s"${c}__mean"),
+      stddev_samp(col(c)).cast("double").as(s"${c}__std"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()

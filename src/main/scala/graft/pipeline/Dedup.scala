@@ -196,14 +196,19 @@ object Dedup {
     * output is just the distinct contaminated ids. */
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    // rolling token-hash shingles: tokens are hashed once per doc and
+    // windows combine polynomially — no per-position shingle string is
+    // ever built (Text.shingleHashesOf; the two projection steps keep
+    // tokens and token-hashes as attributes for lambda-CSE reasons)
     val bGrams = benchmark
       .withColumn("__toks", Text.tokens(col(benchTextCol)))
-      .select(explode(Text.shinglesOf(col("__toks"), n)).as("g"))
-      .select(xxhash64(col("g")).as("gh")).distinct()
+      .withColumn("__th", Text.tokenHashes(col("__toks")))
+      .select(explode(Text.shingleHashesOf(col("__th"), n)).as("gh"))
+      .distinct()
     val byGram = corpus
       .withColumn("__toks", Text.tokens(col(textCol)))
-      .select(col(idCol), explode(Text.shinglesOf(col("__toks"), n)).as("g"))
-      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .withColumn("__th", Text.tokenHashes(col("__toks")))
+      .select(col(idCol), explode(Text.shingleHashesOf(col("__th"), n)).as("gh"))
       .join(broadcast(bGrams), Seq("gh"), "left_semi")
       .select(col(idCol))
     val bFp = benchmark.select(Text.fingerprint(col(benchTextCol)).as("fp"))

@@ -44,6 +44,29 @@ object Text {
     * see shinglesOf for the pipeline-internal variant). */
   def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
+  /** Per-token 64-bit hashes of a token array — project this ONCE, then
+    * feed the attribute to shingleHashesOf (Catalyst does not CSE inside
+    * lambda bodies; nesting this under the window transform would rehash
+    * every token once per window position). */
+  def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
+
+  /** 64-bit hashes of all word n-gram shingles WITHOUT materializing the
+    * shingle strings: each window of n token-hashes combines by
+    * rotate-5-left + XOR (order-sensitive, pure bit ops — wrapping
+    * multiplies would trip ANSI overflow checks). Equal shingle text ⇒
+    * equal hash, so set-overlap semantics match hashing the string
+    * form, at a fraction of the cost — the string form builds an
+    * ~80-char UTF-8 shingle and xxhash64s it per position (the dominant
+    * cost of decontamination at sf10, found by the 100× scaling bench);
+    * this form does n rotate/xor steps per position. `th` must be an
+    * already-projected tokenHashes column. */
+  def shingleHashesOf(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), size(th) - n),
+        i => aggregate(slice(th, i + 1, lit(n)), lit(0L),
+          (acc, h) => shiftleft(acc, 5)
+            .bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))))
+
   // ---- quality scoring (reference-style heuristics) ----
   def punctRatio(c: Column): Column =
     when(length(c) === 0, 0.0)

@@ -107,6 +107,18 @@ class MlDriftSpec extends AnyFunSuite {
     assert(rs.columnScores.find(_._1 == "a").exists(_._2 >= 0.5))
   }
 
+  test("numeric profiles survive decimal columns and all-null columns") {
+    import graft.drift.FeatureDrift
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = (1 to 10).map(i => (i.toDouble, Option.empty[Double]))
+      .toDF("a", "b")
+      .withColumn("a", col("a").cast("decimal(10,2)"))
+    val p = FeatureDrift.profileNumeric(df, Seq("a", "b"))
+    assert(math.abs(p("a").mean - 5.5) < 1e-9)
+    assert(p("b").count == 0 && p("b").nullRatio == 1.0 &&
+      p("b").mean == 0.0)
+  }
+
   test("categorical drift: new values, vanished values, proportion shift") {
     import graft.drift.FeatureDrift
     val ref = ((1 to 80).map(_ => "x") ++ (1 to 20).map(_ => "y"))
