@@ -175,6 +175,47 @@ object Notify {
     }
   }
 
+  /** OpsGenie Alerts API v2 payload (reference opsgenie.py
+    * AlertPayloadBuilder + auto-priority: Error→P1, Fail→P2, Pass→P5). */
+  def opsGeniePayload(r: CheckpointResult, tags: Seq[String] = Nil): String = {
+    val (checks, failed, violations) = stats(r)
+    val prio = r.status match {
+      case CheckpointStatus.Error => "P1"
+      case CheckpointStatus.Fail => "P2"
+      case CheckpointStatus.Pass => "P5"
+    }
+    val tagJson = tags.map(jstr).mkString("[", ",", "]")
+    s"""{"message":${jstr(s"${r.name}: ${statusWord(r.status)}")},""" +
+      s""""alias":${jstr(s"graft-${r.name}")},"priority":"$prio",""" +
+      s""""source":"graft","tags":$tagJson,"details":{""" +
+      s""""checks":"$checks","failed":"$failed",""" +
+      s""""violations":"$violations","elapsed_ms":"${r.elapsedMillis}"}}"""
+  }
+
+  /** Telegram sendMessage payload (reference telegram_notify.py —
+    * HTML parse mode; the bot token lives in the URL). */
+  def telegramPayload(r: CheckpointResult, chatId: String): String = {
+    val (checks, failed, violations) = stats(r)
+    val text = s"<b>${r.name}</b>: ${statusWord(r.status)}\n" +
+      s"$failed/$checks checks failed, $violations violation(s)" +
+      r.error.map(e => s"\nerror: $e").getOrElse("")
+    s"""{"chat_id":${jstr(chatId)},"text":${jstr(text)},""" +
+      s""""parse_mode":"HTML"}"""
+  }
+
+  /** GitHub check-run payload (reference github_action.py:256 — a
+    * completed check run with pass/fail conclusion on a commit). */
+  def githubCheckRunPayload(r: CheckpointResult, headSha: String): String = {
+    val (checks, failed, violations) = stats(r)
+    val conclusion =
+      if (r.status == CheckpointStatus.Pass) "success" else "failure"
+    s"""{"name":${jstr(s"graft: ${r.name}")},"head_sha":${jstr(headSha)},""" +
+      s""""status":"completed","conclusion":"$conclusion","output":{""" +
+      s""""title":${jstr(s"Data Quality - ${statusWord(r.status)}")},""" +
+      s""""summary":${jstr(s"$failed/$checks checks failed, " +
+        s"$violations violation(s), ${r.elapsedMillis} ms")}}}"""
+  }
+
   /** RFC 5322 message text (reference email_notify builds MIME and hands
     * it to SMTP; the SMTP hop is a Transport concern). */
   def emailMessage(r: CheckpointResult, from: String, to: Seq[String],
@@ -260,6 +301,32 @@ object Notify {
       transport: Transport = new HttpTransport()): NotifyAction =
     NotifyAction("pagerduty", url, pagerDutyPayload(_, routingKey),
       transport = transport) // PD gets both triggers and resolves
+
+  def opsGenie(apiKey: String, tags: Seq[String] = Nil,
+      url: String = "https://api.opsgenie.com/v2/alerts",
+      notifyOn: Condition = Condition.OnFailure,
+      transport: Transport = new HttpTransport()): NotifyAction =
+    NotifyAction("opsgenie", url, opsGeniePayload(_, tags),
+      auth = Some("Authorization" -> s"GenieKey $apiKey"),
+      notifyOn = notifyOn, transport = transport)
+
+  def telegram(botToken: String, chatId: String,
+      notifyOn: Condition = Condition.Always,
+      transport: Transport = new HttpTransport()): NotifyAction =
+    NotifyAction("telegram",
+      s"https://api.telegram.org/bot$botToken/sendMessage",
+      telegramPayload(_, chatId), notifyOn = notifyOn,
+      transport = transport)
+
+  def githubCheckRun(repository: String, headSha: String, token: String,
+      notifyOn: Condition = Condition.Always,
+      transport: Transport = new HttpTransport()): NotifyAction =
+    NotifyAction("github-check-run",
+      s"https://api.github.com/repos/$repository/check-runs",
+      githubCheckRunPayload(_, headSha),
+      headers = Map("Accept" -> "application/vnd.github+json"),
+      auth = Some("Authorization" -> s"Bearer $token"),
+      notifyOn = notifyOn, transport = transport)
 
   def webhook(url: String, method: String = "POST",
       headers: Map[String, String] = Map.empty,

@@ -68,6 +68,17 @@ final case class PageHinkleyRule(name: String, metric: String,
     direction: String = "increasing",
     severity: String = "warning") extends AlertRule
 
+/** DDM — Drift Detection Method (Gama et al. 2004; named alongside
+  * page_hinkley in reference `concept.py:41`). The series is an error
+  * RATE in [0,1] (e.g. failed-check ratio per run): with p_t the
+  * cumulative mean and s_t = sqrt(p_t(1-p_t)/t), DDM tracks the point
+  * where p+s was minimal and fires `warning` at p_t+s_t ≥ pmin+2·smin,
+  * `drift` at ≥ pmin+3·smin. Expressed with a min_by window (the
+  * (p,s) pair AT the historical minimum, not the componentwise mins). */
+final case class DdmRule(name: String, metric: String,
+    warnSigmas: Double = 2.0, driftSigmas: Double = 3.0,
+    minPoints: Int = 30, severity: String = "warning") extends AlertRule
+
 object MetricSeries {
   /** Adapt `ResultStore.metricTrend` output to the engine's series shape:
     * one input row fans out to one row per tracked metric. */
@@ -108,11 +119,49 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
     val withPh1 = phRules.foldLeft(withPh0) { case (f, (_, i)) =>
       f.withColumn(s"__phm$i", sum(col(s"__phdev$i")).over(cum))
     }
-    val prepared = phRules.foldLeft(withPh1) { case (f, (_, i)) =>
+    val withPh = phRules.foldLeft(withPh1) { case (f, (_, i)) =>
       f.withColumn(s"__ph$i",
         col(s"__phm$i") - min(col(s"__phm$i")).over(cum))
     }
+    // DDM layers: cumulative error rate p and its binomial std s, then
+    // the (p, s) pair AT the historical minimum of p+s via min_by.
+    val ddmRules = rules.zipWithIndex.collect {
+      case (d: DdmRule, i) => (d, i) }
+    val withDdm0 = ddmRules.foldLeft(withPh) { case (f, (d, i)) =>
+      f.withColumn(s"__ddmp$i",
+          when(col("metric") === d.metric, avg(col("value")).over(cum)))
+        .withColumn(s"__ddmn$i", count(col("value")).over(cum))
+    }
+    val withDdm1 = ddmRules.foldLeft(withDdm0) { case (f, (_, i)) =>
+      f.withColumn(s"__ddms$i", sqrt(
+        greatest(col(s"__ddmp$i") * (lit(1.0) - col(s"__ddmp$i")), lit(0.0))
+          / col(s"__ddmn$i")))
+    }
+    val prepared = ddmRules.foldLeft(withDdm1) { case (f, (d, i)) =>
+      // the historical minimum only considers points past the warm-up
+      // (classic DDM: the cold-start prefix has degenerate p=s=0 minima
+      // that would make every later point a "drift")
+      f.withColumn(s"__ddmmin$i",
+        min_by(struct(col(s"__ddmp$i").as("p"), col(s"__ddms$i").as("s")),
+          when(col(s"__ddmn$i") >= d.minPoints,
+            col(s"__ddmp$i") + col(s"__ddms$i"))
+            .otherwise(lit(Double.MaxValue))).over(cum))
+    }
     val fired: Seq[Column] = rules.zipWithIndex.map {
+      case (DdmRule(n, m, warnK, driftK, minPts, sev), i) =>
+        val p = col(s"__ddmp$i"); val s = col(s"__ddms$i")
+        val pmin = col(s"__ddmmin$i").getField("p")
+        val smin = col(s"__ddmmin$i").getField("s")
+        val level = p + s
+        val isDrift = level >= pmin + smin * driftK
+        val isWarn = level >= pmin + smin * warnK
+        when(col("metric") === m && col(s"__ddmn$i") >= minPts && isWarn,
+          struct(lit(n).as("rule"), lit("ddm").as("ruleType"),
+            when(isDrift, lit("critical")).otherwise(lit(sev))
+              .as("severity"),
+            concat(when(isDrift, lit("drift")).otherwise(lit("warning")),
+              lit(" p="), round(p, 4), lit(" p_min+s_min="),
+              round(pmin + smin, 4)).as("detail")))
       case (PageHinkleyRule(n, m, _, lam, minPts, _, sev), i) =>
         val npts = count(col("value")).over(cum)
         when(col("metric") === m && npts >= minPts &&
@@ -188,8 +237,9 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
             concat(lit("change="), round(pct, 2), lit("% "),
               round(firstHalf, 4), lit(" -> "),
               round(secondHalf, 4)).as("detail")))
-      case p: PageHinkleyRule => throw new IllegalStateException(
-        s"PageHinkleyRule ${p.name} must go through the prepared-layer path")
+      case r @ (_: PageHinkleyRule | _: DdmRule) =>
+        throw new IllegalStateException(
+          s"${r.name} must go through the prepared-layer path")
     }
 
   /** Latest-point alerts only (the reference engine's per-new-point shape):

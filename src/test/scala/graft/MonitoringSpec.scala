@@ -123,6 +123,21 @@ class MonitoringSpec extends AnyFunSuite {
     assert(byType.contains("page_hinkley") && byType("threshold") == 10)
   }
 
+  test("ddm fires on error-rate degradation with drift escalation") {
+    // steady ~10% error rate for 40 points, then sustained 40%
+    val s = Seq.tabulate(40)(i => if (i % 10 == 5) 1.0 else 0.0) ++
+      Seq.fill(20)(0.4)
+    val eng = RuleEngine(Seq(DdmRule("ddm", "m", minPoints = 20)))
+    val alerts = eng.evaluate(series(s)).collect()
+    assert(alerts.nonEmpty)
+    assert(alerts.map(_.getAs[Long]("ts")).min >= 40L)
+    assert(alerts.exists(_.getAs[String]("severity") == "critical"))
+    assert(alerts.forall(_.getAs[String]("ruleType") == "ddm"))
+    // stable error rate never fires
+    val flat = Seq.tabulate(60)(i => if (i % 10 == 5) 1.0 else 0.0)
+    assert(eng.evaluate(series(flat)).count() == 0)
+  }
+
   test("metric series adapter stacks trend metrics; dispatch routes alerts") {
     val trend = Seq(("r1", 100L, 50L, 0L, 3L), ("r2", 200L, 50L, 1L, 9L))
       .toDF("runId", "runTs", "rowCount", "failedChecks", "violations")

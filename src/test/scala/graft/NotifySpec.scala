@@ -87,6 +87,35 @@ class NotifySpec extends AnyFunSuite {
       o.status == "error" && o.message.contains("net down")))
   }
 
+  test("opsgenie/telegram/github payloads and factory wiring") {
+    val og = opsGeniePayload(result(CheckpointStatus.Error), Seq("prod"))
+    assert(og.contains("\"priority\":\"P1\"") &&
+      og.contains("graft-orders-daily") && og.contains("\"prod\""))
+    assert(opsGeniePayload(result(CheckpointStatus.Fail))
+      .contains("\"priority\":\"P2\""))
+    val tg = telegramPayload(result(CheckpointStatus.Fail), "-100123")
+    assert(tg.contains("\"chat_id\":\"-100123\"") &&
+      tg.contains("parse_mode") && tg.contains("1/3 checks failed"))
+    val gh = githubCheckRunPayload(result(CheckpointStatus.Pass, 0), "abc123")
+    assert(gh.contains("\"conclusion\":\"success\"") &&
+      gh.contains("\"head_sha\":\"abc123\""))
+    // factory wiring: URL construction + auth headers + condition
+    val rec = new Recording()
+    telegram("tok", "-1", transport = rec).run(result(CheckpointStatus.Fail))
+    assert(rec.sent.head.url == "https://api.telegram.org/bottok/sendMessage")
+    val rec2 = new Recording()
+    opsGenie("key", transport = rec2).run(result(CheckpointStatus.Pass, 0))
+    assert(rec2.sent.isEmpty) // OnFailure default skips a pass
+    opsGenie("key", transport = rec2).run(result(CheckpointStatus.Fail))
+    assert(rec2.sent.head.headers("Authorization") == "GenieKey key")
+    val rec3 = new Recording()
+    githubCheckRun("org/repo", "sha1", "t0", transport = rec3)
+      .run(result(CheckpointStatus.Fail))
+    assert(rec3.sent.head.url ==
+      "https://api.github.com/repos/org/repo/check-runs")
+    assert(rec3.sent.head.headers("Accept") == "application/vnd.github+json")
+  }
+
   test("email message is a well-formed RFC-5322 text") {
     val m = emailMessage(result(CheckpointStatus.Fail), "dq@x.io",
       Seq("a@x.io", "b@x.io"))
