@@ -1537,6 +1537,30 @@ object SparkEntry {
       alerts.agg(count(lit(1)).as("alerts"),
         min(col("ts")).as("first_alert_ts"))
     }),
+    "q145_ddm" -> ((s, dir) => {
+      // DDM drift detection as a monitoring rule: a daily error-rate
+      // series (share of events with value < 5) gets a +0.5 level shift
+      // after day 20. DDM's warning zone (p+s >= pmin+2*smin) catches
+      // day 23 on; the drift zone (3 sigma) escalates severity from
+      // day 27. The oracle restates the min_by historical-minimum
+      // tracking as window CTEs.
+      import s.implicits._
+      import graft.monitoring._
+      val byDay = Window.orderBy(col("day"))
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(avg(when(col("value") < 5, 1.0).otherwise(0.0)).as("rate"))
+        .withColumn("value", col("rate") +
+          when(row_number().over(byDay) > 20, 0.5).otherwise(0.0))
+      val series = daily.select(lit("events").as("series"),
+        lit("err_rate").as("metric"), unix_micros(col("day")).as("ts"),
+        col("value"))
+      val alerts = RuleEngine(Seq(DdmRule("ddm", "err_rate",
+        minPoints = 10))).evaluate(series)
+      alerts.agg(count(lit(1)).as("alerts"),
+        count(when(col("severity") === "critical", 1)).as("drift_alerts"),
+        min(col("ts")).as("first_alert_ts"))
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1937,6 +1961,33 @@ object SparkEntry {
              AS BIGINT) AS alerts,
            CAST(min(ts) FILTER (WHERE n >= 10 AND ph > 300) AS BIGINT)
              AS first_alert_ts
+         FROM l3""",
+    "q145_ddm" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+             avg(CASE WHEN value < 5 THEN 1.0 ELSE 0.0 END) AS rate
+           FROM events GROUP BY 1),
+         s AS (SELECT epoch_us(day) AS ts,
+             rate + CASE WHEN row_number() OVER (ORDER BY day) > 20
+               THEN 0.5 ELSE 0 END AS value
+           FROM daily),
+         l1 AS (SELECT ts, value, avg(value) OVER w AS p,
+             count(*) OVER w AS n
+           FROM s WINDOW w AS (ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l2 AS (SELECT ts, p, n,
+             sqrt(greatest(p * (1 - p), 0) / n) AS sd FROM l1),
+         l3 AS (SELECT ts, n, p, sd,
+             min_by(struct_pack(p := p, s := sd),
+               CASE WHEN n >= 10 THEN p + sd ELSE 1e308 END)
+               OVER (ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM l2)
+         SELECT CAST(count(*) FILTER (WHERE n >= 10 AND
+             p + sd >= mn.p + 2 * mn.s) AS BIGINT) AS alerts,
+           CAST(count(*) FILTER (WHERE n >= 10 AND
+             p + sd >= mn.p + 3 * mn.s) AS BIGINT) AS drift_alerts,
+           CAST(min(ts) FILTER (WHERE n >= 10 AND
+             p + sd >= mn.p + 2 * mn.s) AS BIGINT) AS first_alert_ts
          FROM l3""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,

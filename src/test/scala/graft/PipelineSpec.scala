@@ -79,6 +79,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("lsh bucket expression carries no per-row weight hashing") {
+    // regression for the sf10 finding: the bucketer must ship its plane
+    // matrix as a constant literal, not regenerate planes x dim weights
+    // per row through xxhash64 inside the lambda
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.lshBucket(col("embedding"), 8, 64).toString
+    assert(!e.toLowerCase.contains("xxhash"))
+  }
+
   test("text analysis: tokens, quality, language id, fingerprints") {
     val df = Seq(
       ("The quick brown fox, and the lazy dog!", "en"),
