@@ -1561,6 +1561,35 @@ object SparkEntry {
         count(when(col("severity") === "critical", 1)).as("drift_alerts"),
         min(col("ts")).as("first_alert_ts"))
     }),
+    "q146_run_diff" -> ((s, dir) => {
+      // Run diff (reference stores/versioning diff): persist two runs
+      // with planted differences — the null rate worsens (still_failing
+      // with growing violations), a range check tightens (new_failure),
+      // a sign check appears (added) — and classify every check pair.
+      // The oracle recomputes each cell from the same key-derived
+      // mutations.
+      import s.implicits._
+      val ws = java.nio.file.Files.createTempDirectory("graft_q146").toString
+      val store = graft.stores.ResultStore(ws)
+      val cust = table(s, dir, "customer")
+      def mutated(k: Long) = cust.withColumn("c_name_m",
+        when(col("c_custkey") % k === 0, lit(null)).otherwise(col("c_name")))
+      val runA = graft.core.SuiteRunner.run(mutated(101L),
+        Seq(graft.validators.NullCheck(Seq("c_name_m")),
+          graft.validators.RangeCheck("c_custkey", Some(0), Some(1e9))),
+        graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
+      store.save(s, runA, "a", 1000L)
+      val runB = graft.core.SuiteRunner.run(mutated(53L),
+        Seq(graft.validators.NullCheck(Seq("c_name_m")),
+          graft.validators.RangeCheck("c_custkey", Some(0), Some(100)),
+          graft.validators.SignCheck("c_acctbal")),
+        graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
+      store.save(s, runB, "b", 2000L)
+      store.diffRuns(s, "a", "b")
+        .select(col("validator"), col("change"),
+          col("violations_a"), col("violations_b"))
+        .orderBy(col("validator"))
+    }),
     "q136_result_store_trend" -> ((s, dir) => {
       // Run-history store (reference stores/): persist three validation
       // runs with planted, strictly-growing null rates, then answer "has
@@ -1989,6 +2018,25 @@ object SparkEntry {
            CAST(min(ts) FILTER (WHERE n >= 10 AND
              p + sd >= mn.p + 2 * mn.s) AS BIGINT) AS first_alert_ts
          FROM l3""",
+    "q146_run_diff" ->
+      """SELECT * FROM (
+           SELECT 'null[c_name_m]' AS validator,
+             'still_failing' AS change,
+             CAST(count(*) FILTER (WHERE c_custkey % 101 = 0) AS BIGINT)
+               AS violations_a,
+             CAST(count(*) FILTER (WHERE c_custkey % 53 = 0) AS BIGINT)
+               AS violations_b
+           FROM customer
+           UNION ALL
+           SELECT 'positive[c_acctbal]', 'added', CAST(0 AS BIGINT),
+             CAST(count(*) FILTER (WHERE c_acctbal <= 0) AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT 'range[c_custkey]', 'new_failure', CAST(0 AS BIGINT),
+             CAST(count(*) FILTER (WHERE c_custkey < 0 OR c_custkey > 100)
+               AS BIGINT)
+           FROM customer
+         ) ORDER BY validator""",
     "q136_result_store_trend" ->
       """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(*) FILTER (WHERE c_custkey % 211 = 0) AS BIGINT)

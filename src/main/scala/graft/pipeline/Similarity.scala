@@ -45,37 +45,16 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * a splitmix64-style avalanche of the pair — no RNG state, same
-    * buckets on every run/cluster/JVM. */
-  private def planeWeight(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong + 1
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (math.floorMod(z, 1000L).toDouble / 500.0) - 1.0
-  }
-
   /** Sign-bit LSH bucket id from `planes` hyperplanes over a `dim`-wide
-    * vector. The plane matrix is computed ONCE on the driver and ships
-    * as a constant 2-D array literal — the earlier form regenerated
-    * every weight per row per plane through xxhash64 (planes × dim hash
-    * evaluations per row; the dominant cost of the whole ANN query at
-    * sf10, found by the 100× scaling bench). The expression tree is
-    * constant-size regardless of planes × dim, same discipline as
-    * Ivf.dist2All. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val w = typedlit((0 until planes).map(p =>
-      (0 until dim).map(d => planeWeight(p, d))))
-    val vd = vec.cast("array<double>")
-    // dots[p] = vec . plane_p ; bucket = Σ 2^p [dots[p] >= 0]
-    val dots = transform(w, pw =>
-      aggregate(zip_with(vd, pw, (x, y) => x * y), lit(0.0), _ + _))
-    val powers = typedlit((0 until planes).map(p => 1L << p))
-    aggregate(
-      zip_with(dots, powers, (d, pw) => when(d >= 0, pw).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+    * vector — a native codegen expression
+    * ([[graft.functions.HyperplaneBucket]]): one primitive double loop
+    * per row, weight matrix built once per plan. Two earlier forms were
+    * retired by the scaling ladder: per-row xxhash64 weight generation
+    * (17× super-linear at sf10) and a constant-literal HOF pipeline
+    * (correct scaling but boxed lambda evaluation that degraded
+    * several-fold under long-JVM GC pressure in the full-suite bench). */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    graft.functions.HyperplaneBucket(vec, planes, dim)
 
   /** ANN top-k: only corpus rows in the query's LSH bucket are scored.
     * Recall is tunable via `planes` (fewer planes = bigger buckets =

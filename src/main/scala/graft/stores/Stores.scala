@@ -144,6 +144,32 @@ final case class ResultStore(workspace: String) {
     victims.size
   }
 
+  /** Per-check diff between two stored runs (reference
+    * `stores/versioning/store.py:552` diff + `_calculate_diff`): a
+    * full-outer join on (dataset, validator) classifying every check as
+    * new_failure / fixed / still_failing / still_passing / added /
+    * removed, with violation-count deltas. "What changed since the last
+    * run?" as an ordinary DataFrame — distributable at any run width. */
+  def diffRuns(spark: SparkSession, runA: String, runB: String): DataFrame = {
+    def side(runId: String, tag: String) = get(spark, runId).select(
+      col("dataset"), col("validator"),
+      col("passed").as(s"passed_$tag"),
+      expr("aggregate(issues, 0L, (acc, i) -> acc + i.count)")
+        .as(s"violations_$tag"))
+    val joined = side(runA, "a")
+      .join(side(runB, "b"), Seq("dataset", "validator"), "full_outer")
+    joined.select(col("dataset"), col("validator"),
+      col("passed_a"), col("passed_b"),
+      coalesce(col("violations_a"), lit(0L)).as("violations_a"),
+      coalesce(col("violations_b"), lit(0L)).as("violations_b"),
+      when(col("passed_a").isNull, "added")
+        .when(col("passed_b").isNull, "removed")
+        .when(col("passed_a") && !col("passed_b"), "new_failure")
+        .when(!col("passed_a") && col("passed_b"), "fixed")
+        .when(!col("passed_a") && !col("passed_b"), "still_failing")
+        .otherwise("still_passing").as("change"))
+  }
+
   /** Rewrite the store keeping only rows matching `keep`, with the
     * rename-aside swap. An all-rows-removed rewrite deletes the store
     * root instead of leaving an empty partitioned dir (which has no

@@ -65,6 +65,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(store.history(spark, "b").select("runId").distinct().count() == 1)
   }
 
+  test("diffRuns classifies new failures, fixes, and added checks") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_diff").toString
+    val store = ResultStore(ws)
+    def run(checks: Seq[Validator]) = SuiteRunner.run(data(10), checks,
+      SuiteRunner.Config(datasetName = "t"))
+    // run A: null check fails (2 nulls), range passes
+    store.save(spark, run(Seq(NullCheck(Seq("v")),
+      RangeCheck("seq", Some(0), Some(100)))), "a", 1000L)
+    // run B: null fixed (checked on seq: 0 nulls), range now fails,
+    // plus a new unique check
+    store.save(spark, run(Seq(NullCheck(Seq("seq")),
+      RangeCheck("seq", Some(0), Some(5)), UniqueCheck(Seq("seq")))),
+      "b", 2000L)
+    val d = store.diffRuns(spark, "a", "b").collect()
+      .map(r => r.getAs[String]("validator") -> r.getAs[String]("change"))
+      .toMap
+    assert(d.exists(_._2 == "new_failure")) // range tightened
+    assert(d(s"unique[seq]") == "added" ||
+      d.keys.exists(k => k.contains("unique") && d(k) == "added"))
+    // null check names differ per column -> one removed, one added
+    assert(d.values.count(_ == "removed") == 1)
+  }
+
   test("prune maxAge drops old runs; pruning everything empties the store") {
     val ws = java.nio.file.Files.createTempDirectory("graft_pr2").toString
     val store = ResultStore(ws)
