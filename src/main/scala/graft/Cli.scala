@@ -207,6 +207,22 @@ object Cli {
         val n = graft.stores.ResultStore(ws).prune(spark, keep, maxAge)
         println(s"removed $n run(s)"); 0
 
+      case "diff" :: ws :: runA :: runB :: _ =>
+        val d = graft.stores.ResultStore(ws).diffRuns(spark, runA, runB)
+          .orderBy(org.apache.spark.sql.functions.col("validator"))
+          .collect()
+        if (d.isEmpty) { println("no stored checks for either run"); 2 }
+        else {
+          d.foreach(r => println(
+            f"${r.getAs[String]("change")}%-14s " +
+            f"${r.getAs[String]("validator")}%-36s " +
+            f"violations ${r.getAs[Long]("violations_a")}%6d -> " +
+            f"${r.getAs[Long]("violations_b")}%-6d"))
+          val changed = d.exists(r => Set("new_failure", "still_failing")
+            .contains(r.getAs[String]("change")))
+          if (changed) 1 else 0
+        }
+
       case _ => usage(); 2
     }
 
@@ -269,5 +285,6 @@ object Cli {
       |  compare <pathA> <pathB> <column>
       |  check-incremental <path> <workspace> <dataset> <wmCol> [--checks spec]
       |  history <workspace> <dataset>
-      |  prune <workspace> [--keep N] [--max-age-ms M]""".stripMargin)
+      |  prune <workspace> [--keep N] [--max-age-ms M]
+      |  diff <workspace> <runA> <runB>""".stripMargin)
 }

@@ -89,6 +89,19 @@ object MetricSeries {
         col("runTs").as("ts"), col(m).cast("double").as("value")))
     stacked.reduce(_ unionAll _)
   }
+
+  /** Adapt `ResultStore.issueHistory` to per-validator violation-ratio
+    * series: series = the validator name, metric = "violation_ratio",
+    * one point per run. The natural input for DdmRule (error rates in
+    * [0,1]) — "has THIS check's failure rate drifted over runs?". */
+  def fromIssueHistory(issues: DataFrame): DataFrame =
+    issues.groupBy(col("validator"), col("runTs"))
+      .agg((sum(col("violations")).cast("double") /
+        greatest(max(col("totalCount")).cast("double"), lit(1.0)))
+        .as("value"))
+      .select(col("validator").as("series"),
+        lit("violation_ratio").as("metric"), col("runTs").as("ts"),
+        col("value"))
 }
 
 /** Evaluates every rule in one window pass (reference RuleEngine

@@ -138,6 +138,19 @@ class MonitoringSpec extends AnyFunSuite {
     assert(eng.evaluate(series(flat)).count() == 0)
   }
 
+  test("issue-history adapter yields per-validator ratio series") {
+    val issues = Seq(
+      ("r1", 1000L, "null[v]", 100L, 5L),
+      ("r1", 1000L, "range[x]", 100L, 2L),
+      ("r2", 2000L, "null[v]", 200L, 40L))
+      .toDF("runId", "runTs", "validator", "totalCount", "violations")
+    val s = MetricSeries.fromIssueHistory(issues).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"))).toSet
+    assert(s == Set(("null[v]", 1000L, 0.05), ("range[x]", 1000L, 0.02),
+      ("null[v]", 2000L, 0.2)))
+  }
+
   test("metric series adapter stacks trend metrics; dispatch routes alerts") {
     val trend = Seq(("r1", 100L, 50L, 0L, 3L), ("r2", 200L, 50L, 1L, 9L))
       .toDF("runId", "runTs", "rowCount", "failedChecks", "violations")
