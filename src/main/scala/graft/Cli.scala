@@ -168,7 +168,10 @@ object Cli {
 
       case "check-incremental" :: path :: ws :: dataset :: wmCol :: rest =>
         // watermark-delta validation: only rows past the store's last
-        // high-water mark are scanned; the mark advances on success
+        // high-water mark are scanned. The mark advances whether the run
+        // passes or fails (each slice is scanned once; failures surface
+        // via the stored run + exit code) unless --no-advance-on-failure
+        // keeps the old mark so a failed delta is re-scanned next run.
         import org.apache.spark.sql.functions.{col, unix_micros}
         val df = load(spark, path)
         val wm = df.schema(wmCol).dataType match {
@@ -181,7 +184,8 @@ object Cli {
         val inc = graft.stores.Incremental.run(spark,
           graft.stores.ResultStore(ws), df, wm, checks, dataset,
           runId = java.util.UUID.randomUUID().toString,
-          runTs = System.currentTimeMillis())
+          runTs = System.currentTimeMillis(),
+          advanceOnFailure = !rest.contains("--no-advance-on-failure"))
         println(s"delta rows: ${inc.deltaRows} " +
           s"(watermark ${inc.fromWatermark.getOrElse("-")} -> " +
           s"${inc.toWatermark.getOrElse("-")})")

@@ -193,12 +193,18 @@ object Notify {
   }
 
   /** Telegram sendMessage payload (reference telegram_notify.py —
-    * HTML parse mode; the bot token lives in the URL). */
+    * HTML parse mode; the bot token lives in the URL). Interpolated
+    * name/error are HTML-escaped: parse_mode=HTML makes Telegram reject
+    * the whole message with 400 on a stray `<`/`>`/`&` (routine in
+    * exception text — generics, XML snippets), silently losing the
+    * notification. */
   def telegramPayload(r: CheckpointResult, chatId: String): String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
     val (checks, failed, violations) = stats(r)
-    val text = s"<b>${r.name}</b>: ${statusWord(r.status)}\n" +
+    val text = s"<b>${esc(r.name)}</b>: ${statusWord(r.status)}\n" +
       s"$failed/$checks checks failed, $violations violation(s)" +
-      r.error.map(e => s"\nerror: $e").getOrElse("")
+      r.error.map(e => s"\nerror: ${esc(e)}").getOrElse("")
     s"""{"chat_id":${jstr(chatId)},"text":${jstr(text)},""" +
       s""""parse_mode":"HTML"}"""
   }

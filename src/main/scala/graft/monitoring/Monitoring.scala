@@ -72,9 +72,13 @@ final case class PageHinkleyRule(name: String, metric: String,
   * page_hinkley in reference `concept.py:41`). The series is an error
   * RATE in [0,1] (e.g. failed-check ratio per run): with p_t the
   * cumulative mean and s_t = sqrt(p_t(1-p_t)/t), DDM tracks the point
-  * where p+s was minimal and fires `warning` at p_t+s_t ≥ pmin+2·smin,
-  * `drift` at ≥ pmin+3·smin. Expressed with a min_by window (the
-  * (p,s) pair AT the historical minimum, not the componentwise mins). */
+  * where p+s was minimal and fires `warning` at p_t+s_t > pmin+2·smin,
+  * `drift` at > pmin+3·smin — STRICTLY above, so a zero-variance series
+  * (constant 0.0 error rate, the healthy-pipeline default where
+  * p=s=pmin=smin=0) never fires, mirroring AnomalyRule's zero-variance
+  * behavior; a genuine error jump still fires because s_t > 0 the moment
+  * any error appears. Expressed with a min_by window (the (p,s) pair AT
+  * the historical minimum, not the componentwise mins). */
 final case class DdmRule(name: String, metric: String,
     warnSigmas: Double = 2.0, driftSigmas: Double = 3.0,
     minPoints: Int = 30, severity: String = "warning") extends AlertRule
@@ -90,10 +94,30 @@ object MetricSeries {
     stacked.reduce(_ unionAll _)
   }
 
-  /** Adapt `ResultStore.issueHistory` to per-validator violation-ratio
-    * series: series = the validator name, metric = "violation_ratio",
-    * one point per run. The natural input for DdmRule (error rates in
-    * [0,1]) — "has THIS check's failure rate drifted over runs?". */
+  /** Adapt `ResultStore.history` (CHECK grain, one row per check per run)
+    * to per-validator violation-ratio series: series = the validator
+    * name, metric = "violation_ratio", one point per run INCLUDING
+    * passing runs (ratio 0) — built on the check grain rather than
+    * `issueHistory` (issue grain, which only contains failing runs and
+    * would bias DDM/Page-Hinkley upward by hiding recoveries). The
+    * natural input for DdmRule (error rates in [0,1]) — "has THIS
+    * check's failure rate drifted over runs?". */
+  def fromHistory(history: DataFrame): DataFrame =
+    history.groupBy(col("validator"), col("runTs"))
+      .agg((coalesce(sum(expr(
+          "aggregate(issues, 0L, (acc, i) -> acc + i.count)")), lit(0L))
+          .cast("double") /
+        greatest(max(col("rowCount")).cast("double"), lit(1.0)))
+        .as("value"))
+      .select(col("validator").as("series"),
+        lit("violation_ratio").as("metric"), col("runTs").as("ts"),
+        col("value"))
+
+  /** Adapt an already-exploded issue frame (`ResultStore.issueHistory`
+    * shape) to the same series. CAVEAT: the issue grain only carries
+    * failing runs, so the series never observes recoveries — prefer
+    * [[fromHistory]] for drift rules; this form suits ad-hoc frames
+    * that already track every run at the issue grain. */
   def fromIssueHistory(issues: DataFrame): DataFrame =
     issues.groupBy(col("validator"), col("runTs"))
       .agg((sum(col("violations")).cast("double") /
@@ -166,8 +190,8 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
         val pmin = col(s"__ddmmin$i").getField("p")
         val smin = col(s"__ddmmin$i").getField("s")
         val level = p + s
-        val isDrift = level >= pmin + smin * driftK
-        val isWarn = level >= pmin + smin * warnK
+        val isDrift = level > pmin + smin * driftK
+        val isWarn = level > pmin + smin * warnK
         when(col("metric") === m && col(s"__ddmn$i") >= minPts && isWarn,
           struct(lit(n).as("rule"), lit("ddm").as("ruleType"),
             when(isDrift, lit("critical")).otherwise(lit(sev))

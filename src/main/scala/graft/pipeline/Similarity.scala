@@ -59,15 +59,29 @@ object Similarity {
   /** ANN top-k: only corpus rows in the query's LSH bucket are scored.
     * Recall is tunable via `planes` (fewer planes = bigger buckets =
     * higher recall, more compute). Multi-probe: also match buckets at
-    * Hamming distance 1 when `probe1` is set. */
+    * Hamming distance 1 when `probe1` is set.
+    *
+    * Assumes a uniform vector width across the corpus (the plane matrix
+    * is sized from `dim`, or probed from one non-null row when not
+    * given; shorter/longer vectors are zero-padded/truncated by the
+    * bucketer). An empty or all-null-vector corpus returns an empty
+    * result rather than throwing. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 8, probe1: Boolean = true,
               dim: Int = 0): DataFrame = {
     // vector width for the constant plane matrix; one 1-row probe job
     // when the caller doesn't pass it
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(corpusVec))).head().getInt(0)
+    val probed = if (dim > 0) Some(dim)
+      else corpus.filter(col(corpusVec).isNotNull)
+        .select(size(col(corpusVec)).as("d")).take(1)
+        .headOption.map(_.getInt(0))
+    if (probed.isEmpty)
+      return corpus.select(col(corpusId).as("nn_id")).limit(0)
+        .crossJoin(queries.select(col(queryId).as("query_id")).limit(0))
+        .select(col("query_id"), lit(0).as("rank"), col("nn_id"),
+          lit(0.0).as("cos"))
+    val d = probed.get
     val cb = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"),
       lshBucket(col(corpusVec), planes, d).as("cb"))
     val qb0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
@@ -130,6 +144,10 @@ object Ivf {
         xxhash64(col(vecCol).cast("array<string>")).as("h"))
       .filter(pmod(col("h"), lit(m)) === 0)
       .orderBy(col("h"))
+      // hash-filter targets ~sampleN points in expectation; the limit
+      // makes the driver allocation worst-case bounded even when the
+      // modulus is unlucky relative to the corpus
+      .limit(4 * sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     var centroids = Array.tabulate(nlist)(i =>

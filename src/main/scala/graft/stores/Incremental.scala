@@ -54,11 +54,21 @@ object Incremental {
     * observed plan would see a subset and the mark must come from a
     * separate (still delta-pruned) aggregate. An empty delta still
     * records a run (zero rows, watermark unchanged) so run cadence
-    * stays observable. */
+    * stays observable.
+    *
+    * Watermark contract: by default the mark advances even when
+    * validation FAILS (each slice is scanned exactly once; failures
+    * surface through the stored run + exit code, and re-validating bad
+    * rows forever would stall the cadence). Pass
+    * `advanceOnFailure = false` to persist the PREVIOUS mark on a
+    * failed run instead, so the failed delta is re-scanned next run —
+    * note repeated failures then re-validate a growing slice until the
+    * failure is fixed. */
   def run(spark: SparkSession, store: ResultStore, df: DataFrame,
       wm: Column, validators: Seq[Validator], dataset: String,
       runId: String, runTs: Long,
-      cfg: SuiteRunner.Config = SuiteRunner.Config()): IncrementalRun = {
+      cfg: SuiteRunner.Config = SuiteRunner.Config(),
+      advanceOnFailure: Boolean = true): IncrementalRun = {
     val last = lastWatermark(spark, store, dataset)
     val slice = delta(df, wm, last)
     // SuiteRunner always executes at least one action over the frame it
@@ -78,10 +88,13 @@ object Incremental {
     val observedWm = if (fullScan)
       obs.get.get("wm").collect { case l: Long => l }
     else None
-    val newWm = observedWm.orElse {
+    val seenWm = observedWm.orElse {
       val maxRow = slice.agg(max(wm.cast("long"))).head()
       if (maxRow.isNullAt(0)) last else Some(maxRow.getLong(0))
     }.orElse(last)
+    val newWm =
+      if (advanceOnFailure || result.passed) seenWm
+      else last
     store.save(spark, result, runId, runTs,
       tags = Map("incremental" -> "true") ++
         newWm.map(WatermarkTag -> _.toString) ++

@@ -107,21 +107,23 @@ final case class ResultStore(workspace: String) {
   def exists(spark: SparkSession, runId: String): Boolean =
     !get(spark, runId).isEmpty
 
-  /** Remove a run. Store rows are tiny (a few per run), so the rewrite of
-    * the affected dataset partitions is cheap; data-scale tables are never
-    * stored here. */
+  /** Remove a run. The rewrite touches ONLY the dataset partition(s)
+    * containing the run — at millions of stored runs a delete reads and
+    * rewrites one dataset's directory, never the whole store. */
   def delete(spark: SparkSession, runId: String): Boolean = {
-    val all = runs(spark)
-    val hit = !all.filter(col("runId") === runId).isEmpty
-    if (hit) rewriteWith(spark, all, col("runId") =!= runId)
-    hit
+    val hitDs = runs(spark).filter(col("runId") === runId)
+      .select("dataset").distinct().collect().map(_.getString(0)).toSeq
+    if (hitDs.nonEmpty)
+      rewriteScoped(spark, hitDs, _ => col("runId") =!= runId)
+    hitDs.nonEmpty
   }
 
   /** Retention policy (reference `stores/retention/`): keep at most
     * `keepLastRuns` newest runs per dataset and/or drop runs older than
     * `maxAgeMs` relative to `nowTs`. Returns the number of runs
-    * removed. Store rows are tiny, so one rewrite is cheap at any fleet
-    * size. */
+    * removed. The victim list is run-grain (tiny at any fleet size) and
+    * the rewrite touches only the dataset partitions that actually lose
+    * runs, each with its own per-dataset victim set. */
   def prune(spark: SparkSession, keepLastRuns: Option[Int] = None,
       maxAgeMs: Option[Long] = None,
       nowTs: Long = System.currentTimeMillis()): Int = {
@@ -138,10 +140,14 @@ final case class ResultStore(workspace: String) {
       .getOrElse(lit(true)) &&
       maxAgeMs.map(a => col("runTs") >= nowTs - a).getOrElse(lit(true))
     val victims = ranked.filter(!keepPred)
-      .select("runId").collect().map(_.getString(0)).toSet
-    if (victims.nonEmpty)
-      rewriteWith(spark, all, !col("runId").isInCollection(victims))
-    victims.size
+      .select("dataset", "runId").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (victims.nonEmpty) {
+      val byDs = victims.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      rewriteScoped(spark, byDs.keys.toSeq,
+        ds => !col("runId").isInCollection(byDs(ds)))
+    }
+    victims.map(_._2).distinct.length
   }
 
   /** Per-check diff between two stored runs (reference
@@ -170,40 +176,68 @@ final case class ResultStore(workspace: String) {
         .otherwise("still_passing").as("change"))
   }
 
-  /** Rewrite the store keeping only rows matching `keep`, with the
-    * rename-aside swap. An all-rows-removed rewrite deletes the store
-    * root instead of leaving an empty partitioned dir (which has no
-    * schema-bearing files and poisons every later read). */
-  private def rewriteWith(spark: SparkSession,
-      all: org.apache.spark.sql.DataFrame,
-      keep: org.apache.spark.sql.Column): Unit = {
+  /** Rewrite ONLY the named dataset partitions, keeping rows matching
+    * `keepFor(dataset)`, each with its own rename-aside swap. The
+    * surviving rows are written DISTRIBUTED (filter → parquet write into
+    * staging) — no driver collect — and untouched dataset partitions are
+    * never read, so a delete/prune stays O(affected datasets) at
+    * millions of stored runs. A partition whose rows are all removed is
+    * deleted outright, and when the last partition goes the store root
+    * goes with it (an empty partitioned dir has no schema-bearing files
+    * and would poison every later read). */
+  private def rewriteScoped(spark: SparkSession, datasets: Seq[String],
+      keepFor: String => org.apache.spark.sql.Column): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val kept = all.filter(keep).collect()
-    if (kept.isEmpty) {
-      fs.delete(new Path(root), true)
-    } else {
-      val tmp = spark.createDataFrame(
-        spark.sparkContext.parallelize(kept.toIndexedSeq), all.schema)
-      val staging = new Path(s"$workspace/store/.results_rewrite")
-      val retired = new Path(s"$workspace/store/.results_retired")
-      tmp.write.mode("overwrite").partitionBy("dataset")
-        .parquet(staging.toString)
-      // Swap via rename-aside: the store root is only ever absent for the
-      // instant between the two renames, and a crash in that window leaves
-      // the full old copy at `retired` for manual recovery instead of
-      // losing the store.
-      fs.delete(retired, true)
-      fs.rename(new Path(root), retired)
-      if (!fs.rename(staging, new Path(root))) {
-        fs.rename(retired, new Path(root))
-        throw new java.io.IOException(
-          s"ResultStore: failed to promote rewrite at $staging")
+    val stagingRoot = new Path(s"$workspace/store/.results_rewrite")
+    val retiredRoot = new Path(s"$workspace/store/.results_retired")
+    fs.delete(stagingRoot, true)
+    fs.delete(retiredRoot, true)
+    datasets.foreach { ds =>
+      val partName = partDirName(ds)
+      val partDir = new Path(s"$root/$partName")
+      if (fs.exists(partDir)) {
+        // reading the partition dir directly drops the `dataset` column
+        // (it lives in the dir name), which is exactly the file schema
+        // the write-back must preserve
+        val kept = spark.read.parquet(partDir.toString).filter(keepFor(ds))
+        if (kept.isEmpty) {
+          fs.delete(partDir, true)
+        } else {
+          val staging = new Path(stagingRoot, partName)
+          val retired = new Path(retiredRoot, partName)
+          kept.write.mode("overwrite").parquet(staging.toString)
+          // Swap via rename-aside: the partition is only ever absent for
+          // the instant between the two renames, and a crash in that
+          // window leaves the full old copy at `retired` for manual
+          // recovery instead of losing the partition.
+          fs.mkdirs(retiredRoot)
+          fs.rename(partDir, retired)
+          if (!fs.rename(staging, partDir)) {
+            fs.rename(retired, partDir)
+            throw new java.io.IOException(
+              s"ResultStore: failed to promote rewrite at $staging")
+          }
+          fs.delete(retired, true)
+        }
       }
-      fs.delete(retired, true)
     }
+    fs.delete(stagingRoot, true)
+    fs.delete(retiredRoot, true)
+    val rootPath = new Path(root)
+    val anyLeft = fs.exists(rootPath) && fs.listStatus(rootPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("dataset="))
+    if (!anyLeft) fs.delete(rootPath, true)
   }
+
+  /** Hive-style partition dir name for a dataset value, escaped with
+    * Spark's OWN partition-path escaping (so the scoped rewrite finds
+    * the dir `partitionBy("dataset")` created even for names with
+    * spaces/specials). */
+  private def partDirName(ds: String): String =
+    "dataset=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(ds)
 }
 
 /** Expectation-suite store (reference `stores/expectations.py`:

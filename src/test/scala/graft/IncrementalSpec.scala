@@ -47,6 +47,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.lastWatermark(spark, store, "b").isEmpty)
   }
 
+  test("advanceOnFailure=false re-scans a failed delta on the next run") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_inc3").toString
+    val store = ResultStore(ws)
+    val checks = Seq(NullCheck(Seq("v")))
+    // first slice passes (no nulls in rows 1-4), mark advances
+    val r1 = Incremental.run(spark, store, data(4), col("seq"), checks,
+      "t", "run1", 1000L, advanceOnFailure = false)
+    assert(r1.result.passed && r1.toWatermark.contains(4L))
+    // rows 5-10 contain nulls -> failure -> mark stays at 4
+    val r2 = Incremental.run(spark, store, data(10), col("seq"), checks,
+      "t", "run2", 2000L, advanceOnFailure = false)
+    assert(!r2.result.passed && r2.toWatermark.contains(4L))
+    // next run re-scans the same failed slice (rows 5-10 again)
+    val r3 = Incremental.run(spark, store, data(10), col("seq"), checks,
+      "t", "run3", 3000L, advanceOnFailure = false)
+    assert(r3.fromWatermark.contains(4L) && r3.deltaRows == 6)
+    // default contract: mark advances despite failure
+    val r4 = Incremental.run(spark, store, data(10), col("seq"), checks,
+      "t", "run4", 4000L)
+    assert(!r4.result.passed && r4.toWatermark.contains(10L))
+  }
+
   test("prune keepLastRuns trims oldest runs per dataset") {
     val ws = java.nio.file.Files.createTempDirectory("graft_pr").toString
     val store = ResultStore(ws)

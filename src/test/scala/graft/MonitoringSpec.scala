@@ -138,6 +138,33 @@ class MonitoringSpec extends AnyFunSuite {
     assert(eng.evaluate(series(flat)).count() == 0)
   }
 
+  test("ddm is silent on a constant-zero (healthy) series, fires on a jump") {
+    val eng = RuleEngine(Seq(DdmRule("ddm", "m", minPoints = 20)))
+    // zero-variance healthy default: p=s=pmin=smin=0 — the strict
+    // inequality keeps it silent instead of critical-on-every-point
+    assert(eng.evaluate(series(Seq.fill(60)(0.0))).count() == 0)
+    assert(eng.evaluate(series(Seq.fill(60)(1.0))).count() == 0)
+    // an error jump after a clean history still fires (s becomes > 0)
+    val jump = Seq.fill(40)(0.0) ++ Seq.fill(20)(0.5)
+    val alerts = eng.evaluate(series(jump)).collect()
+    assert(alerts.nonEmpty && alerts.map(_.getAs[Long]("ts")).min >= 40L)
+  }
+
+  test("history adapter yields a point for PASSING runs too (ratio 0)") {
+    val hist = Seq(
+      ("null[v]", 1000L, 100L, Seq(5L)),
+      ("null[v]", 2000L, 200L, Seq.empty[Long]),  // passing run
+      ("range[x]", 1000L, 100L, Seq(2L, 1L)))
+      .toDF("validator", "runTs", "rowCount", "counts")
+      .withColumn("issues",
+        expr("transform(counts, c -> named_struct('count', c))"))
+    val s = MetricSeries.fromHistory(hist).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"))).toSet
+    assert(s == Set(("null[v]", 1000L, 0.05), ("null[v]", 2000L, 0.0),
+      ("range[x]", 1000L, 0.03)))
+  }
+
   test("issue-history adapter yields per-validator ratio series") {
     val issues = Seq(
       ("r1", 1000L, "null[v]", 100L, 5L),

@@ -87,6 +87,20 @@ class NotifySpec extends AnyFunSuite {
       o.status == "error" && o.message.contains("net down")))
   }
 
+  test("telegram payload HTML-escapes name and error text") {
+    val r = result(CheckpointStatus.Error).copy(
+      name = "suite<orders & lineitem>",
+      error = Some("TypeError: Map<String, List<Int>> & more"))
+    val tg = telegramPayload(r, "-1")
+    // parse_mode=HTML: a raw '<'/'>'/'&' makes Telegram reject the whole
+    // message with 400 — everything interpolated must be escaped
+    assert(tg.contains("suite&lt;orders &amp; lineitem&gt;"))
+    assert(tg.contains("Map&lt;String, List&lt;Int&gt;&gt; &amp; more"))
+    assert(!tg.contains("suite<orders"))
+    // the intentional markup survives
+    assert(tg.contains("<b>") && tg.contains("</b>"))
+  }
+
   test("opsgenie/telegram/github payloads and factory wiring") {
     val og = opsGeniePayload(result(CheckpointStatus.Error), Seq("prod"))
     assert(og.contains("\"priority\":\"P1\"") &&

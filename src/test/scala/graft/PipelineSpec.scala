@@ -79,6 +79,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("lshTopK on an empty or all-null corpus returns empty, not a throw") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.lshTopK(empty, "vec_id", "embedding",
+      q, "vec_id", "embedding", 3)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("query_id", "rank", "nn_id", "cos"))
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.lshTopK(allNull, "vec_id", "embedding",
+      q, "vec_id", "embedding", 3).count() == 0)
+  }
+
   test("lsh bucket expression carries no per-row weight hashing") {
     // regression for the sf10 finding: the bucketer must ship its plane
     // matrix as a constant literal, not regenerate planes x dim weights

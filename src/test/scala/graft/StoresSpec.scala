@@ -66,6 +66,45 @@ class StoresSpec extends AnyFunSuite {
     assert(store.latestRunId(spark, "a").contains("next"))
   }
 
+  test("delete/prune rewrite only the affected dataset partition") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs5").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "ra1", 1000L)
+    store.save(spark, runOnce("a", 2), "ra2", 2000L)
+    store.save(spark, runOnce("b", 3), "rb1", 3000L)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def snapshot(ds: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$ws/store/results/dataset=$ds"))
+      .filter(_.isFile)
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+      .toSet
+    val bBefore = snapshot("b")
+    assert(store.delete(spark, "ra1"))
+    // dataset B's files are byte-for-byte untouched (same paths, sizes,
+    // mtimes) — the rewrite was scoped to dataset A's partition dir
+    assert(snapshot("b") == bBefore)
+    assert(!store.exists(spark, "ra1") && store.exists(spark, "ra2") &&
+      store.exists(spark, "rb1"))
+    // prune that only victimizes dataset A also leaves B untouched
+    store.save(spark, runOnce("a", 4), "ra3", 4000L)
+    val bBefore2 = snapshot("b")
+    assert(store.prune(spark, keepLastRuns = Some(1)) == 1)
+    assert(snapshot("b") == bBefore2)
+    assert(store.history(spark, "a").select("runId").distinct().count() == 1)
+    assert(store.history(spark, "b").count() == 1)
+  }
+
+  test("delete handles dataset names needing partition-path escaping") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs6").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("my:ds/x", 1), "r1", 1000L)
+    store.save(spark, runOnce("my:ds/x", 2), "r2", 2000L)
+    assert(store.delete(spark, "r1"))
+    assert(!store.exists(spark, "r1") && store.exists(spark, "r2"))
+    assert(store.history(spark, "my:ds/x").count() == 1)
+  }
+
   test("never-written store reads as empty with the store schema") {
     val ws = java.nio.file.Files.createTempDirectory("graft_rs4").toString
     val store = ResultStore(ws)
