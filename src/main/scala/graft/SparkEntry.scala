@@ -1746,6 +1746,23 @@ object SparkEntry {
         cnt(col("l_partkey") === col("l_suppkey") ||
           col("l_partkey") === col("l_orderkey") ||
           col("l_suppkey") === col("l_orderkey")).as("non_unique_within_record"))
+    }),
+    "q147_energy_mmd" -> ((s, dir) => {
+      // Energy distance + MMD (RBF, median-heuristic bandwidth) — the
+      // last two §2.13 drift detectors without an oracle row. The
+      // fixture sides (fixed custkey ranges, ≤ 150 rows each at every
+      // SF) are SMALLER than the statistics' deterministic hash-sample
+      // bound, so the sampled forms become exact and DuckDB can restate
+      // the O(n²) pair sums as cross joins.
+      import s.implicits._
+      val c = table(s, dir, "customer")
+      val cur = c.filter(col("c_custkey") <= 75)
+      val ref = c.filter(col("c_custkey") > 75 && col("c_custkey") <= 150)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(graft.drift.Drift.energyDistance(cur, ref, "c_acctbal")),
+           r6(graft.drift.Drift.mmd(cur, ref, "c_acctbal"))))
+        .toDF("energy", "mmd")
     })
   )
 
@@ -3081,6 +3098,35 @@ object SparkEntry {
            count(*) FILTER (WHERE l_partkey = l_suppkey OR
              l_partkey = l_orderkey OR l_suppkey = l_orderkey)
            AS non_unique_within_record
-         FROM lineitem"""
+         FROM lineitem""",
+    "q147_energy_mmd" ->
+      """WITH x AS (SELECT c_acctbal AS v FROM customer
+             WHERE c_custkey <= 75 AND c_acctbal IS NOT NULL),
+         y AS (SELECT c_acctbal AS v FROM customer
+             WHERE c_custkey > 75 AND c_custkey <= 150
+               AND c_acctbal IS NOT NULL),
+         exy AS (SELECT avg(abs(x.v - y.v)) AS m FROM x, y),
+         exx AS (SELECT avg(abs(a.v - b.v)) AS m FROM x a, x b),
+         eyy AS (SELECT avg(abs(a.v - b.v)) AS m FROM y a, y b),
+         p AS (SELECT c_acctbal AS v, c_custkey AS i FROM customer
+               WHERE c_custkey <= 150 AND c_acctbal IS NOT NULL),
+         dd AS (SELECT abs(a.v - b.v) AS dist FROM p a JOIN p b ON a.i < b.i),
+         ds AS (SELECT dist, count(*) AS c FROM dd GROUP BY dist),
+         cum AS (SELECT dist, sum(c) OVER (ORDER BY dist) AS cum FROM ds),
+         med AS (SELECT min(dist) AS m FROM cum
+                 WHERE cum >= (SELECT count(*) // 2 + 1 FROM dd)),
+         g AS (SELECT CASE WHEN (SELECT m FROM med) = 0 THEN 1.0
+               ELSE 1.0 / (2 * (SELECT m FROM med) * (SELECT m FROM med))
+               END AS gamma),
+         kxx AS (SELECT avg(exp(-(SELECT gamma FROM g) * (a.v-b.v) * (a.v-b.v)))
+                 AS m FROM x a, x b),
+         kyy AS (SELECT avg(exp(-(SELECT gamma FROM g) * (a.v-b.v) * (a.v-b.v)))
+                 AS m FROM y a, y b),
+         kxy AS (SELECT avg(exp(-(SELECT gamma FROM g) * (a.v-b.v) * (a.v-b.v)))
+                 AS m FROM x a, y b)
+         SELECT round(2*(SELECT m FROM exy) - (SELECT m FROM exx)
+                  - (SELECT m FROM eyy), 6) AS energy,
+                round((SELECT m FROM kxx) + (SELECT m FROM kyy)
+                  - 2*(SELECT m FROM kxy), 6) AS mmd"""
   )
 }

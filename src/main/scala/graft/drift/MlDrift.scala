@@ -131,17 +131,21 @@ object FeatureDrift {
   }
 
   /** Categorical proportions (value -> share of ALL rows, matching the
-    * reference's `c / total`); bounded driver collect. */
+    * reference's `c / total`); bounded driver collect. ONE job: the
+    * groupBy is null-INCLUSIVE, so total rows and the null share derive
+    * from the same aggregate instead of a separate count() scan. */
   def profileCategorical(df: DataFrame, column: String,
       maxCategories: Int = 100000): (Map[String, Double], Double) = {
-    val total = df.count()
-    val rows = df.filter(col(column).isNotNull)
-      .groupBy(col(column).cast("string").as("v"))
-      .agg(count(lit(1)).as("n")).limit(maxCategories + 1).collect()
-    require(rows.length <= maxCategories,
+    val rows = df.groupBy(col(column).cast("string").as("v"))
+      .agg(count(lit(1)).as("n")).limit(maxCategories + 2).collect()
+    val (nullRows, valRows) = rows.partition(_.isNullAt(0))
+    require(valRows.length <= maxCategories,
       s"$column exceeds $maxCategories categories — not categorical")
-    val nulls = total - rows.map(_.getAs[Long]("n")).sum
-    (rows.map(r => r.getAs[String]("v") ->
+    // no truncation happened: ≤ maxCategories value groups + ≤ 1 null
+    // group is strictly under the limit, so the sums below are complete
+    val nulls = nullRows.map(_.getAs[Long]("n")).sum
+    val total = nulls + valRows.map(_.getAs[Long]("n")).sum
+    (valRows.map(r => r.getString(0) ->
         r.getAs[Long]("n").toDouble / math.max(total, 1)).toMap,
      if (total == 0) 0.0 else nulls.toDouble / total)
   }

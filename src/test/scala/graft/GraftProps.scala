@@ -240,4 +240,38 @@ object GraftProps extends Properties("graft") {
       dist == expected
     }
 
+  // ---- ADWIN (driver-only: the detector itself, not the Spark wiring)
+
+  private def adwinFirstChange(vals: Seq[Double], delta: Double): Int = {
+    val det = new graft.monitoring.Adwin(delta)
+    val i = vals.indexWhere(det.add)
+    if (i < 0) Int.MaxValue else i
+  }
+
+  property("adwin: an iid-constant series never shrinks the window") =
+    forAll(Gen.choose(-100.0, 100.0), Gen.choose(50, 300)) { (c, n) =>
+      val det = new graft.monitoring.Adwin()
+      (1 to n).forall { _ =>
+        val fired = det.add(c)
+        !fired
+      } && det.size == n
+    }
+
+  property("adwin: detection delay is monotone in delta") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(5.0, 20.0)) { (base, shift) =>
+      // larger delta = weaker evidence required = earlier (or equal)
+      // first cut; before the first cut both detectors see identical
+      // windows, and eps_cut is monotone decreasing in delta
+      val s = Seq.fill(80)(base) ++ Seq.fill(80)(base + shift)
+      adwinFirstChange(s, 0.05) <= adwinFirstChange(s, 0.0005)
+    }
+
+  property("adwin: window mean converges to the post-shift level") =
+    forAll(Gen.choose(0.0, 5.0), Gen.choose(10.0, 30.0)) { (base, shift) =>
+      val det = new graft.monitoring.Adwin(0.01)
+      (Seq.fill(100)(base) ++ Seq.fill(100)(base + shift)).foreach(det.add)
+      // the window must have dropped (most of) the pre-shift regime
+      math.abs(det.mean - (base + shift)) < shift * 0.25
+    }
+
 }

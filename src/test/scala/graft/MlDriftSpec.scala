@@ -132,6 +132,29 @@ class MlDriftSpec extends AnyFunSuite {
     assert(FeatureDrift.categoricalScore(rp, rn, rp, rn) == 0.0)
   }
 
+  test("profileCategorical reads the input in ONE pass") {
+    import graft.drift.FeatureDrift
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq.fill(1)(Option.empty[String])).toDF("c")
+    val sc = spark.sparkContext
+    sc.setJobGroup("pc_one_pass", "profileCategorical job-count check")
+    val (props, nullRatio) =
+      try FeatureDrift.profileCategorical(df, "c")
+      finally sc.clearJobGroup()
+    assert(props == Map("a" -> 0.6, "b" -> 0.3))
+    assert(nullRatio == 0.1)
+    // the status tracker is listener-fed (async): poll until work
+    // appears, then re-check nothing else trickles in. AQE surfaces the
+    // aggregate's shuffle materialization as its own job, so a single
+    // pass is ≤ 2 jobs; the retired separate count() made it 3+.
+    def jobs = sc.statusTracker.getJobIdsForGroup("pc_one_pass").length
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(300)
+    assert(jobs <= 2, s"expected a single input pass (<=2 jobs), saw $jobs")
+  }
+
   test("matrix inverse round-trips") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val inv = MultivariateDrift.invert(m)
