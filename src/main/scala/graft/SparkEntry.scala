@@ -1747,6 +1747,42 @@ object SparkEntry {
           col("l_partkey") === col("l_orderkey") ||
           col("l_suppkey") === col("l_orderkey")).as("non_unique_within_record"))
     }),
+    "q148_image_decode" -> ((s, dir) => {
+      // REAL image decode (JDK ImageIO, no stub): one solid-color PNG
+      // per nation key — dimensions and RGB derived from the key —
+      // encoded driver-side, decoded DISTRIBUTED by the ImageDecode
+      // codegen expression. The oracle recomputes width/height/channels/
+      // luma from the same key arithmetic, so every decoded stat is
+      // hash-checked against closed-form ground truth.
+      import s.implicits._
+      val keys = table(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"))
+        .collect().map(_.getInt(0)).sorted
+      val rows = keys.map { k =>
+        val w = 8 + k % 7
+        val h = 5 + k % 11
+        val rgb = (((k * 37) % 256) << 16) | (((k * 59) % 256) << 8) |
+          ((k * 83) % 256)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k, bos.toByteArray)
+      }
+      rows.toSeq.toDF("k", "png")
+        .select(graft.pipeline.Multimodal.decodeImage(col("png")).as("d"))
+        .agg(count(col("d")).as("decoded"),
+          sum(col("d.width")).cast("long").as("sum_width"),
+          sum(col("d.height")).cast("long").as("sum_height"),
+          sum(col("d.channels")).cast("long").as("sum_channels"),
+          round(sum(col("d.mean_luma")), 6).as("sum_luma"))
+    }),
     "q147_energy_mmd" -> ((s, dir) => {
       // Energy distance + MMD (RBF, median-heuristic bandwidth) — the
       // last two §2.13 drift detectors without an oracle row. The
@@ -3099,6 +3135,15 @@ object SparkEntry {
              l_partkey = l_orderkey OR l_suppkey = l_orderkey)
            AS non_unique_within_record
          FROM lineitem""",
+    "q148_image_decode" ->
+      """WITH k AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation)
+         SELECT count(*) AS decoded,
+           CAST(sum(8 + (k % 7)) AS BIGINT) AS sum_width,
+           CAST(sum(5 + (k % 11)) AS BIGINT) AS sum_height,
+           CAST(sum(3) AS BIGINT) AS sum_channels,
+           round(sum(0.299 * ((k * 37) % 256) + 0.587 * ((k * 59) % 256)
+             + 0.114 * ((k * 83) % 256)), 6) AS sum_luma
+         FROM k""",
     "q147_energy_mmd" ->
       """WITH x AS (SELECT c_acctbal AS v FROM customer
              WHERE c_custkey <= 75 AND c_acctbal IS NOT NULL),

@@ -196,19 +196,19 @@ object Dedup {
     * output is just the distinct contaminated ids. */
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
-    // rolling token-hash shingles: tokens are hashed once per doc and
-    // windows combine polynomially — no per-position shingle string is
-    // ever built (Text.shingleHashesOf; the two projection steps keep
-    // tokens and token-hashes as attributes for lambda-CSE reasons)
+    // rolling token-hash shingles in ONE native codegen pass
+    // (Text.shingleHashes → ShingleHashes64): tokens hash once per doc,
+    // windows combine by rotate-xor in a primitive loop — no
+    // per-position shingle string, no boxed lambdas. Docs shorter than
+    // the shingle width yield an empty array (no explode rows) and are
+    // covered by the exact-fingerprint arm below.
     val bGrams = benchmark
       .withColumn("__toks", Text.tokens(col(benchTextCol)))
-      .withColumn("__th", Text.tokenHashes(col("__toks")))
-      .select(explode(Text.shingleHashesOf(col("__th"), n)).as("gh"))
+      .select(explode(Text.shingleHashes(col("__toks"), n)).as("gh"))
       .distinct()
     val byGram = corpus
       .withColumn("__toks", Text.tokens(col(textCol)))
-      .withColumn("__th", Text.tokenHashes(col("__toks")))
-      .select(col(idCol), explode(Text.shingleHashesOf(col("__th"), n)).as("gh"))
+      .select(col(idCol), explode(Text.shingleHashes(col("__toks"), n)).as("gh"))
       .join(broadcast(bGrams), Seq("gh"), "left_semi")
       .select(col(idCol))
     val bFp = benchmark.select(Text.fingerprint(col(benchTextCol)).as("fp"))

@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract / resize / frame-sample are
   * the pluggable stages.
   *
-  * The container ships no image/audio codecs, so the DECODE STAGE IS
-  * STUBBED (clearly marked below) with a deterministic fake that has the
-  * same schema, partitioning, and batch shape as a real decoder. The
-  * Spark-side plumbing — binary ingestion, metadata struct, per-partition
-  * batched processing via mapPartitions, feature schema — is real and
-  * tested; swapping `decodeStub` for a JNI/FFI decoder changes no plan
-  * shape.
+  * IMAGE decode is REAL: PNG/JPEG/GIF/BMP through the JDK's own
+  * `javax.imageio` ([[graft.functions.ImageDecode]] — width, height,
+  * channels, mean luma; corrupt payloads decode to null, never fail the
+  * scan). What remains STUBBED (clearly marked below) is what the JDK
+  * genuinely cannot do without external codecs: audio/video decode and
+  * learned feature embeddings — the stub is a deterministic fake with
+  * the same schema, partitioning, and batch shape, so swapping in a
+  * JNI/FFI decoder changes no plan shape.
   *
   * Scale notes: payload bytes never pass through a shuffle — features are
   * extracted in the scan stage and the binary column is dropped before
@@ -41,13 +42,22 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")))
 
-  /** ======== STUB ========
-    * Deterministic fake "decode + feature extract": real decoders produce
-    * a fixed-length float feature vector per payload; the stub derives one
+  /** REAL image decode (JDK ImageIO — PNG/JPEG/GIF/BMP): struct of
+    * (width, height, channels, mean_luma), null for undecodable bytes.
+    * A codegen-resident expression; the bytes stay in the scan stage. */
+  def decodeImage(content: Column): Column =
+    graft.functions.ImageDecode(content)
+
+  /** ======== STUB (audio/video + learned features ONLY) ========
+    * Deterministic fake "decode + feature extract" for payloads the JDK
+    * has no codec for (audio/video) and for learned embedding features
+    * (which need a model, not a codec): real decoders produce a
+    * fixed-length float feature vector per payload; the stub derives one
     * from byte statistics (length, hash bytes) so it is stable across
     * runs/engines. Replace with a real codec behind the same signature.
     * The surrounding plan (projection in scan stage, no shuffle of bytes)
-    * is the production shape. */
+    * is the production shape. Image DIMENSIONS/luma are real — see
+    * [[decodeImage]]. */
   def decodeStub(content: Column, dims: Int = 8): Column =
     transform(sequence(lit(0), lit(dims - 1)), i =>
       (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
@@ -68,11 +78,17 @@ object Multimodal {
 
   /** Full pipeline: payload -> features, dropping the heavy bytes before
     * anything wide happens. `mapPartitions`-free: all stages are scan-time
-    * projections, so Catalyst keeps them in one WholeStageCodegen span. */
+    * projections, so Catalyst keeps them in one WholeStageCodegen span.
+    * Image payloads additionally get the REAL decoded metadata
+    * (`image_meta`: width/height/channels/mean_luma via JDK ImageIO);
+    * other mimes carry a typed null there. */
   def extract(df: DataFrame, srcCol: String, mime: String,
               dims: Int = 8): DataFrame =
     asPayload(df, srcCol, mime)
       .withColumn("features", decodeStub(col("content"), dims))
       .withColumn("byte_stats", byteFeatures(col("content")))
+      .withColumn("image_meta",
+        if (mime.startsWith("image/")) decodeImage(col("content"))
+        else lit(null).cast(graft.functions.ImageDecode.schema))
       .drop("content")
 }

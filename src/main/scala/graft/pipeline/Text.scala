@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Canonical normalization: lowercase, strip non-alphanumerics to
-    * spaces, collapse runs, trim. The fingerprint/dedup key basis. */
-  def normalize(c: Column): Column =
+    * spaces, collapse runs, trim. The fingerprint/dedup key basis.
+    * ONE native byte pass ([[graft.functions.NormalizeText]]) — the
+    * two-regex form it replaces ([[normalizeRegex]]) was the dominant
+    * sf10 text constant (~20 s/500k docs just normalizing, under every
+    * tokens/fingerprint/quality call). */
+  def normalize(c: Column): Column = graft.functions.NormalizeText(c)
+
+  /** Regex reference form of [[normalize]] (value-identical; specs pin
+    * the native expression against it, and oracle SQL restates THIS). */
+  def normalizeRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
       " +", " "))
 
@@ -51,15 +59,24 @@ object Text {
   def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
 
   /** 64-bit hashes of all word n-gram shingles WITHOUT materializing the
-    * shingle strings: each window of n token-hashes combines by
-    * rotate-5-left + XOR (order-sensitive, pure bit ops — wrapping
-    * multiplies would trip ANSI overflow checks). Equal shingle text ⇒
-    * equal hash, so set-overlap semantics match hashing the string
-    * form, at a fraction of the cost — the string form builds an
-    * ~80-char UTF-8 shingle and xxhash64s it per position (the dominant
-    * cost of decontamination at sf10, found by the 100× scaling bench);
-    * this form does n rotate/xor steps per position. `th` must be an
-    * already-projected tokenHashes column. */
+    * shingle strings — ONE native codegen pass
+    * ([[graft.functions.ShingleHashes64]]): tokens are xxhash64'd once,
+    * windows combine by rotate-5-left + XOR in a primitive long loop.
+    * Equal shingle text ⇒ equal hash, so set-overlap semantics match
+    * hashing the string form at a fraction of the cost. Two earlier
+    * forms were retired by the scaling ladder: per-position shingle
+    * STRINGS (~80-char concat + xxhash64 per window, the r4 sf10
+    * bottleneck), then a HOF slice/aggregate pipeline whose boxed
+    * lambdas and per-window allocations still dominated the sf10 bench
+    * (the same GC-pressure profile that retired the HOF hyperplane
+    * bucketer). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    graft.functions.ShingleHashes64(toks, n)
+
+  /** HOF reference form of [[shingleHashes]] (value-identical; specs pin
+    * the native expression against it). `th` must be an
+    * already-projected tokenHashes column — Catalyst does not CSE
+    * inside lambda bodies. */
   def shingleHashesOf(th: Column, n: Int): Column =
     when(size(th) < n, array().cast("array<bigint>")).otherwise(
       transform(sequence(lit(0), size(th) - n),
@@ -143,15 +160,23 @@ object Text {
     when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
   }
 
-  /** Argmax {s: score, l: lang} struct over the marker scores. Prefer
-    * materializing THIS as a named column (one `withColumn`) and deriving
-    * the label from the projected attribute: `languageIdOf` references the
-    * greatest(...) twice (score test + label), and Catalyst will not
+  /** Argmax {s: score, l: lang} struct over the marker scores — ONE
+    * native codegen pass ([[graft.functions.LangBest]]): a primitive
+    * loop over tokens probing per-language marker hash-sets plus a char
+    * scan of the raw text for CJK, ties to the lexicographically-larger
+    * label (the `greatest(struct(s, l))` semantics of the HOF form it
+    * replaces, which evaluated five boxed filter-lambda passes per row
+    * and was the second-heaviest sf10 constant in the scaling ladder).
+    * Prefer materializing THIS as a named column (one `withColumn`) and
+    * deriving the label from the projected attribute: Catalyst will not
     * common-subexpression a non-trivial expression used twice inside a
-    * grouping key — r01's q74 paid the full 5-language scorer 2× per row
-    * (9.7 s, 22% of the whole bench). Field extraction from a projected
-    * attribute is collapse-safe and single-eval. */
-  def langBest(raw: Column, toks: Column): Column = {
+    * grouping key — r01's q74 paid the scorer 2× per row. */
+  def langBest(raw: Column, toks: Column): Column =
+    graft.functions.LangBest(raw, toks, markers, "zh")
+
+  /** HOF reference form of [[langBest]] (value-identical; specs pin the
+    * native expression against it). */
+  def langBestHof(raw: Column, toks: Column): Column = {
     val langs = markers.keys.toSeq.sorted
     val scored = langs.map { l =>
       val sc =

@@ -49,6 +49,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("native normalize matches the two-regex reference form") {
+    val real = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(200).select($"doc_id", $"text")
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "!!!...###"),
+      (9004L, "  Hello,   WORLD!!  42x "), (9005L, "a"),
+      (9006L, "的是了 mixed 中文 text"), (9007L, "tabs\tand\nnewlines"),
+      (9008L, "ÀÉÎøü ünïcödé"), (9009L, "0123456789"),
+      (9010L, "trailing space "), (9011L, " leading"))
+      .toDF("doc_id", "text")
+    val t = real.unionAll(edge)
+    val native = t.select($"doc_id", Text.normalize($"text").as("n"))
+    val regex = t.select($"doc_id", Text.normalizeRegex($"text").as("n"))
+    assert(native.exceptAll(regex).isEmpty && regex.exceptAll(native).isEmpty)
+    // and the downstream split behaves identically on the empty result
+    assert(t.filter($"doc_id" === 9003L)
+      .select(Text.tokenCount($"text")).head().getInt(0) == 0)
+  }
+
+  test("native shingle hashes match the HOF reference form") {
+    val real = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(100)
+    for (n <- Seq(1, 3, 13)) {
+      val t = real.withColumn("__toks", Text.tokens($"text"))
+      val native = t.select($"doc_id",
+        Text.shingleHashes($"__toks", n).as("h"))
+      val hof = t.withColumn("__th", Text.tokenHashes($"__toks"))
+        .select($"doc_id", Text.shingleHashesOf($"__th", n).as("h"))
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"shingle hash mismatch at n=$n")
+    }
+    // short doc (< n tokens) yields an empty array, not null
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+      .withColumn("__toks", Text.tokens($"text"))
+    assert(short.select(Text.shingleHashes($"__toks", 13).as("h"))
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("native language-ID argmax matches the HOF reference form") {
+    val real = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(200)
+    val tie = Seq((9001L, "the el"), (9002L, ""), (9003L, "xx yy zz"))
+      .toDF("doc_id", "text")
+    val t = real.select($"doc_id", $"text").unionAll(tie)
+      .withColumn("__toks", Text.tokens($"text"))
+    def shaped(c: org.apache.spark.sql.Column) = t.select($"doc_id",
+      c.getField("s").as("s"), c.getField("l").as("l"))
+    val native = shaped(Text.langBest($"text", $"__toks"))
+    val hof = shaped(Text.langBestHof($"text", $"__toks"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // tie semantics pinned: en=1 ("the") ties es=1 ("el") -> larger label
+    val row = native.filter($"doc_id" === 9001L).head()
+    assert(row.getInt(1) == 1 && row.getString(2) == "es")
+  }
+
+  test("shingle/lang expressions carry no boxed lambdas in the plan") {
+    // regression in the HyperplaneBucket spirit: the hot per-token loops
+    // must be native expressions, not HOF lambda chains
+    val sh = Text.shingleHashes(col("t"), 13).toString.toLowerCase
+    assert(sh.contains("shingle_hashes64") && !sh.contains("lambda"))
+    val lb = Text.langBest(col("r"), col("t")).toString.toLowerCase
+    assert(lb.contains("lang_best") && !lb.contains("lambda"))
+  }
+
   test("cosine + brute-force topK + threshold counts") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -141,6 +205,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == Set(1L, 2L, 3L)) // spanish + tiny dropped
     val s = curated.summary.head()
     assert(s.getLong(0) == 2)
+  }
+
+  test("image decode: real PNG/JPEG dims+luma via JDK ImageIO, null on garbage") {
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 2x1 with one white and one black pixel: mean luma = 255/2
+    val bw = png(2, 1, (x, _) => if (x == 0) 0xffffff else 0x000000)
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, bw), (2L, jpg), (3L, Array[Byte](1, 2, 3)),
+      (4L, png(3, 3, (_, _) => 0x804020)))
+      .toDF("id", "content")
+      .select($"id", Multimodal.decodeImage($"content").as("d"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      Option(r.getStruct(1))).toMap
+    val d1 = rows(1L).get
+    assert(d1.getInt(0) == 2 && d1.getInt(1) == 1 && d1.getInt(2) == 3)
+    assert(math.abs(d1.getDouble(3) - 255.0 / 2) < 1e-9)
+    val d2 = rows(2L).get // lossy jpeg: dims/channels exact, luma not asserted
+    assert(d2.getInt(0) == 5 && d2.getInt(1) == 4)
+    assert(rows(3L).isEmpty) // garbage bytes -> null, not a task failure
+    val d4 = rows(4L).get
+    val expLuma = 0.299 * 0x80 + 0.587 * 0x40 + 0.114 * 0x20
+    assert(math.abs(d4.getDouble(3) - expLuma) < 1e-9)
+    // extract() wires image_meta for image mimes, typed null otherwise
+    val ext = Multimodal.extract(
+      Seq((1L, "hello")).toDF("id", "text"), "text", "image/png")
+    assert(ext.columns.contains("image_meta"))
+    assert(ext.select($"image_meta").head().isNullAt(0)) // text isn't a PNG
+    val ext2 = Multimodal.extract(
+      Seq((1L, "hello")).toDF("id", "text"), "text", "text/plain")
+    assert(ext2.select($"image_meta").head().isNullAt(0))
   }
 
   test("multimodal plumbing: payload schema, stub features, frame offsets") {

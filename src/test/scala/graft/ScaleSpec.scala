@@ -79,10 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q74_language_id")(spark,
       "/root/testdata/sf0.001")
     val plan = df.queryExecution.optimizedPlan.toString
-    // one greatest(...) in the projection; the r1 shape inlined it twice
-    // into the grouping key (score test + label)
-    val n = "greatest\\(".r.findAllIn(plan).size
+    // one native lang_best(...) in the projection — the r1 shape inlined
+    // a greatest(struct...) argmax twice into the grouping key (score
+    // test + label), and the r5 HOF form ran five boxed filter lambdas
+    val n = "lang_best".r.findAllIn(plan).size
     assert(n == 1, s"argmax evaluated $n times:\n${plan.take(2000)}")
+    assert(!plan.contains("greatest("),
+      s"HOF argmax resurfaced:\n${plan.take(2000)}")
   }
 
   /** Capture every executed physical plan while `body` runs (listener
