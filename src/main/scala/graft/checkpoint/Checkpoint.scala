@@ -20,7 +20,11 @@ final case class CheckpointResult(
     status: CheckpointStatus,
     result: Option[ValidationRunResult],
     error: Option[String],
-    elapsedMillis: Long)
+    elapsedMillis: Long,
+    /** What fired this run — e.g. the drained event batch of an
+      * EventTrigger ([[EventTrigger.context]]); empty for direct or
+      * schedule-fired runs. Actions read it off the result. */
+    context: Map[String, String] = Map.empty)
 
 /** An action receives the result after a run (reference
   * `checkpoint/actions/` — Slack/webhook/email/etc are thin HTTP clients
@@ -63,7 +67,11 @@ final case class Checkpoint(
 
   /** Run the suite, classify, route actions. Exceptions become ERROR
     * status (never thrown past the checkpoint — reference semantics). */
-  def run(): CheckpointResult = {
+  def run(): CheckpointResult = run(Map.empty[String, String])
+
+  /** Run with a trigger context (e.g. the event batch that fired this
+    * run) — carried on the result for actions and observability. */
+  def run(context: Map[String, String]): CheckpointResult = {
     val t0 = System.nanoTime()
     val cr =
       try {
@@ -72,11 +80,11 @@ final case class Checkpoint(
         val failing = r.issues.exists(i => Severity.parse(i.severity) >= failOn)
         CheckpointResult(name,
           if (failing) CheckpointStatus.Fail else CheckpointStatus.Pass,
-          Some(r), None, (System.nanoTime() - t0) / 1000000)
+          Some(r), None, (System.nanoTime() - t0) / 1000000, context)
       } catch {
         case e: Exception =>
           CheckpointResult(name, CheckpointStatus.Error, None,
-            Some(e.getMessage), (System.nanoTime() - t0) / 1000000)
+            Some(e.getMessage), (System.nanoTime() - t0) / 1000000, context)
       }
     actions.foreach { rule =>
       if (rule.when(cr.status))

@@ -72,10 +72,15 @@ final class ScheduleTrigger(
 
 /** Externally-fired event trigger (reference EventTrigger): callers queue
   * events (`fire`), the poll drains them — `minEvents` batches low-rate
-  * streams, `maxBatch` bounds a burst. */
+  * streams, `maxBatch` bounds a burst. Drained batches are handed to the
+  * checkpoint as run context; a batch whose run ERRORS is re-queued for
+  * the next poll (bounded by `maxRedelivery` attempts, then parked in
+  * the dead-letter buffer) so no event is silently dropped. */
 final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
-    val name: String = "event") extends Trigger {
+    maxRedelivery: Int = 3, val name: String = "event") extends Trigger {
   private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+  private val dead =
     new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
 
   def fire(event: Map[String, String] = Map.empty): Unit = pending.add(event)
@@ -97,6 +102,36 @@ final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
     }
     b.result()
   }
+
+  /** Return a drained batch whose checkpoint run ERRORED: each event goes
+    * back on the queue with a redelivery count, or — past `maxRedelivery`
+    * attempts — into the dead-letter buffer (a failing checkpoint must
+    * not grow the queue forever). */
+  def requeue(events: Seq[Map[String, String]]): Unit = events.foreach { e =>
+    val n = e.getOrElse(EventTrigger.RedeliveryKey, "0").toInt
+    if (n >= maxRedelivery) dead.add(e)
+    else pending.add(e.updated(EventTrigger.RedeliveryKey, (n + 1).toString))
+  }
+
+  /** Events that exhausted their redelivery budget — a monitoring hook. */
+  def deadLetters: Seq[Map[String, String]] = {
+    val it = dead.iterator()
+    val b = Seq.newBuilder[Map[String, String]]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+}
+
+object EventTrigger {
+  val RedeliveryKey = "__redelivered"
+
+  /** Flatten an event batch into the checkpoint's run context:
+    * `trigger_events` = batch size, plus `event_<i>.<key>` per entry. */
+  def context(events: Seq[Map[String, String]]): Map[String, String] =
+    Map("trigger_events" -> events.size.toString) ++
+      events.zipWithIndex.flatMap { case (e, i) =>
+        e.map { case (k, v) => s"event_$i.$k" -> v }
+      }
 }
 
 /** File-watch trigger (reference FileWatchTrigger): fires when files under
@@ -164,14 +199,25 @@ final class TriggerRunner(
     bindings: Seq[(Trigger, Checkpoint)],
     onResult: (String, CheckpointResult) => Unit = (_, _) => ()) {
 
-  /** One poll pass: fire every due trigger, return results. */
+  /** One poll pass: fire every due trigger, return results. An event
+    * trigger's drained batch rides on the run as context (the checkpoint
+    * sees what fired it) and is re-queued if the run ERRORS — a FAIL is
+    * a successful run over bad data and consumes its batch. */
   def pollOnce(nowMs: Long): Seq[(String, CheckpointResult)] =
     bindings.flatMap { case (t, cp) =>
       val d = t.shouldTrigger(nowMs)
       if (!d.shouldRun) None
       else {
-        t match { case e: EventTrigger => e.drain(); case _ => () }
-        val r = cp.run()
+        val r = t match {
+          case e: EventTrigger =>
+            val events = e.drain()
+            val res =
+              try cp.run(EventTrigger.context(events))
+              catch { case ex: Throwable => e.requeue(events); throw ex }
+            if (res.status == CheckpointStatus.Error) e.requeue(events)
+            res
+          case _ => cp.run()
+        }
         t.markRun(nowMs)
         onResult(t.name, r)
         Some(t.name -> r)

@@ -24,6 +24,59 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   *   - triggers COUNT/TIME     -> Trigger.ProcessingTime / AvailableNow;
   *   - exactly-once            -> checkpointed sink + idempotent writes.
   */
+/** Config-level streaming source factory (reference
+  * `datasources/streaming/` — kafka.py / kinesis.py / pubsub.py
+  * adapters). Spark-first: every source IS `spark.readStream.format(...)`
+  * and the validation kernel (`StreamValidate.microBatchValidate`) is
+  * source-agnostic, so an "adapter" reduces to format + options + a
+  * standard decode projection. The same config grammar drives a file
+  * source in tests and Kafka in production — swapping needs no kernel
+  * change.
+  *
+  * Kafka recipe (needs the standard `spark-sql-kafka-0-10` connector jar
+  * on the runtime classpath — Spark's own packaging, not bundled here):
+  * {{{
+  * StreamSources.open(spark, StreamSourceConfig("kafka", Map(
+  *   "kafka.bootstrap.servers" -> "broker:9092",
+  *   "subscribe" -> "events",
+  *   "startingOffsets" -> "latest")))
+  * }}}
+  * yields (key, value, topic, partition, offset, timestamp) with
+  * key/value decoded to strings; parse `value` with `from_json` and feed
+  * the result to `microBatchValidate`.
+  */
+final case class StreamSourceConfig(
+    /** "kafka" | "rate" | "file:<format>" (e.g. "file:parquet"). */
+    format: String,
+    options: Map[String, String] = Map.empty,
+    /** Required for file sources (streaming reads never infer). */
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** Source directory for file sources. */
+    path: Option[String] = None)
+
+object StreamSources {
+  def open(spark: org.apache.spark.sql.SparkSession,
+      cfg: StreamSourceConfig): DataFrame = cfg.format match {
+    case "kafka" =>
+      spark.readStream.format("kafka").options(cfg.options).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"),
+          col("topic"), col("partition"), col("offset"), col("timestamp"))
+    case "rate" =>
+      spark.readStream.format("rate").options(cfg.options).load()
+    case f if f.startsWith("file:") =>
+      val dir = cfg.path.getOrElse(throw new IllegalArgumentException(
+        "file source needs StreamSourceConfig.path"))
+      val schema = cfg.schema.getOrElse(throw new IllegalArgumentException(
+        "file source needs StreamSourceConfig.schema (streaming reads " +
+          "never infer)"))
+      spark.readStream.format(f.stripPrefix("file:"))
+        .options(cfg.options).schema(schema).load(dir)
+    case other => throw new IllegalArgumentException(
+      s"unknown stream source format '$other' (kafka | rate | file:<fmt>)")
+  }
+}
+
 object StreamValidate {
 
   sealed trait WindowMode

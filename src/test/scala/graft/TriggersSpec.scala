@@ -51,6 +51,43 @@ class TriggersSpec extends AnyFunSuite {
     assert(!t.shouldTrigger(0).shouldRun)
   }
 
+  test("drained events ride on the run as context; error runs re-queue") {
+    val ev = new EventTrigger(minEvents = 1, maxRedelivery = 2)
+    ev.fire(Map("path" -> "/data/a.parquet"))
+    ev.fire(Map("path" -> "/data/b.parquet"))
+    var seen: Option[CheckpointResult] = None
+    val ok = cp("ctx").copy(actions = Seq(ActionRule(
+      CustomAction("capture", r => seen = Some(r)))))
+    val runner = new TriggerRunner(Seq(ev -> ok))
+    val rs = runner.pollOnce(0)
+    // the checkpoint saw what fired it
+    assert(rs.size == 1)
+    val ctx = rs.head._2.context
+    assert(ctx("trigger_events") == "2")
+    assert(ctx("event_0.path") == "/data/a.parquet" &&
+      ctx("event_1.path") == "/data/b.parquet")
+    assert(seen.exists(_.context == ctx)) // actions read it off the result
+    // a FAIL consumed the batch (run succeeded over bad data)
+    assert(ev.pendingCount == 0)
+
+    // an ERROR run re-queues the batch for the next poll
+    val boom = Checkpoint("boom",
+      () => throw new RuntimeException("source down"),
+      Seq(NullCheck(Seq("v"))))
+    val r2 = new TriggerRunner(Seq(ev -> boom))
+    ev.fire(Map("path" -> "/data/c.parquet"))
+    assert(r2.pollOnce(1).head._2.status == CheckpointStatus.Error)
+    assert(ev.pendingCount == 1) // re-queued, not lost
+    // redelivery is bounded: after maxRedelivery failed attempts the
+    // event parks in the dead-letter buffer instead of looping forever
+    assert(r2.pollOnce(2).head._2.status == CheckpointStatus.Error)
+    assert(ev.pendingCount == 1)
+    assert(r2.pollOnce(3).head._2.status == CheckpointStatus.Error)
+    assert(ev.pendingCount == 0)
+    assert(ev.deadLetters.size == 1 &&
+      ev.deadLetters.head("path") == "/data/c.parquet")
+  }
+
   test("file-watch trigger fires on add/change/remove, not on baseline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw")
     val t = new FileWatchTrigger(dir.toString, "*.csv")
