@@ -662,8 +662,10 @@ object SparkEntry {
       // exact anti-join runs only on might-contain survivors — the total
       // must equal the plain anti-join orphan count
       val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      // auto-sized bloom (from the parent count): a fixed sizing
+      // saturated at sf10 and degenerated the path into a full anti-join
       val orphans = graft.profiler.Sketches.orphanCount(
-        li, "l_orderkey", o, "o_orderkey", expectedItems = 100000)
+        li, "l_orderkey", o, "o_orderkey")
       import s.implicits._
       Seq(orphans).toDF("orphans_via_bloom_path")
     }),

@@ -57,19 +57,24 @@ object Learn {
       val base = Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls")) ++
         (if (fuseDistinct(c)) Seq(distinctOf(c).as(s"${c}__distinct")) else Nil)
       // exactDistinct also selects exact (sort-based, driver-heavy) vs
-      // t-digest approximate percentiles — flip it off at scale
-      def pct(p: Double): Column =
-        if (exactDistinct) expr(s"percentile($c, $p)")
-        else percentile_approx(col(c), lit(p), lit(10000))
+      // t-digest approximate percentiles — flip it off at scale. ONE
+      // array-form aggregate per column: three scalar percentile(c, p)
+      // calls each build their own value buffer over the whole column
+      // (3x the memory and merge work for identical values — sf10's
+      // dominant learn cost); percentile(c, array(...)) shares one.
+      val pcts: Column =
+        if (exactDistinct) expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+        else percentile_approx(col(c),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
       val numeric =
         if (isNumeric(f.dataType)) Seq(
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"),
           avg(col(c)).as(s"${c}__mean"),
           stddev_samp(col(c)).as(s"${c}__std"),
-          pct(0.25).as(s"${c}__q25"),
-          pct(0.5).as(s"${c}__q50"),
-          pct(0.75).as(s"${c}__q75"))
+          pcts.getItem(0).as(s"${c}__q25"),
+          pcts.getItem(1).as(s"${c}__q50"),
+          pcts.getItem(2).as(s"${c}__q75"))
         else Seq(
           min(col(c).cast("string")).as(s"${c}__min"),
           max(col(c).cast("string")).as(s"${c}__max"))

@@ -58,11 +58,21 @@ object Sketches {
     * definitively rejects are guaranteed orphans (no false negatives on
     * membership means no false POSITIVES on orphan-hood for rejects);
     * only the might-contain survivors need the exact anti-join. Total =
-    * definite rejects + anti-join orphans among survivors. */
+    * definite rejects + anti-join orphans among survivors.
+    *
+    * `expectedItems <= 0` (the default) sizes the bloom from the
+    * parent's actual row count — an UNDERSIZED bloom saturates, passes
+    * every probe, and silently degenerates this into a full anti-join
+    * plus a wasted scan (the sf10 ladder caught exactly that with a
+    * fixed 100k sizing against a 15M-key parent; the answer stays
+    * correct either way, only the scalability claim dies). The count is
+    * one cheap column-pruned job next to the bitmap build it sizes. */
   def orphanCount(child: DataFrame, childKey: String,
                   parent: DataFrame, parentKey: String,
-                  expectedItems: Long = 1000000L): Long = {
-    val bf = bloom(parent, parentKey, expectedItems)
+                  expectedItems: Long = 0L): Long = {
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(parent.count(), 1L)
+    val bf = bloom(parent, parentKey, items)
     val bfB = child.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((x: java.lang.Long) =>
       x != null && bfB.value.mightContainLong(x))
