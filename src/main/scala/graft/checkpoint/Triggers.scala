@@ -77,13 +77,21 @@ final class ScheduleTrigger(
   * the next poll (bounded by `maxRedelivery` attempts, then parked in
   * the dead-letter buffer) so no event is silently dropped. */
 final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
-    maxRedelivery: Int = 3, val name: String = "event") extends Trigger {
+    maxRedelivery: Int = 3, val name: String = "event",
+    onDeadLetter: (Map[String, String], Int) => Unit = (_, _) => ())
+    extends Trigger {
+  import EventTrigger.Envelope
+  // redelivery state rides OUT-OF-BAND in the envelope, never inside the
+  // user's event map — a user event carrying its own "__redelivered" key
+  // (or any other name) can neither corrupt the counter nor leak
+  // bookkeeping into run context / dead-letter payloads
   private val pending =
-    new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[Envelope]()
   private val dead =
-    new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[Envelope]()
 
-  def fire(event: Map[String, String] = Map.empty): Unit = pending.add(event)
+  def fire(event: Map[String, String] = Map.empty): Unit =
+    pending.add(Envelope(event, 0))
   def pendingCount: Int = pending.size()
 
   def shouldTrigger(nowMs: Long): TriggerDecision =
@@ -92,10 +100,11 @@ final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
     else TriggerDecision(false,
       s"${pending.size()}/$minEvents events pending")
 
-  /** Drain up to maxBatch pending events (the runner calls this when it
-    * fires the checkpoint). */
-  def drain(): Seq[Map[String, String]] = {
-    val b = Seq.newBuilder[Map[String, String]]
+  /** Drain up to maxBatch pending envelopes (the runner calls this when
+    * it fires the checkpoint; the envelope form keeps attempt counts for
+    * a potential requeue). */
+  private[checkpoint] def drainBatch(): Seq[Envelope] = {
+    val b = Seq.newBuilder[Envelope]
     var n = 0
     while (n < maxBatch && !pending.isEmpty) {
       val e = pending.poll(); if (e != null) { b += e; n += 1 }
@@ -103,27 +112,59 @@ final class EventTrigger(minEvents: Int = 1, maxBatch: Int = 100,
     b.result()
   }
 
+  /** Drain up to maxBatch pending events. */
+  def drain(): Seq[Map[String, String]] = drainBatch().map(_.event)
+
   /** Return a drained batch whose checkpoint run ERRORED: each event goes
-    * back on the queue with a redelivery count, or — past `maxRedelivery`
-    * attempts — into the dead-letter buffer (a failing checkpoint must
-    * not grow the queue forever). */
-  def requeue(events: Seq[Map[String, String]]): Unit = events.foreach { e =>
-    val n = e.getOrElse(EventTrigger.RedeliveryKey, "0").toInt
-    if (n >= maxRedelivery) dead.add(e)
-    else pending.add(e.updated(EventTrigger.RedeliveryKey, (n + 1).toString))
-  }
+    * back on the queue with its attempt count bumped, or — past
+    * `maxRedelivery` attempts — into the dead-letter buffer (a failing
+    * checkpoint must not grow the queue forever). Parking an event fires
+    * `onDeadLetter(event, attempts)` so operators hear about the loss the
+    * moment it happens instead of discovering a silent buffer later. */
+  private[checkpoint] def requeue(batch: Seq[Envelope]): Unit =
+    batch.foreach { env =>
+      if (env.attempts >= maxRedelivery) {
+        dead.add(env)
+        try onDeadLetter(env.event, env.attempts)
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else pending.add(env.copy(attempts = env.attempts + 1))
+    }
 
   /** Events that exhausted their redelivery budget — a monitoring hook. */
   def deadLetters: Seq[Map[String, String]] = {
     val it = dead.iterator()
     val b = Seq.newBuilder[Map[String, String]]
-    while (it.hasNext) b += it.next()
+    while (it.hasNext) b += it.next().event
+    b.result()
+  }
+
+  /** Drain the dead-letter buffer (monitoring pipelines poll this and
+    * convert the batch to metric points / notifications; a drained
+    * letter is the consumer's responsibility). */
+  def drainDeadLetters(): Seq[Map[String, String]] = {
+    val b = Seq.newBuilder[Map[String, String]]
+    while (!dead.isEmpty) {
+      val e = dead.poll(); if (e != null) b += e.event
+    }
     b.result()
   }
 }
 
 object EventTrigger {
-  val RedeliveryKey = "__redelivered"
+  /** One queued event plus its out-of-band delivery-attempt count. */
+  private[checkpoint] final case class Envelope(
+      event: Map[String, String], attempts: Int)
+
+  /** Adapter for `onDeadLetter`: route parked events to any
+    * (subject, body) sender — the same shape `Monitoring.dispatch`
+    * feeds and every Notify transport accepts — so losing an event
+    * raises an operator alert instead of filling a silent buffer. */
+  def deadLetterNotifier(triggerName: String,
+      send: (String, String) => Unit): (Map[String, String], Int) => Unit =
+    (event, attempts) => send(
+      s"[graft:critical] dead-letter on trigger $triggerName",
+      s"event exhausted $attempts redelivery attempt(s): " +
+        event.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
 
   /** Flatten an event batch into the checkpoint's run context:
     * `trigger_events` = batch size, plus `event_<i>.<key>` per entry. */
@@ -210,11 +251,11 @@ final class TriggerRunner(
       else {
         val r = t match {
           case e: EventTrigger =>
-            val events = e.drain()
+            val batch = e.drainBatch()
             val res =
-              try cp.run(EventTrigger.context(events))
-              catch { case ex: Throwable => e.requeue(events); throw ex }
-            if (res.status == CheckpointStatus.Error) e.requeue(events)
+              try cp.run(EventTrigger.context(batch.map(_.event)))
+              catch { case ex: Throwable => e.requeue(batch); throw ex }
+            if (res.status == CheckpointStatus.Error) e.requeue(batch)
             res
           case _ => cp.run()
         }

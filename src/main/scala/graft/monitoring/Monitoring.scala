@@ -101,10 +101,14 @@ object MetricSeries {
     * `issueHistory` (issue grain, which only contains failing runs and
     * would bias DDM/Page-Hinkley upward by hiding recoveries). The
     * natural input for DdmRule (error rates in [0,1]) — "has THIS
-    * check's failure rate drifted over runs?". */
+    * check's failure rate drifted over runs?". Aggregated at
+    * (validator, runId) grain — two runs that happen to share a runTs
+    * stay separate points instead of collapsing into one inflated
+    * ratio (summed violations over a single run's rowCount). */
   def fromHistory(history: DataFrame): DataFrame =
-    history.groupBy(col("validator"), col("runTs"))
-      .agg((coalesce(sum(expr(
+    history.groupBy(col("validator"), col("runId"))
+      .agg(max(col("runTs")).as("runTs"),
+        (coalesce(sum(expr(
           "aggregate(issues, 0L, (acc, i) -> acc + i.count)")), lit(0L))
           .cast("double") /
         greatest(max(col("rowCount")).cast("double"), lit(1.0)))
@@ -117,10 +121,12 @@ object MetricSeries {
     * shape) to the same series. CAVEAT: the issue grain only carries
     * failing runs, so the series never observes recoveries — prefer
     * [[fromHistory]] for drift rules; this form suits ad-hoc frames
-    * that already track every run at the issue grain. */
+    * that already track every run at the issue grain. Same
+    * (validator, runId) grain as [[fromHistory]]. */
   def fromIssueHistory(issues: DataFrame): DataFrame =
-    issues.groupBy(col("validator"), col("runTs"))
-      .agg((sum(col("violations")).cast("double") /
+    issues.groupBy(col("validator"), col("runId"))
+      .agg(max(col("runTs")).as("runTs"),
+        (sum(col("violations")).cast("double") /
         greatest(max(col("totalCount")).cast("double"), lit(1.0)))
         .as("value"))
       .select(col("validator").as("series"),

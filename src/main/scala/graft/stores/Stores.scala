@@ -28,6 +28,17 @@ final case class StoredCheck(dataset: String, runId: String, runTs: Long,
 
 final case class ResultStore(workspace: String) {
   private def root = s"$workspace/store/results"
+  // runId -> dataset sidecar index: one empty marker path per (run,
+  // dataset) pair, written by save(). Lets delete() find its victim
+  // partition(s) with two directory listings instead of scanning every
+  // dataset partition of a millions-of-runs store. Advisory only: a
+  // missing entry (store written by an older version, index wiped by
+  // hand) falls back to the full scan, and a stale entry is harmless
+  // because the rewrite re-filters the actual rows.
+  private def indexRoot = s"$workspace/store/.runindex"
+  private def indexDir(runId: String) = new org.apache.hadoop.fs.Path(
+    indexRoot, "run=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(runId))
 
   /** Persist one run. Appends a small parquet file under the dataset's
     * partition; returns the runId. Idempotency is the caller's contract
@@ -44,6 +55,11 @@ final case class ResultStore(workspace: String) {
     }
     rows.toDS().toDF().write.mode("append").partitionBy("dataset")
       .parquet(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(indexDir(runId),
+      "ds=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(r.dataset)))
     runId
   }
 
@@ -107,14 +123,41 @@ final case class ResultStore(workspace: String) {
   def exists(spark: SparkSession, runId: String): Boolean =
     !get(spark, runId).isEmpty
 
-  /** Remove a run. The rewrite touches ONLY the dataset partition(s)
-    * containing the run — at millions of stored runs a delete reads and
-    * rewrites one dataset's directory, never the whole store. */
-  def delete(spark: SparkSession, runId: String): Boolean = {
-    val hitDs = runs(spark).filter(col("runId") === runId)
-      .select("dataset").distinct().collect().map(_.getString(0)).toSeq
+  /** Remove a run. BOTH the victim lookup and the rewrite touch ONLY the
+    * dataset partition(s) containing the run: the runId→dataset sidecar
+    * index (or the caller's `datasetHint`) names the candidate
+    * partitions, each candidate is confirmed with a single
+    * partition-directory read, and only confirmed partitions are
+    * rewritten — at millions of stored runs a delete reads one dataset's
+    * directory, never the whole store. Falls back to a full scan only
+    * when the index has no entry (older store / hand-wiped index). */
+  def delete(spark: SparkSession, runId: String,
+      datasetHint: Option[String] = None): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = indexDir(runId)
+    val candidates: Seq[String] = datasetHint match {
+      case Some(ds) => Seq(ds)
+      case None if fs.exists(idx) =>
+        fs.listStatus(idx).map(s => org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            s.getPath.getName.stripPrefix("ds="))).toSeq
+      case None =>
+        runs(spark).filter(col("runId") === runId)
+          .select("dataset").distinct().collect().map(_.getString(0)).toSeq
+    }
+    // confirm each candidate with a read scoped to its partition dir (a
+    // stale index entry, double delete, or wrong hint must report false
+    // without rewriting anything)
+    val hitDs = candidates.filter { ds =>
+      val partDir = new Path(s"$root/${partDirName(ds)}")
+      fs.exists(partDir) && !spark.read.parquet(partDir.toString)
+        .filter(col("runId") === runId).isEmpty
+    }
     if (hitDs.nonEmpty)
       rewriteScoped(spark, hitDs, _ => col("runId") =!= runId)
+    fs.delete(idx, true)
     hitDs.nonEmpty
   }
 
@@ -146,6 +189,19 @@ final case class ResultStore(workspace: String) {
       val byDs = victims.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       rewriteScoped(spark, byDs.keys.toSeq,
         ds => !col("runId").isInCollection(byDs(ds)))
+      // retire the victims' sidecar index markers (per dataset — a run
+      // pruned from one dataset may survive in another)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      victims.foreach { case (ds, rid) =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir(rid),
+          "ds=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(ds)), false)
+      }
+      victims.map(_._2).distinct.foreach { rid =>
+        val d = indexDir(rid)
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
+      }
     }
     victims.map(_._2).distinct.length
   }
@@ -184,7 +240,15 @@ final case class ResultStore(workspace: String) {
     * millions of stored runs. A partition whose rows are all removed is
     * deleted outright, and when the last partition goes the store root
     * goes with it (an empty partitioned dir has no schema-bearing files
-    * and would poison every later read). */
+    * and would poison every later read).
+    *
+    * Crash contract: a multi-partition delete/prune is NOT atomic across
+    * partitions — a crash mid-loop leaves earlier partitions rewritten
+    * and later ones untouched. That is safe for this store's operations
+    * (delete/prune are idempotent; re-running converges), and a crash
+    * INSIDE one partition's swap window leaves the full old copy at
+    * `.results_retired/<partition>`, which the next rewriteScoped call
+    * restores automatically if the live dir went missing. */
   private def rewriteScoped(spark: SparkSession, datasets: Seq[String],
       keepFor: String => org.apache.spark.sql.Column): Unit = {
     import org.apache.hadoop.fs.Path
@@ -193,7 +257,16 @@ final case class ResultStore(workspace: String) {
     val stagingRoot = new Path(s"$workspace/store/.results_rewrite")
     val retiredRoot = new Path(s"$workspace/store/.results_retired")
     fs.delete(stagingRoot, true)
-    fs.delete(retiredRoot, true)
+    // a retired copy with no surviving live dir is the recovery copy of
+    // a swap that crashed between its two renames — restore it before
+    // discarding leftovers (never silently drop the only live data)
+    if (fs.exists(retiredRoot)) {
+      fs.listStatus(retiredRoot).foreach { s =>
+        val live = new Path(s"$root/${s.getPath.getName}")
+        if (!fs.exists(live)) fs.rename(s.getPath, live)
+      }
+      fs.delete(retiredRoot, true)
+    }
     datasets.foreach { ds =>
       val partName = partDirName(ds)
       val partDir = new Path(s"$root/$partName")
@@ -213,7 +286,12 @@ final case class ResultStore(workspace: String) {
           // window leaves the full old copy at `retired` for manual
           // recovery instead of losing the partition.
           fs.mkdirs(retiredRoot)
-          fs.rename(partDir, retired)
+          if (!fs.rename(partDir, retired))
+            // an unchecked failure here would let the promote rename
+            // nest the staging dir INSIDE the still-live partition,
+            // silently duplicating rows — abort the swap instead
+            throw new java.io.IOException(
+              s"ResultStore: failed to retire $partDir for rewrite")
           if (!fs.rename(staging, partDir)) {
             fs.rename(retired, partDir)
             throw new java.io.IOException(
@@ -228,7 +306,10 @@ final case class ResultStore(workspace: String) {
     val rootPath = new Path(root)
     val anyLeft = fs.exists(rootPath) && fs.listStatus(rootPath)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("dataset="))
-    if (!anyLeft) fs.delete(rootPath, true)
+    if (!anyLeft) {
+      fs.delete(rootPath, true)
+      fs.delete(new Path(indexRoot), true)
+    }
   }
 
   /** Hive-style partition dir name for a dataset value, escaped with
@@ -296,9 +377,11 @@ final case class SuiteStore(workspace: String) {
     val v = version.orElse(vs.lastOption)
     v.filter(vs.contains).map { ver =>
       val body = Files.readString(dir(name).resolve(f"v$ver%05d.json"))
-      // minimal extraction: the spec field is the last JSON member
-      val m = """"spec":"((?:[^"\\]|\\.)*)"""".r
-      m.findFirstMatchIn(body).map(g => unescape(g.group(1))).getOrElse(body)
+      // proper JSON parse (Jackson ships on Spark's classpath) — a regex
+      // extraction would silently mis-read a spec containing the literal
+      // text "spec": or a reordered writer
+      val node = SuiteStore.mapper.readTree(body)
+      Option(node.get("spec")).map(_.asText()).getOrElse(body)
     }
   }
 
@@ -321,20 +404,9 @@ final case class SuiteStore(workspace: String) {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
-  private def unescape(s: String): String = {
-    val b = new StringBuilder; var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) {
-        s(i + 1) match {
-          case '"' => b += '"'; i += 2
-          case '\\' => b += '\\'; i += 2
-          case 'n' => b += '\n'; i += 2
-          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
-            .toChar; i += 6
-          case c => b += c; i += 2
-        }
-      } else { b += s(i); i += 1 }
-    }
-    b.result()
-  }
+}
+
+object SuiteStore {
+  private[stores] val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
 }

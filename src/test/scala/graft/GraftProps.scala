@@ -240,6 +240,115 @@ object GraftProps extends Properties("graft") {
       dist == expected
     }
 
+  // ---- native text kernels: parity fuzz vs the regex/HOF forms they
+  // replaced, over adversarial unicode (case mappings that cross the
+  // ASCII boundary, full-width chars, surrogate pairs, combining marks,
+  // empty/whitespace) — exactly where a byte-loop rewrite can drift
+
+  private val unicodeChunk: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.listOfN(4, Gen.choose(32.toChar, 126.toChar)).map(_.mkString),
+    Gen.oneOf("ÀÉÎøü", "ünïcödé", "ẞß", "İstanbul", "ıI",
+      "KÅ",               // Kelvin sign -> k, Angstrom -> å
+      "ΣΙΣΥΦΟΣ σίσυφος",            // final-sigma case mapping
+      "０１２３４５６７８９", "ＡＢＣａｂｃ", // full-width digits/letters
+      "的是了中文", "日本語テスト", "한국어",
+      "😀🚀🎉", "𝐀𝐁𝐂", "𐍈",          // surrogate pairs
+      "ȧb̈",             // combining marks
+      "\t\n\r ", "  ", ""),
+    Gen.listOfN(3, Gen.choose(0x20, 0x2fff)).map(_.map(_.toChar).mkString),
+    Gen.listOfN(2, Gen.choose(0x10000, 0x1ffff))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString))
+  private val unicodeStr: Gen[String] =
+    Gen.listOf(unicodeChunk).map(_.mkString(" ").take(120))
+
+  property("normalize_text kernel == two-regex form on random unicode") =
+    forAll(Gen.listOfN(8, unicodeStr)) { xs =>
+      val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "text")
+      val rows = df.select(
+        graft.pipeline.Text.normalize($"text").as("n"),
+        graft.pipeline.Text.normalizeRegex($"text").as("r")).collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }
+
+  property("shingle_hashes64 kernel == HOF form on random unicode tokens") =
+    forAll(Gen.listOf(unicodeChunk).map(_.take(30)), Gen.choose(1, 5)) {
+      (toks, n) =>
+        val df = Seq(Tuple1(toks)).toDF("toks")
+        val native = df.select(
+          graft.pipeline.Text.shingleHashes($"toks", n).as("h"))
+          .head().getSeq[Long](0).toList
+        val hof = df
+          .withColumn("th", graft.pipeline.Text.tokenHashes($"toks"))
+          .select(graft.pipeline.Text.shingleHashesOf($"th", n).as("h"))
+          .head().getSeq[Long](0).toList
+        native == hof
+    }
+
+  private val langWordPool: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("the", "and", "is", "of", "el", "la", "que", "los",
+      "le", "les", "des", "der", "und", "die", "das", "de", "en",
+      "xx", "yy", "zz"),
+    2 -> Gen.oneOf("的", "是", "了", "在", "日本", "中文"),
+    2 -> unicodeChunk)
+
+  property("lang_best kernel == greatest-struct HOF form incl. ties") =
+    forAll(Gen.listOf(langWordPool).map(_.take(40))) { ws =>
+      val df = Seq((1L, ws.mkString(" "))).toDF("id", "text")
+        .withColumn("toks", graft.pipeline.Text.tokens($"text"))
+      def shaped(c: org.apache.spark.sql.Column) = df.select(
+        c.getField("s").as("s"), c.getField("l").as("l")).head()
+      val n = shaped(graft.pipeline.Text.langBest($"text", $"toks"))
+      val h = shaped(graft.pipeline.Text.langBestHof($"text", $"toks"))
+      n.getInt(0) == h.getInt(0) && n.getString(1) == h.getString(1)
+    }
+
+  // ---- image_decode: null-on-garbage contract (never throws, never
+  // emits a malformed row) across random bytes and truncated real PNGs
+
+  private lazy val realPngBytes: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 7; y <- 0 until 5) img.setRGB(x, y, x * 40 + y)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val garbageBytes: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.const(Array.empty[Byte]),
+    Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.take(64).toArray),
+    // valid PNG magic + cut body, at every kind of boundary
+    Gen.choose(1, realPngBytes.length - 1).map(realPngBytes.take),
+    // valid prefix + random tail corruption
+    Gen.choose(0, 200).map(seed => realPngBytes.zipWithIndex.map {
+      case (b, i) => if (i > 16 && (i * 31 + seed) % 7 == 0) (b ^ 0x5a).toByte else b
+    }))
+
+  property("image_decode never throws; garbage -> null, rows well-formed") =
+    forAll(Gen.listOfN(6, garbageBytes)) { payloads =>
+      val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("id", "content")
+      // codegen path (df projection) and shared static kernel both hold
+      val rows = df.select(graft.functions.ImageDecode($"content").as("d"))
+        .collect()
+      val planOk = rows.forall { r =>
+        r.isNullAt(0) || {
+          val s = r.getStruct(0)
+          s.getInt(0) > 0 && s.getInt(1) > 0 &&
+            s.getInt(2) >= 1 && s.getInt(2) <= 4 &&
+            s.getDouble(3) >= 0.0 && s.getDouble(3) <= 255.0
+        }
+      }
+      val kernelOk = payloads.forall { b =>
+        val r = graft.functions.ImageDecode.decodeToRow(b)
+        r == null || (r.getInt(0) > 0 && r.getInt(1) > 0)
+      }
+      planOk && kernelOk
+    }
+
   // ---- ADWIN (driver-only: the detector itself, not the Spark wiring)
 
   private def adwinFirstChange(vals: Seq[Double], delta: Double): Int = {

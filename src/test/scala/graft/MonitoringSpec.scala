@@ -152,10 +152,10 @@ class MonitoringSpec extends AnyFunSuite {
 
   test("history adapter yields a point for PASSING runs too (ratio 0)") {
     val hist = Seq(
-      ("null[v]", 1000L, 100L, Seq(5L)),
-      ("null[v]", 2000L, 200L, Seq.empty[Long]),  // passing run
-      ("range[x]", 1000L, 100L, Seq(2L, 1L)))
-      .toDF("validator", "runTs", "rowCount", "counts")
+      ("r1", "null[v]", 1000L, 100L, Seq(5L)),
+      ("r2", "null[v]", 2000L, 200L, Seq.empty[Long]),  // passing run
+      ("r1", "range[x]", 1000L, 100L, Seq(2L, 1L)))
+      .toDF("runId", "validator", "runTs", "rowCount", "counts")
       .withColumn("issues",
         expr("transform(counts, c -> named_struct('count', c))"))
     val s = MetricSeries.fromHistory(hist).collect()
@@ -163,6 +163,21 @@ class MonitoringSpec extends AnyFunSuite {
         r.getAs[Double]("value"))).toSet
     assert(s == Set(("null[v]", 1000L, 0.05), ("null[v]", 2000L, 0.0),
       ("range[x]", 1000L, 0.03)))
+  }
+
+  test("history adapter keeps runs sharing a runTs as separate points") {
+    // two runs with the same runTs used to collapse into one point with
+    // violations summed across both but divided by ONE run's rowCount,
+    // inflating the ratio fed to DDM/Page-Hinkley
+    val hist = Seq(
+      ("rA", "null[v]", 1000L, 100L, Seq(5L)),
+      ("rB", "null[v]", 1000L, 100L, Seq(5L)))
+      .toDF("runId", "validator", "runTs", "rowCount", "counts")
+      .withColumn("issues",
+        expr("transform(counts, c -> named_struct('count', c))"))
+    val s = MetricSeries.fromHistory(hist).collect()
+      .map(r => r.getAs[Double]("value")).toSeq
+    assert(s == Seq(0.05, 0.05)) // not one 0.10 point
   }
 
   test("issue-history adapter yields per-validator ratio series") {

@@ -227,11 +227,17 @@ class PipelineSpec extends AnyFunSuite {
     }
     val df = Seq(
       (1L, bw), (2L, jpg), (3L, Array[Byte](1, 2, 3)),
-      (4L, png(3, 3, (_, _) => 0x804020)))
+      (4L, png(3, 3, (_, _) => 0x804020)),
+      (5L, bw.take(16)),              // PNG magic + cut IHDR
+      (6L, bw.dropRight(12)),         // body truncated before IEND
+      (7L, Array.empty[Byte]))
       .toDF("id", "content")
       .select($"id", Multimodal.decodeImage($"content").as("d"))
     val rows = df.collect().map(r => r.getLong(0) ->
       Option(r.getStruct(1))).toMap
+    // truncated/empty payloads: null, never a thrown task failure
+    assert(rows(5L).isEmpty && rows(7L).isEmpty)
+    assert(rows(6L).forall(d => d.getInt(0) == 2 && d.getInt(1) == 1))
     val d1 = rows(1L).get
     assert(d1.getInt(0) == 2 && d1.getInt(1) == 1 && d1.getInt(2) == 3)
     assert(math.abs(d1.getDouble(3) - 255.0 / 2) < 1e-9)

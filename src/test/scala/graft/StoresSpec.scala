@@ -95,6 +95,73 @@ class StoresSpec extends AnyFunSuite {
     assert(store.history(spark, "b").count() == 1)
   }
 
+  test("delete finds its victim via the run index, never scanning others") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs7").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "ra1", 1000L)
+    store.save(spark, runOnce("a", 2), "ra2", 2000L)
+    store.save(spark, runOnce("b", 3), "rb1", 3000L)
+    // Corrupt dataset B's parquet files: if delete() touched B in ANY way
+    // (victim lookup or rewrite) the read would throw. The runId→dataset
+    // sidecar index must route the whole delete to partition A alone.
+    val bDir = java.nio.file.Paths.get(ws, "store", "results", "dataset=b")
+    java.nio.file.Files.list(bDir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.writeString(p, "garbage, not parquet")
+    }
+    assert(store.delete(spark, "ra1"))
+    // verify with a partition-scoped read (history() infers schema over
+    // the whole store root, which may legitimately touch any footer)
+    def runsInA = spark.read.parquet(s"$ws/store/results/dataset=a")
+      .select("runId").distinct().collect().map(_.getString(0)).toSet
+    assert(runsInA == Set("ra2"))
+    // double delete also stays scoped when hinted (the index entry is
+    // gone; an unhinted retry would fall back to the full scan)
+    assert(!store.delete(spark, "ra1", datasetHint = Some("a")))
+    // dataset hint routes a fresh delete without consulting anything else
+    assert(store.delete(spark, "ra2", datasetHint = Some("a")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ws, "store", "results", "dataset=a")))
+  }
+
+  test("delete falls back to a full scan when the index is absent") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs8").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "r1", 1000L)
+    store.save(spark, runOnce("b", 2), "r2", 2000L)
+    // wipe the sidecar (simulates a store written by an older version)
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$ws/store/.runindex"), true)
+    assert(store.delete(spark, "r1"))
+    assert(!store.exists(spark, "r1") && store.exists(spark, "r2"))
+    // a wrong hint deletes nothing and reports false
+    assert(!store.delete(spark, "r2", datasetHint = Some("a")))
+    assert(store.exists(spark, "r2"))
+  }
+
+  test("rewrite restores a retired partition left by a crashed swap") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs9").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "ra1", 1000L)
+    store.save(spark, runOnce("b", 2), "rb1", 2000L)
+    // simulate a crash between the two renames of dataset B's swap:
+    // live dir gone, full copy sitting in .results_retired
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$ws/store/results/dataset=b")
+    val retired = new org.apache.hadoop.fs.Path(
+      s"$ws/store/.results_retired/dataset=b")
+    fs.mkdirs(retired.getParent)
+    assert(fs.rename(live, retired))
+    assert(!fs.exists(live))
+    // the next rewrite (here: a delete in dataset A) restores B instead
+    // of discarding the only surviving copy
+    assert(store.delete(spark, "ra1"))
+    assert(store.exists(spark, "rb1"))
+    assert(store.history(spark, "b").count() == 1)
+  }
+
   test("delete handles dataset names needing partition-path escaping") {
     val ws = java.nio.file.Files.createTempDirectory("graft_rs6").toString
     val store = ResultStore(ws)
@@ -155,5 +222,21 @@ class StoresSpec extends AnyFunSuite {
     val res = SuiteRunner.run(df, vs)
     assert(!res.passed)
     assert(ss.delete("s") && ss.get("s") == None)
+  }
+
+  test("suite store survives specs containing JSON-looking text") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_ss2").toString
+    val ss = SuiteStore(ws)
+    // a spec embedding the literal text "spec": plus escapes would
+    // silently mis-extract under regex parsing; Jackson must not
+    val spec = """regex:v:^"spec":"x\\y";null:c"""
+    val name = "we\"ird \\name"
+    assert(ss.save(name, spec, 1000L) == 1)
+    assert(ss.get(name).contains(spec))
+    // multi-line + control chars round-trip too
+    val spec2 = "null:a\nrange:b:0:9\tend"
+    ss.save(name, spec2, 2000L)
+    assert(ss.get(name).contains(spec2))
+    assert(ss.get(name, Some(1)).contains(spec))
   }
 }

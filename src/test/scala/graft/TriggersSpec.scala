@@ -88,6 +88,32 @@ class TriggersSpec extends AnyFunSuite {
       ev.deadLetters.head("path") == "/data/c.parquet")
   }
 
+  test("dead-lettered event raises an alert; hostile event keys are inert") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val ev = new EventTrigger(minEvents = 1, maxRedelivery = 1,
+      name = "e_dl", onDeadLetter = EventTrigger.deadLetterNotifier(
+        "e_dl", (subj, body) => sent += (subj -> body)))
+    val boom = Checkpoint("boom",
+      () => throw new RuntimeException("source down"),
+      Seq(NullCheck(Seq("v"))))
+    val runner = new TriggerRunner(Seq(ev -> boom))
+    // a user event that happens to carry the old bookkeeping key with a
+    // non-numeric value used to blow up pollOnce / dead-letter instantly
+    ev.fire(Map("path" -> "/x.parquet", "__redelivered" -> "banana"))
+    assert(runner.pollOnce(0).head._2.status == CheckpointStatus.Error)
+    assert(ev.pendingCount == 1 && ev.deadLetters.isEmpty && sent.isEmpty)
+    assert(runner.pollOnce(1).head._2.status == CheckpointStatus.Error)
+    // attempts exhausted -> parked AND alerted, user map untouched
+    assert(ev.pendingCount == 0)
+    assert(ev.deadLetters ==
+      Seq(Map("path" -> "/x.parquet", "__redelivered" -> "banana")))
+    assert(sent.size == 1)
+    assert(sent.head._1.contains("dead-letter on trigger e_dl"))
+    assert(sent.head._2.contains("path=/x.parquet"))
+    // monitoring consumers drain the buffer
+    assert(ev.drainDeadLetters().size == 1 && ev.deadLetters.isEmpty)
+  }
+
   test("file-watch trigger fires on add/change/remove, not on baseline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw")
     val t = new FileWatchTrigger(dir.toString, "*.csv")
