@@ -82,12 +82,17 @@ object SparkEntry {
         duplicateRows(Seq("c_custkey")).as("dup_rows"))
     }),
     "q03_duplicate_groups" -> ((s, dir) => {
+      // direct groupBy: for a narrow (int,int) key the exchange already
+      // carries ~16 bytes/row, and the measured sf10 three-way (direct /
+      // DupGroups-hashed / packed-long) keeps direct fastest locally —
+      // see BASELINE.md; DupGroups.stats is the wide-key path
       table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c") > 1)
         .agg(count(lit(1)).as("dup_groups"),
-             sum(col("c") - 1).cast("long").as("excess_rows"))
+             coalesce(sum(col("c") - 1), lit(0L)).cast("long")
+               .as("excess_rows"))
     }),
     "q04_pk_lineitem" -> ((s, dir) => {
       table(s, dir, "lineitem").agg(
@@ -1801,6 +1806,13 @@ object SparkEntry {
       Seq((r6(graft.drift.Drift.energyDistance(cur, ref, "c_acctbal")),
            r6(graft.drift.Drift.mmd(cur, ref, "c_acctbal"))))
         .toDF("energy", "mmd")
+    }),
+    "q149_dup_rows_hashed" -> ((s, dir) => {
+      // wide-key duplicate groups via the 8-byte-shuffle DupGroups path
+      // (hash phase + exact collision verify) — the exchange never
+      // carries the props string; the key genuinely bears duplicates
+      graft.ops.DupGroups.stats(table(s, dir, "events"),
+        Seq("user_id", "event_type", "props"))
     })
   )
 
@@ -3146,6 +3158,12 @@ object SparkEntry {
            round(sum(0.299 * ((k * 37) % 256) + 0.587 * ((k * 59) % 256)
              + 0.114 * ((k * 83) % 256)), 6) AS sum_luma
          FROM k""",
+    "q149_dup_rows_hashed" ->
+      """SELECT count(*) AS dup_groups,
+         CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS excess_rows
+         FROM (SELECT user_id, event_type, props, count(*) AS c
+               FROM events GROUP BY 1, 2, 3
+               HAVING count(*) > 1)""",
     "q147_energy_mmd" ->
       """WITH x AS (SELECT c_acctbal AS v FROM customer
              WHERE c_custkey <= 75 AND c_acctbal IS NOT NULL),

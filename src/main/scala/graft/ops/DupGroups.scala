@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-group detection with an 8-byte shuffle key (reference:
+  * truthound `validators/uniqueness/duplicate.py` DuplicateValidator —
+  * group-and-count over the key columns).
+  *
+  * A direct `groupBy(keyCols)` shuffles the full key tuple per distinct
+  * key — for whole-row or wide-string keys that is the row itself. Here
+  * the shuffle key is a single `xxhash64(keyCols)`: phase 1 aggregates
+  * counts per 64-bit hash (the exchange carries only (hash, partial
+  * count) regardless of key width), phase 2 re-reads ONLY the rows
+  * whose hash landed in a >1 bucket — the duplicate candidates, a
+  * vanishing fraction of a healthy table — and re-groups them on the
+  * REAL key columns, so two distinct keys sharing a hash can never
+  * merge a group or inflate a count. The candidate set is tiny, so AQE
+  * turns phase 2's semi join into a broadcast probe and the exact
+  * re-group shuffles almost nothing.
+  *
+  * WHEN TO USE (measured, BASELINE.md round-7 note): the hashed path
+  * trades ONE wide shuffle for TWO scans plus a narrow shuffle. On
+  * local[32] — where "shuffle" is memory-speed and scans dominate — the
+  * direct groupBy wins even for whole-row text keys (sf10 documents:
+  * direct 2.4 s vs hashed 4.0 s; sf10 q03's (int,int) key: direct
+  * 6.4-7.8 s vs hashed 12.4 s), so the shipped q03 stays direct. The
+  * hashed path is for the cluster regime the numbers can't show
+  * locally: key bytes ≫ 16/row and exchanges crossing a real network,
+  * where shuffling 100 TB of text to count duplicates is the bottleneck
+  * and two columnar scans are cheap. That is exactly LLM-corpus
+  * whole-row dedup — and for content-only keys, prefer the
+  * fingerprint-projection in `pipeline.Dedup.exactDupGroups` (one scan,
+  * one narrow shuffle, approximate only under md5 collision).
+  */
+object DupGroups {
+
+  /** One row: (dup_groups, excess_rows) over `cols` as the key. */
+  def stats(df: DataFrame, cols: Seq[String]): DataFrame =
+    exactGroups(df, cols)
+      .agg(count(lit(1)).as("dup_groups"),
+        coalesce(sum(col("__dup_c") - 1), lit(0L)).cast("long")
+          .as("excess_rows"))
+
+  /** The duplicate groups themselves: key columns + `__dup_c` (> 1),
+    * exact (hash-collision-proof). */
+  def exactGroups(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val h = xxhash64(cols.map(col): _*)
+    val candidates = df
+      .groupBy(h.as("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("__h")
+    df.join(candidates, h === col("__h"), "left_semi")
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dup_c"))
+      .filter(col("__dup_c") > 1)
+  }
+}

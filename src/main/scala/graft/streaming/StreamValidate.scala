@@ -58,6 +58,16 @@ object StreamSources {
   def open(spark: org.apache.spark.sql.SparkSession,
       cfg: StreamSourceConfig): DataFrame = cfg.format match {
     case "kafka" =>
+      // fail at config time, not deep inside the connector: these two
+      // are the non-negotiable kafka source options, and a typo here is
+      // the one residual risk of a wiring that can't be broker-tested
+      // in this environment
+      require(cfg.options.contains("kafka.bootstrap.servers"),
+        "kafka source needs option 'kafka.bootstrap.servers'")
+      require(Seq("subscribe", "subscribePattern", "assign")
+          .exists(cfg.options.contains),
+        "kafka source needs one of 'subscribe' | 'subscribePattern' | " +
+          "'assign'")
       spark.readStream.format("kafka").options(cfg.options).load()
         .select(col("key").cast("string").as("key"),
           col("value").cast("string").as("value"),

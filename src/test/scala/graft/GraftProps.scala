@@ -304,6 +304,19 @@ object GraftProps extends Properties("graft") {
       n.getInt(0) == h.getInt(0) && n.getString(1) == h.getString(1)
     }
 
+  property("suite store round-trips arbitrary unicode spec strings") =
+    forAll(Gen.listOf(unicodeChunk).map(_.mkString(" ")),
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(20))) { (spec, name) =>
+      // driver-side JSON writer + Jackson reader: escapes, controls,
+      // embedded "spec": text, multi-byte — everything must survive
+      val ws = java.nio.file.Files.createTempDirectory("graft_ssp").toString
+      val ss = graft.stores.SuiteStore(ws)
+      ss.save(name, spec, 1L)
+      val got = ss.get(name)
+      ss.delete(name)
+      got.contains(spec)
+    }
+
   // ---- image_decode: null-on-garbage contract (never throws, never
   // emits a malformed row) across random bytes and truncated real PNGs
 

@@ -86,6 +86,18 @@ class IntegrationSpec extends AnyFunSuite {
           "subscribe" -> "t")))
     }
     assert(e.getMessage.toLowerCase.contains("kafka"))
+    // option typos die at config time with a named-option message,
+    // not deep inside the connector
+    val noBroker = intercept[IllegalArgumentException] {
+      StreamSources.open(spark, StreamSourceConfig("kafka",
+        Map("subscribe" -> "t")))
+    }
+    assert(noBroker.getMessage.contains("kafka.bootstrap.servers"))
+    val noTopic = intercept[IllegalArgumentException] {
+      StreamSources.open(spark, StreamSourceConfig("kafka",
+        Map("kafka.bootstrap.servers" -> "example.invalid:9092")))
+    }
+    assert(noTopic.getMessage.contains("subscribe"))
     val bad = intercept[IllegalArgumentException] {
       StreamSources.open(spark, StreamSourceConfig("carrier-pigeon"))
     }

@@ -75,6 +75,42 @@ class PlanShapeSpec extends AnyFunSuite {
       "orders parent must not carry a broadcast hint")
   }
 
+  test("DupGroups: exact parity with direct groupBy; narrow hash shuffle") {
+    import spark.implicits._
+    val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
+    val key = Seq("user_id", "event_type", "props")
+    val hashed = graft.ops.DupGroups.stats(ev, key).head()
+    val direct = ev.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)), coalesce(sum(col("c") - 1), lit(0L)).cast("long"))
+      .head()
+    assert(hashed.getLong(0) == direct.getLong(0) &&
+      hashed.getLong(1) == direct.getLong(1))
+    assert(hashed.getLong(0) > 0, "fixture must actually contain dup groups")
+    // planted duplicate + near-miss fixture exercises the verify phase
+    val fx = Seq((1L, "a", "p"), (1L, "a", "p"), (1L, "a", "q"),
+      (2L, "b", "p"), (2L, "b", "p"), (2L, "b", "p"), (3L, "c", "r"))
+      .toDF("user_id", "event_type", "props")
+    val s = graft.ops.DupGroups.stats(fx, key).head()
+    assert(s.getLong(0) == 2 && s.getLong(1) == 3)
+    // empty-result path: no dup groups -> (0, 0), not (0, null)
+    val none = graft.ops.DupGroups.stats(
+      Seq((1L, "a", "p"), (2L, "b", "q")).toDF("user_id", "event_type",
+        "props"), key).head()
+    assert(none.getLong(0) == 0 && none.getLong(1) == 0)
+    // plan shape: phase 1's full-table exchange partitions on the single
+    // xxhash64 key (real key columns ride a shuffle only in the
+    // candidate-scoped verify phase)
+    val plan = graft.ops.DupGroups.stats(ev, key)
+      .queryExecution.executedPlan.toString
+    // (the optimizer may rewrite the __h alias to _groupingexpression)
+    assert("hashpartitioning\\((__h|_groupingexpression)#\\d+L, \\d+\\)".r
+        .findFirstIn(plan).nonEmpty,
+      s"phase-1 shuffle must key on the single 64-bit hash:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      "verify phase must be candidate-scoped via a semi join")
+  }
+
   test("q74 evaluates the language argmax once per row") {
     val df = SparkEntry.queries("q74_language_id")(spark,
       "/root/testdata/sf0.001")
