@@ -304,6 +304,16 @@ object GraftProps extends Properties("graft") {
       n.getInt(0) == h.getInt(0) && n.getString(1) == h.getString(1)
     }
 
+  property("DupGroups hashed stats == direct groupBy on random multisets") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 6),
+      Gen.oneOf("x", "y", "zz"))).map(_.take(120))) { rows =>
+      val df = rows.toDF("a", "b")
+      val hashed = graft.ops.DupGroups.stats(df, Seq("a", "b")).head()
+      val expected = rows.groupBy(identity).values.map(_.size).filter(_ > 1)
+      hashed.getLong(0) == expected.size.toLong &&
+        hashed.getLong(1) == expected.map(_ - 1).sum.toLong
+    }
+
   property("suite store round-trips arbitrary unicode spec strings") =
     forAll(Gen.listOf(unicodeChunk).map(_.mkString(" ")),
       Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(20))) { (spec, name) =>

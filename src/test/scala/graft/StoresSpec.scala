@@ -124,6 +124,19 @@ class StoresSpec extends AnyFunSuite {
       java.nio.file.Paths.get(ws, "store", "results", "dataset=a")))
   }
 
+  test("delete removes a runId saved under several datasets via the index") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_rs10").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "shared", 1000L)
+    store.save(spark, runOnce("b", 2), "shared", 1000L)
+    store.save(spark, runOnce("c", 3), "solo", 2000L)
+    assert(store.delete(spark, "shared")) // index holds TWO ds markers
+    assert(store.history(spark, "a").count() == 0)
+    assert(store.history(spark, "b").count() == 0)
+    assert(store.history(spark, "c").count() == 1)
+    assert(!store.delete(spark, "shared"))
+  }
+
   test("delete falls back to a full scan when the index is absent") {
     val ws = java.nio.file.Files.createTempDirectory("graft_rs8").toString
     val store = ResultStore(ws)
