@@ -48,7 +48,7 @@ object Cli {
       spark.read.json(path)
     else spark.read.parquet(path)
 
-  private def dispatch(spark: SparkSession, args: List[String]): Int =
+  private[graft] def dispatch(spark: SparkSession, args: List[String]): Int =
     args match {
       case "check" :: path :: rest =>
         val checks = argOf(rest, "--checks")
@@ -211,6 +211,15 @@ object Cli {
         val n = graft.stores.ResultStore(ws).prune(spark, keep, maxAge)
         println(s"removed $n run(s)"); 0
 
+      case "delete" :: ws :: runId :: rest =>
+        // --dataset routes the delete straight to one partition; without
+        // it the store's runId->dataset index (or a full scan on very old
+        // stores) finds the victim
+        val hint = argOf(rest, "--dataset")
+        val ok = graft.stores.ResultStore(ws).delete(spark, runId, hint)
+        if (ok) { println(s"deleted $runId"); 0 }
+        else { println(s"run $runId not found"); 2 }
+
       case "diff" :: ws :: runA :: runB :: _ =>
         val d = graft.stores.ResultStore(ws).diffRuns(spark, runA, runB)
           .orderBy(org.apache.spark.sql.functions.col("validator"))
@@ -290,5 +299,6 @@ object Cli {
       |  check-incremental <path> <workspace> <dataset> <wmCol> [--checks spec]
       |  history <workspace> <dataset>
       |  prune <workspace> [--keep N] [--max-age-ms M]
+      |  delete <workspace> <runId> [--dataset NAME]
       |  diff <workspace> <runA> <runB>""".stripMargin)
 }

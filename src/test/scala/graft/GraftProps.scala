@@ -304,6 +304,47 @@ object GraftProps extends Properties("graft") {
       n.getInt(0) == h.getInt(0) && n.getString(1) == h.getString(1)
     }
 
+  // ---- exact distributional statistics vs naive driver references on
+  // random samples (the oracle pins fixtures; this pins the math)
+
+  private val sample: Gen[List[Int]] =
+    Gen.nonEmptyListOf(Gen.choose(-20, 20)).map(_.take(80))
+
+  property("KS statistic == naive two-sample sup-distance") =
+    forAll(sample, sample) { (xs, ys) =>
+      val ks = graft.drift.Drift.ksStatistic(
+        xs.map(_.toDouble).toDF("v"), ys.map(_.toDouble).toDF("v"), "v")
+      val pooled = (xs ++ ys).distinct.sorted
+      def cdf(s: List[Int])(t: Int) = s.count(_ <= t).toDouble / s.size
+      val expected = pooled.map(t =>
+        math.abs(cdf(xs)(t) - cdf(ys)(t))).max
+      math.abs(ks - expected) < 1e-9
+    }
+
+  property("Wasserstein-1 == naive CDF-difference integral") =
+    forAll(sample, sample) { (xs, ys) =>
+      val w = graft.drift.Drift.wasserstein(
+        xs.map(_.toDouble).toDF("v"), ys.map(_.toDouble).toDF("v"), "v")
+      // reference: integral over t of |F(t) - G(t)| — piecewise constant
+      // between pooled distinct values
+      val pooled = (xs ++ ys).distinct.sorted
+      def cdf(s: List[Int])(t: Int) = s.count(_ <= t).toDouble / s.size
+      val expected = pooled.sliding(2).collect { case List(a, b) =>
+        math.abs(cdf(xs)(a) - cdf(ys)(a)) * (b - a) }.sum
+      math.abs(w - expected) < 1e-9
+    }
+
+  property("energy distance matches the O(n^2) definition") =
+    forAll(Gen.listOfN(12, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(9, Gen.choose(-10.0, 10.0))) { (xs, ys) =>
+      val e = graft.drift.Drift.energyDistance(
+        xs.toDF("v"), ys.toDF("v"), "v")
+      def mad(a: Seq[Double], b: Seq[Double]) =
+        a.flatMap(x => b.map(y => math.abs(x - y))).sum / (a.size * b.size)
+      val expected = 2 * mad(xs, ys) - mad(xs, xs) - mad(ys, ys)
+      math.abs(e - expected) < 1e-9
+    }
+
   property("DupGroups hashed stats == direct groupBy on random multisets") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 6),
       Gen.oneOf("x", "y", "zz"))).map(_.take(120))) { rows =>

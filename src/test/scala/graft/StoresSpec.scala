@@ -218,6 +218,25 @@ class StoresSpec extends AnyFunSuite {
       java.nio.file.Paths.get(emptyIdx)).contains("0 dataset(s)"))
   }
 
+  test("cli store commands: history, delete (with hint), prune, diff") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val store = ResultStore(ws)
+    store.save(spark, runOnce("a", 1), "r1", 1000L)
+    store.save(spark, runOnce("a", 3), "r2", 2000L)
+    store.save(spark, runOnce("a", 3), "r3", 3000L)
+    assert(Cli.dispatch(spark, List("history", ws, "a")) == 0)
+    assert(Cli.dispatch(spark, List("diff", ws, "r1", "r2")) == 1) // still_failing
+    assert(Cli.dispatch(spark, List("delete", ws, "r3")) == 0)
+    assert(Cli.dispatch(spark, List("delete", ws, "r3")) == 2) // gone
+    assert(Cli.dispatch(spark,
+      List("delete", ws, "r2", "--dataset", "nope")) == 2) // wrong hint
+    assert(store.exists(spark, "r2"))
+    assert(Cli.dispatch(spark,
+      List("delete", ws, "r2", "--dataset", "a")) == 0)
+    assert(Cli.dispatch(spark, List("prune", ws, "--keep", "0")) == 0)
+    assert(store.runs(spark).count() == 0)
+  }
+
   test("suite store versions and round-trips executable specs") {
     val ws = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ss = SuiteStore(ws)
