@@ -51,8 +51,19 @@ object Cli {
   private[graft] def dispatch(spark: SparkSession, args: List[String]): Int =
     args match {
       case "check" :: path :: rest =>
-        val checks = argOf(rest, "--checks")
-          .map(parseChecks).getOrElse(defaultChecks(spark, path))
+        val checks = (argOf(rest, "--checks"), argOf(rest, "--suite")) match {
+          case (Some(spec), _) => parseChecks(spec)
+          case (None, Some(name)) =>
+            // run a stored expectation suite (reference
+            // stores/expectations.py workflow): --workspace locates the
+            // store, --suite-version pins a version (default latest)
+            val ws = argOf(rest, "--workspace").getOrElse(".")
+            graft.stores.SuiteStore(ws)
+              .get(name, argOf(rest, "--suite-version").map(_.toInt))
+              .map(parseChecks).getOrElse(throw new IllegalArgumentException(
+                s"no stored suite '$name' in workspace $ws"))
+          case _ => defaultChecks(spark, path)
+        }
         val result = SuiteRunner.run(load(spark, path), checks,
           SuiteRunner.Config(datasetName = path))
         emit(result, argOf(rest, "--format").getOrElse("console"))
@@ -211,6 +222,32 @@ object Cli {
         val n = graft.stores.ResultStore(ws).prune(spark, keep, maxAge)
         println(s"removed $n run(s)"); 0
 
+      case "suite-save" :: ws :: name :: rest =>
+        argOf(rest, "--checks") match {
+          case None =>
+            System.err.println("suite-save needs --checks \"<spec>\""); 2
+          case Some(spec) =>
+            parseChecks(spec) // reject an unexecutable spec up front
+            val v = graft.stores.SuiteStore(ws)
+              .save(name, spec, System.currentTimeMillis())
+            println(s"saved suite '$name' v$v"); 0
+        }
+
+      case "suite-list" :: ws :: _ =>
+        val ss = graft.stores.SuiteStore(ws)
+        val names = ss.list()
+        if (names.isEmpty) println("no suites stored")
+        else names.foreach(n =>
+          println(f"$n%-32s versions=${ss.versions(n).mkString(",")}"))
+        0
+
+      case "suite-show" :: ws :: name :: rest =>
+        graft.stores.SuiteStore(ws)
+          .get(name, argOf(rest, "--version").map(_.toInt)) match {
+          case Some(spec) => println(spec); 0
+          case None => System.err.println(s"no suite '$name'"); 2
+        }
+
       case "delete" :: ws :: runId :: rest =>
         // --dataset routes the delete straight to one partition; without
         // it the store's runId->dataset index (or a full scan on very old
@@ -300,5 +337,9 @@ object Cli {
       |  history <workspace> <dataset>
       |  prune <workspace> [--keep N] [--max-age-ms M]
       |  delete <workspace> <runId> [--dataset NAME]
-      |  diff <workspace> <runA> <runB>""".stripMargin)
+      |  diff <workspace> <runA> <runB>
+      |  suite-save <workspace> <name> --checks "<spec>"
+      |  suite-list <workspace>
+      |  suite-show <workspace> <name> [--version N]
+      |  check <path> --suite <name> [--workspace W] [--suite-version N]""".stripMargin)
 }

@@ -137,9 +137,10 @@ final case class ResultStore(workspace: String) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val idx = indexDir(runId)
+    val fromIndex = datasetHint.isEmpty && fs.exists(idx)
     val candidates: Seq[String] = datasetHint match {
       case Some(ds) => Seq(ds)
-      case None if fs.exists(idx) =>
+      case None if fromIndex =>
         fs.listStatus(idx).map(s => org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.unescapePathName(
             s.getPath.getName.stripPrefix("ds="))).toSeq
@@ -157,7 +158,18 @@ final case class ResultStore(workspace: String) {
     }
     if (hitDs.nonEmpty)
       rewriteScoped(spark, hitDs, _ => col("runId") =!= runId)
-    fs.delete(idx, true)
+    // retire index markers: every dataset just rewritten, plus — when the
+    // candidates came from the index itself — stale entries that failed
+    // confirmation. A WRONG datasetHint must leave the index untouched,
+    // or it would degrade the run's later (correct) delete to a scan and
+    // orphan markers for datasets the hint never covered.
+    val retire = if (fromIndex) candidates else hitDs
+    retire.foreach { ds =>
+      fs.delete(new Path(indexDir(runId),
+        "ds=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(ds)), false)
+    }
+    if (fs.exists(idx) && fs.listStatus(idx).isEmpty) fs.delete(idx, true)
     hitDs.nonEmpty
   }
 

@@ -109,6 +109,10 @@ class StoresSpec extends AnyFunSuite {
       if (p.getFileName.toString.endsWith(".parquet"))
         java.nio.file.Files.writeString(p, "garbage, not parquet")
     }
+    // a WRONG hint deletes nothing and must leave the index intact —
+    // the next (unhinted) delete still routes via the index, proven by
+    // B staying corrupt and unread
+    assert(!store.delete(spark, "ra1", datasetHint = Some("zzz")))
     assert(store.delete(spark, "ra1"))
     // verify with a partition-scoped read (history() infers schema over
     // the whole store root, which may legitimately touch any footer)
@@ -235,6 +239,32 @@ class StoresSpec extends AnyFunSuite {
       List("delete", ws, "r2", "--dataset", "a")) == 0)
     assert(Cli.dispatch(spark, List("prune", ws, "--keep", "0")) == 0)
     assert(store.runs(spark).count() == 0)
+  }
+
+  test("cli suite commands: save, list, show, check --suite") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_cli2").toString
+    val data = java.nio.file.Files.createTempDirectory("graft_cli2d")
+      .resolve("t.parquet").toString
+    Seq((1, Some("x"), 30), (2, None, 500)).toDF("id", "v", "age")
+      .write.parquet(data)
+    assert(Cli.dispatch(spark,
+      List("suite-save", ws, "s1", "--checks", "null:v;range:age:0:120")) == 0)
+    assert(Cli.dispatch(spark,
+      List("suite-save", ws, "s1", "--checks", "null:v")) == 0) // v2
+    assert(Cli.dispatch(spark, List("suite-save", ws, "s1")) == 2) // no spec
+    assert(Cli.dispatch(spark, List("suite-list", ws)) == 0)
+    assert(Cli.dispatch(spark, List("suite-show", ws, "s1")) == 0)
+    assert(Cli.dispatch(spark, List("suite-show", ws, "nope")) == 2)
+    // stored suite drives a real check run: v1 fails (null + range), and
+    // a pinned --suite-version proves version routing
+    assert(Cli.dispatch(spark, List("check", data, "--suite", "s1",
+      "--workspace", ws, "--suite-version", "1")) == 1)
+    assert(Cli.dispatch(spark,
+      List("check", data, "--suite", "s1", "--workspace", ws)) == 1)
+    intercept[IllegalArgumentException] {
+      Cli.dispatch(spark,
+        List("check", data, "--suite", "ghost", "--workspace", ws))
+    }
   }
 
   test("suite store versions and round-trips executable specs") {
