@@ -62,7 +62,9 @@ object Bench {
     val ratios = results.map(_._2).filter(_.min > 0)
       .map(r => r.max / r.min).sorted
     val contention =
-      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      if (ratios.isEmpty) 1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     // Full-name per-query detail goes to BENCH.json (unbounded length):
     // min-of-N plus each query's run spread.
     val qsFull = results.map { case (k, v) => "\"" + k + f"""\":${v.min}%.4f""" }

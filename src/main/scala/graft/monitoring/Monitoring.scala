@@ -144,8 +144,13 @@ final case class RuleEngine(rules: Seq[AlertRule]) {
     * one row per (point, rule) that fired. */
   def evaluate(series: DataFrame): DataFrame = {
     require(rules.nonEmpty, "RuleEngine needs at least one rule")
+    // secondary sort on value: two runs may legitimately share a ts
+    // (fromHistory keeps them as separate points), and ts-only ordering
+    // would make the sequential statistics' intermediate trajectories
+    // nondeterministic between executions; equal (ts, value) rows are
+    // interchangeable, so this order is total where it matters
     val bySeries = Window.partitionBy(col("series"), col("metric"))
-      .orderBy(col("ts"))
+      .orderBy(col("ts"), col("value"))
     val cum = bySeries.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     // Page-Hinkley needs nested window results (running mean feeds the

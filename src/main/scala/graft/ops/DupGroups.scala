@@ -45,12 +45,16 @@ object DupGroups {
   /** The duplicate groups themselves: key columns + `__dup_c` (> 1),
     * exact (hash-collision-proof). */
   def exactGroups(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(!cols.contains("__dup_c"),
+      "__dup_c is reserved for the group-count output column")
     val h = xxhash64(cols.map(col): _*)
     val candidates = df
       .groupBy(h.as("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select("__h")
-    df.join(candidates, h === col("__h"), "left_semi")
+    // candidates("__h") qualifies the probe side, so an input frame that
+    // happens to carry its own __h column stays joinable
+    df.join(candidates, h === candidates("__h"), "left_semi")
       .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dup_c"))
       .filter(col("__dup_c") > 1)
   }

@@ -39,6 +39,10 @@ final case class ResultStore(workspace: String) {
   private def indexDir(runId: String) = new org.apache.hadoop.fs.Path(
     indexRoot, "run=" + org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(runId))
+  private def indexMarker(runId: String, ds: String) =
+    new org.apache.hadoop.fs.Path(indexDir(runId),
+      "ds=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(ds))
 
   /** Persist one run. Appends a small parquet file under the dataset's
     * partition; returns the runId. Idempotency is the caller's contract
@@ -53,13 +57,15 @@ final case class ResultStore(workspace: String) {
         c.issues.map(i => StoredIssue(i.column, i.issueType, i.count,
           i.totalCount, i.severity, i.expected, i.actual)), tags)
     }
-    rows.toDS().toDF().write.mode("append").partitionBy("dataset")
-      .parquet(root)
+    // index marker BEFORE the parquet append: a crash between the two
+    // writes then leaves a STALE marker (harmless — delete() confirms
+    // every candidate against real rows) instead of an unindexed
+    // partition that a later index-routed delete would never visit
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(indexDir(runId),
-      "ds=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.dataset)))
+    fs.mkdirs(indexMarker(runId, r.dataset))
+    rows.toDS().toDF().write.mode("append").partitionBy("dataset")
+      .parquet(root)
     runId
   }
 
@@ -151,11 +157,21 @@ final case class ResultStore(workspace: String) {
     // confirm each candidate with a read scoped to its partition dir (a
     // stale index entry, double delete, or wrong hint must report false
     // without rewriting anything)
-    val hitDs = candidates.filter { ds =>
+    def confirm(dss: Seq[String]): Seq[String] = dss.filter { ds =>
       val partDir = new Path(s"$root/${partDirName(ds)}")
       fs.exists(partDir) && !spark.read.parquet(partDir.toString)
         .filter(col("runId") === runId).isEmpty
     }
+    val hitFromCandidates = confirm(candidates)
+    // an index whose every entry failed confirmation may be PARTIAL, not
+    // just stale (save() orders marker-then-append, but stores written
+    // by an older version did the opposite and could crash in between):
+    // distrust it and fall back to the full scan before reporting false
+    val hitDs =
+      if (hitFromCandidates.isEmpty && fromIndex)
+        confirm(runs(spark).filter(col("runId") === runId)
+          .select("dataset").distinct().collect().map(_.getString(0)).toSeq)
+      else hitFromCandidates
     if (hitDs.nonEmpty)
       rewriteScoped(spark, hitDs, _ => col("runId") =!= runId)
     // retire index markers: every dataset just rewritten, plus — when the
@@ -163,12 +179,8 @@ final case class ResultStore(workspace: String) {
     // confirmation. A WRONG datasetHint must leave the index untouched,
     // or it would degrade the run's later (correct) delete to a scan and
     // orphan markers for datasets the hint never covered.
-    val retire = if (fromIndex) candidates else hitDs
-    retire.foreach { ds =>
-      fs.delete(new Path(indexDir(runId),
-        "ds=" + org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(ds)), false)
-    }
+    val retire = if (fromIndex) (candidates ++ hitDs).distinct else hitDs
+    retire.foreach(ds => fs.delete(indexMarker(runId, ds), false))
     if (fs.exists(idx) && fs.listStatus(idx).isEmpty) fs.delete(idx, true)
     hitDs.nonEmpty
   }
@@ -206,9 +218,7 @@ final case class ResultStore(workspace: String) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       victims.foreach { case (ds, rid) =>
-        fs.delete(new org.apache.hadoop.fs.Path(indexDir(rid),
-          "ds=" + org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.escapePathName(ds)), false)
+        fs.delete(indexMarker(rid, ds), false)
       }
       victims.map(_._2).distinct.foreach { rid =>
         val d = indexDir(rid)
@@ -340,8 +350,15 @@ final case class ResultStore(workspace: String) {
   * coupling. `Cli.parseChecks` turns a loaded spec back into validators. */
 final case class SuiteStore(workspace: String) {
   import java.nio.file.{Files, Paths}
-  private def dir(name: String) =
+  private def dir(name: String) = {
+    // suite names come straight from CLI argv — refuse anything that
+    // could escape the workspace (suite-save "../../etc" would otherwise
+    // create, read, or DELETE files outside the store)
+    require(name.nonEmpty && name != "." && name != ".." &&
+      !name.contains('/') && !name.contains('\\'),
+      s"suite name must be a plain directory name, got '$name'")
     Paths.get(workspace, "store", "suites", name)
+  }
 
   /** Save a new version of `name`; returns the version number (1-based). */
   def save(name: String, spec: String, createdTs: Long): Int = {

@@ -61,11 +61,13 @@ object StreamSources {
       // fail at config time, not deep inside the connector: these two
       // are the non-negotiable kafka source options, and a typo here is
       // the one residual risk of a wiring that can't be broker-tested
-      // in this environment
-      require(cfg.options.contains("kafka.bootstrap.servers"),
+      // in this environment. Spark's kafka source matches option keys
+      // case-insensitively, so this guard must too.
+      val keys = cfg.options.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+      require(keys.contains("kafka.bootstrap.servers"),
         "kafka source needs option 'kafka.bootstrap.servers'")
-      require(Seq("subscribe", "subscribePattern", "assign")
-          .exists(cfg.options.contains),
+      require(Seq("subscribe", "subscribepattern", "assign")
+          .exists(keys.contains),
         "kafka source needs one of 'subscribe' | 'subscribePattern' | " +
           "'assign'")
       spark.readStream.format("kafka").options(cfg.options).load()

@@ -98,6 +98,15 @@ class IntegrationSpec extends AnyFunSuite {
         Map("kafka.bootstrap.servers" -> "example.invalid:9092")))
     }
     assert(noTopic.getMessage.contains("subscribe"))
+    // Spark matches kafka options case-insensitively; the guard must not
+    // reject a mixed-case config the connector would accept
+    val mixedCase = intercept[Exception] {
+      StreamSources.open(spark, StreamSourceConfig("kafka",
+        Map("Kafka.Bootstrap.Servers" -> "example.invalid:9092",
+          "SubscribePattern" -> "t.*")))
+    }
+    assert(mixedCase.getMessage.toLowerCase.contains("kafka") &&
+      !mixedCase.isInstanceOf[IllegalArgumentException])
     val bad = intercept[IllegalArgumentException] {
       StreamSources.open(spark, StreamSourceConfig("carrier-pigeon"))
     }

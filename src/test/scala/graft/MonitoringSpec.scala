@@ -165,6 +165,24 @@ class MonitoringSpec extends AnyFunSuite {
       ("range[x]", 1000L, 0.03)))
   }
 
+  test("sequential rules are deterministic when points share a ts") {
+    // ts-only window ordering gave tied rows arbitrary relative order,
+    // flipping PH/DDM trajectories between executions of the same call
+    val pts = (1 to 40).flatMap(i =>
+      Seq(("s", "m", i.toLong, 0.0), ("s", "m", i.toLong, 0.1))) ++
+      (41 to 60).flatMap(i =>
+        Seq(("s", "m", i.toLong, 0.8), ("s", "m", i.toLong, 0.9)))
+    val df = pts.toDF("series", "metric", "ts", "value")
+    val eng = RuleEngine(Seq(
+      PageHinkleyRule("ph", "m", lambda = 5.0, minPoints = 10),
+      DdmRule("ddm", "m", minPoints = 10)))
+    val runs = (1 to 3).map(_ => eng.evaluate(df)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value"),
+        r.getAs[String]("rule"), r.getAs[String]("severity"))).toSet)
+    assert(runs.forall(_ == runs.head))
+    assert(runs.head.nonEmpty) // the level shift actually fires
+  }
+
   test("history adapter keeps runs sharing a runTs as separate points") {
     // two runs with the same runTs used to collapse into one point with
     // violations summed across both but divided by ONE run's rowCount,

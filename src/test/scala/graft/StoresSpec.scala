@@ -286,13 +286,27 @@ class StoresSpec extends AnyFunSuite {
     assert(ss.delete("s") && ss.get("s") == None)
   }
 
+  test("suite store rejects path-escaping names") {
+    val ws = java.nio.file.Files.createTempDirectory("graft_ss3").toString
+    val ss = SuiteStore(ws)
+    for (bad <- Seq("../evil", "a/b", "a\\b", "..", ".", ""))
+      intercept[IllegalArgumentException] { ss.save(bad, "null:v", 1L) }
+    intercept[IllegalArgumentException] {
+      Cli.dispatch(spark, List("suite-save", ws, "../evil",
+        "--checks", "null:v"))
+    }
+    // nothing escaped the store
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ws).getParent.resolve("evil")))
+  }
+
   test("suite store survives specs containing JSON-looking text") {
     val ws = java.nio.file.Files.createTempDirectory("graft_ss2").toString
     val ss = SuiteStore(ws)
     // a spec embedding the literal text "spec": plus escapes would
     // silently mis-extract under regex parsing; Jackson must not
     val spec = """regex:v:^"spec":"x\\y";null:c"""
-    val name = "we\"ird \\name"
+    val name = "we\"ird name"
     assert(ss.save(name, spec, 1000L) == 1)
     assert(ss.get(name).contains(spec))
     // multi-line + control chars round-trip too
