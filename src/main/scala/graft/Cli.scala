@@ -52,6 +52,9 @@ object Cli {
     args match {
       case "check" :: path :: rest =>
         val checks = (argOf(rest, "--checks"), argOf(rest, "--suite")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "--checks and --suite are mutually exclusive (one silently " +
+              "shadowing the other would validate less than intended)")
           case (Some(spec), _) => parseChecks(spec)
           case (None, Some(name)) =>
             // run a stored expectation suite (reference

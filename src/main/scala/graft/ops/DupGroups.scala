@@ -47,6 +47,8 @@ object DupGroups {
   def exactGroups(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(!cols.contains("__dup_c"),
       "__dup_c is reserved for the group-count output column")
+    require(!cols.contains("__h"),
+      "__h is reserved for the internal hash key; alias the column first")
     val h = xxhash64(cols.map(col): _*)
     val candidates = df
       .groupBy(h.as("__h")).agg(count(lit(1)).as("__c"))

@@ -166,11 +166,13 @@ final case class ResultStore(workspace: String) {
     // an index whose every entry failed confirmation may be PARTIAL, not
     // just stale (save() orders marker-then-append, but stores written
     // by an older version did the opposite and could crash in between):
-    // distrust it and fall back to the full scan before reporting false
+    // distrust it and fall back to the full scan before reporting false.
+    // Datasets the scan returns are confirmed by construction (they come
+    // from the run's own rows) — no per-partition re-read needed.
     val hitDs =
       if (hitFromCandidates.isEmpty && fromIndex)
-        confirm(runs(spark).filter(col("runId") === runId)
-          .select("dataset").distinct().collect().map(_.getString(0)).toSeq)
+        runs(spark).filter(col("runId") === runId)
+          .select("dataset").distinct().collect().map(_.getString(0)).toSeq
       else hitFromCandidates
     if (hitDs.nonEmpty)
       rewriteScoped(spark, hitDs, _ => col("runId") =!= runId)
@@ -353,9 +355,12 @@ final case class SuiteStore(workspace: String) {
   private def dir(name: String) = {
     // suite names come straight from CLI argv — refuse anything that
     // could escape the workspace (suite-save "../../etc" would otherwise
-    // create, read, or DELETE files outside the store)
+    // create, read, or DELETE files outside the store). Only genuine
+    // traversal vectors are rejected, so names a pre-guard store wrote
+    // (quotes, spaces, even backslashes — plain chars on POSIX) stay
+    // readable, listable, and deletable.
     require(name.nonEmpty && name != "." && name != ".." &&
-      !name.contains('/') && !name.contains('\\'),
+      !name.contains('/') && !name.contains(java.io.File.separatorChar),
       s"suite name must be a plain directory name, got '$name'")
     Paths.get(workspace, "store", "suites", name)
   }

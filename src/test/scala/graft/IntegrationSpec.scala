@@ -99,14 +99,17 @@ class IntegrationSpec extends AnyFunSuite {
     }
     assert(noTopic.getMessage.contains("subscribe"))
     // Spark matches kafka options case-insensitively; the guard must not
-    // reject a mixed-case config the connector would accept
-    val mixedCase = intercept[Exception] {
+    // reject a mixed-case config the connector would accept. (In this
+    // sandbox the load then dies on the missing connector jar; with the
+    // jar present it would succeed — either way the GUARD must not be
+    // what throws.)
+    val mixedCase = scala.util.Try {
       StreamSources.open(spark, StreamSourceConfig("kafka",
         Map("Kafka.Bootstrap.Servers" -> "example.invalid:9092",
           "SubscribePattern" -> "t.*")))
     }
-    assert(mixedCase.getMessage.toLowerCase.contains("kafka") &&
-      !mixedCase.isInstanceOf[IllegalArgumentException])
+    assert(!mixedCase.failed.toOption.exists(
+      _.isInstanceOf[IllegalArgumentException]))
     val bad = intercept[IllegalArgumentException] {
       StreamSources.open(spark, StreamSourceConfig("carrier-pigeon"))
     }

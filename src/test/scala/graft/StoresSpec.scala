@@ -265,6 +265,11 @@ class StoresSpec extends AnyFunSuite {
       Cli.dispatch(spark,
         List("check", data, "--suite", "ghost", "--workspace", ws))
     }
+    // conflicting flags error out instead of silently shadowing
+    intercept[IllegalArgumentException] {
+      Cli.dispatch(spark, List("check", data, "--suite", "s1",
+        "--workspace", ws, "--checks", "null:v"))
+    }
   }
 
   test("suite store versions and round-trips executable specs") {
@@ -289,8 +294,14 @@ class StoresSpec extends AnyFunSuite {
   test("suite store rejects path-escaping names") {
     val ws = java.nio.file.Files.createTempDirectory("graft_ss3").toString
     val ss = SuiteStore(ws)
-    for (bad <- Seq("../evil", "a/b", "a\\b", "..", ".", ""))
+    for (bad <- Seq("../evil", "a/b", "..", ".", ""))
       intercept[IllegalArgumentException] { ss.save(bad, "null:v", 1L) }
+    // backslash is a plain character on POSIX — names a pre-guard store
+    // wrote stay readable and deletable
+    assert(ss.save("legacy\\name", "null:v", 1L) == 1)
+    assert(ss.get("legacy\\name").contains("null:v"))
+    assert(ss.list().contains("legacy\\name"))
+    assert(ss.delete("legacy\\name"))
     intercept[IllegalArgumentException] {
       Cli.dispatch(spark, List("suite-save", ws, "../evil",
         "--checks", "null:v"))
