@@ -334,6 +334,43 @@ object GraftProps extends Properties("graft") {
       math.abs(w - expected) < 1e-9
     }
 
+  property("Cramer-von Mises matches the naive pooled-CDF definition") =
+    forAll(sample, sample) { (xs, ys) =>
+      val t = graft.drift.Drift.cramerVonMises(
+        xs.map(_.toDouble).toDF("v"), ys.map(_.toDouble).toDF("v"), "v")
+      val n1 = xs.size.toDouble; val n2 = ys.size.toDouble
+      def cdf(s: List[Int])(v: Int) = s.count(_ <= v).toDouble / s.size
+      val expected = n1 * n2 / math.pow(n1 + n2, 2) *
+        (xs ++ ys).map(v => math.pow(cdf(xs)(v) - cdf(ys)(v), 2)).sum
+      math.abs(t - expected) < 1e-9
+    }
+
+  property("Anderson-Darling matches its weighted-CDF definition") =
+    forAll(sample, sample) { (xs, ys) =>
+      val a2 = graft.drift.Drift.andersonDarling(
+        xs.map(_.toDouble).toDF("v"), ys.map(_.toDouble).toDF("v"), "v")
+      val n1 = xs.size.toDouble; val n2 = ys.size.toDouble; val n = n1 + n2
+      def cdf(s: List[Int])(v: Int) = s.count(_ <= v).toDouble / s.size
+      val expected = n1 * n2 / (n * n) * (xs ++ ys).map { v =>
+        val f1 = cdf(xs)(v); val f2 = cdf(ys)(v)
+        val h = (f1 * n1 + f2 * n2) / n
+        val w = h * (1 - h)
+        if (w <= 0) 0.0 else (f1 - f2) * (f1 - f2) / w
+      }.sum
+      math.abs(a2 - expected) < 1e-9
+    }
+
+  property("binned divergences: Hellinger^2 <= TV <= Hellinger*sqrt(2)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.take(150)),
+      Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.take(150))) { (xs, ys) =>
+      val pq = graft.drift.Drift.binnedPq(
+        xs.toDF("v"), ys.toDF("v"), "v", 10, 0, 10)
+      val hl = graft.drift.Drift.hellinger(pq)
+      val tv = graft.drift.Drift.totalVariation(pq)
+      // standard inequalities between Hellinger distance and TV
+      hl * hl <= tv + 1e-9 && tv <= hl * math.sqrt(2) + 1e-9
+    }
+
   property("energy distance matches the O(n^2) definition") =
     forAll(Gen.listOfN(12, Gen.choose(-10.0, 10.0)),
       Gen.listOfN(9, Gen.choose(-10.0, 10.0))) { (xs, ys) =>
