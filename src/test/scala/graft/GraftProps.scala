@@ -240,6 +240,53 @@ object GraftProps extends Properties("graft") {
       dist == expected
     }
 
+  property("FK orphan count == set-difference on random key multisets") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.take(100)),
+      Gen.listOf(Gen.choose(0L, 20L)).map(_.take(40))) { (childKeys, parentKeys) =>
+      val child = childKeys.map(k => (k, s"c$k")).toDF("fk", "payload")
+      val parent = parentKeys.map(k => (k, s"p$k")).toDF("pk", "name")
+      val issues = graft.validators.ForeignKeyCheck(
+        "child", Seq("fk"), "parent", Seq("pk"))
+        .run(Map("child" -> child, "parent" -> parent))
+      val got = issues.headOption.map(_.count).getOrElse(0L)
+      val expected = childKeys.count(k => !parentKeys.contains(k)).toLong
+      got == expected
+    }
+
+  property("Grubbs fires exactly when max|x-mean|/sd exceeds the critical G") =
+    forAll(Gen.listOfN(20, Gen.choose(-10.0, 10.0)), Gen.choose(0.0, 80.0)) {
+      (base, spike) =>
+        val xs = spike :: base
+        val r = SuiteRunner.run(xs.toDF("v"),
+          Seq(GrubbsCheck("v")),
+          SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+        val n = xs.size
+        val mean = xs.sum / n
+        val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+        val fired = r.checks.head.issues.nonEmpty
+        if (sd == 0.0) !fired
+        else {
+          val g = xs.map(x => math.abs(x - mean)).max / sd
+          fired == (g > graft.validators.Grubbs.criticalValue(n, 0.05))
+        }
+    }
+
+  property("learned baseline brackets every value and pins null columns") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(-1000, 1000)))
+      .map(_.take(150))) { xs =>
+      val df = xs.toDF("v")
+      val b = graft.profiler.Learn.learn(df)
+      val col = b.columns.find(_.name == "v").get
+      val present = xs.flatten
+      val minOk = col.min.forall(m =>
+        present.isEmpty || present.min.toDouble >= m.toDouble)
+      val maxOk = col.max.forall(m =>
+        present.isEmpty || present.max.toDouble <= m.toDouble)
+      val nullOk = math.abs(col.nullRatio -
+        xs.count(_.isEmpty).toDouble / xs.size) < 1e-9
+      minOk && maxOk && nullOk
+    }
+
   // ---- native text kernels: parity fuzz vs the regex/HOF forms they
   // replaced, over adversarial unicode (case mappings that cross the
   // ASCII boundary, full-width chars, surrogate pairs, combining marks,
