@@ -71,6 +71,24 @@ class IntegrationSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly one alert, got $n")
     assert(sent.head._1.contains("critical") &&
       sent.head._1.contains("null-rate"))
+
+    // operational failure leg: an event trigger whose checkpoint ERRORS
+    // exhausts redelivery and the dead-letter rides the SAME alert
+    // channel the monitoring rules use — the ops loop hears about lost
+    // events, not just bad data
+    val ev = new graft.checkpoint.EventTrigger(minEvents = 1,
+      maxRedelivery = 1, name = "ops-ev",
+      onDeadLetter = graft.checkpoint.EventTrigger.deadLetterNotifier(
+        "ops-ev", (subj, body) => sent += ((subj, body))))
+    val boom = graft.checkpoint.Checkpoint("ops-boom",
+      () => throw new RuntimeException("upstream table dropped"),
+      Seq(NullCheck(Seq("v"))))
+    val runner = new graft.checkpoint.TriggerRunner(Seq(ev -> boom))
+    ev.fire(Map("path" -> s"$src/late.parquet"))
+    runner.pollOnce(0); runner.pollOnce(1)
+    assert(sent.size == 2)
+    assert(sent.last._1.contains("dead-letter on trigger ops-ev"))
+    assert(sent.last._2.contains("late.parquet"))
   }
 
   test("stream source factory: rate works, kafka wiring reaches the loader") {
