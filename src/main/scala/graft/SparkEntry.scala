@@ -1813,6 +1813,19 @@ object SparkEntry {
       // carries the props string; the key genuinely bears duplicates
       graft.ops.DupGroups.stats(table(s, dir, "events"),
         Seq("user_id", "event_type", "props"))
+    }),
+    "q150_dup_clusters" -> ((s, dir) => {
+      // connected-component cluster assignment over exact-Jaccard dup
+      // pairs (same edge set as q71), plus the keep-one-representative
+      // decision — the transitive-grouping step between pair generation
+      // and near-dedup. Pointer-jumping hash-min label propagation.
+      val pairs = graft.pipeline.Dedup.jaccardPairs(
+        table(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", 3, 0.5)
+      val cl = graft.pipeline.Dedup.dupClusters(pairs) // checkpointed
+      pairs.unpersist()
+      cl.select(col("id").as("doc_id"), col("cluster"),
+        (col("id") === col("cluster")).as("keep"))
     })
   )
 
@@ -3164,6 +3177,30 @@ object SparkEntry {
          FROM (SELECT user_id, event_type, props, count(*) AS c
                FROM events GROUP BY 1, 2, 3
                HAVING count(*) > 1)""",
+    "q150_dup_clusters" ->
+      """WITH RECURSIVE norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM norm
+           WHERE doc_id < 1000),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id),
+         j AS (SELECT da, db, CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+           FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db),
+         p AS (SELECT da, db FROM j WHERE jac >= 0.5),
+         e AS (SELECT da AS a, db AS b FROM p
+               UNION SELECT db AS a, da AS b FROM p),
+         reach(id, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+         SELECT id AS doc_id, min(r) AS cluster,
+           (id = min(r)) AS keep
+         FROM reach GROUP BY id""",
     "q147_energy_mmd" ->
       """WITH x AS (SELECT c_acctbal AS v FROM customer
              WHERE c_custkey <= 75 AND c_acctbal IS NOT NULL),

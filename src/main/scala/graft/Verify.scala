@@ -16,7 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Exprs.quietNoisyLoggers()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q150,q71 dumps just those prefixes (iteration aid;
+    // the driver never sets it, so its runs stay full)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,7 +44,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(ps) => SparkEntry.oracleSql.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

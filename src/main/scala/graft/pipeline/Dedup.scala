@@ -182,6 +182,89 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  // ---- near-duplicate cluster assignment ----
+
+  /** Connected-component cluster labels over a near-duplicate pair
+    * relation: returns (id, cluster) where cluster is the minimum id
+    * reachable through any chain of pairs. Pairwise similarity is not
+    * transitive (A~B and B~C does not imply A~C) but dedup policy must
+    * be — this is the standard grouping step between pair generation
+    * (minhash / simhash / jaccard / embedding) and representative
+    * selection (reference near-dup surface: dedup/near_duplicate.py).
+    *
+    * Scale shape: iterative hash-min label propagation with pointer
+    * jumping. Each round is two shuffles keyed by id (neighbor-min via
+    * the edge list, plus label-of-label), so convergence is
+    * O(log diameter) rounds — and dup-cluster diameter, not size, is
+    * what matters: boilerplate near-clique clusters (the 100 TB common
+    * case) converge in one round regardless of member count, while the
+    * pointer-jumping term covers pathological similarity chains
+    * (25 rounds ≥ diameter 2^25). Lineage is truncated per round via
+    * localCheckpoint so plans stay O(1) deep; on a real cluster swap in
+    * reliable checkpoints for executor-loss tolerance. Only ids that
+    * appear in some pair are labeled — singletons are trivially their
+    * own cluster and never enter the shuffle. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    var labels = e.select(col("src").as("id"), col("src").as("cluster"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label over graph neighbors
+      val viaEdges = e
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("emin"))
+      // pointer jumping: the label of my label (halves chain length)
+      val viaHop = labels
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("hmin")),
+          Seq("cluster"))
+        .select(col("id"), col("hmin"))
+      val next = labels
+        .join(viaEdges, Seq("id"), "left")
+        .join(viaHop, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"),
+          coalesce(col("emin"), col("cluster")),
+          coalesce(col("hmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds ($changed labels " +
+          "still moving) — component diameter exceeds 2^maxIter; raise maxIter")
+    labels
+  }
+
+  /** Drop every clustered row except its representative (the cluster's
+    * min id): the keep-one-per-near-dup-group operation. Rows that never
+    * appeared in a pair survive untouched (anti-join against the loser
+    * set only — the 100 TB side streams through one hash anti-join). */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
+  /** End-to-end near-dedup: MinHash-LSH pairs → connected-component
+    * clusters → keep the min-id representative per cluster. */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, bands, shingleN, threshold)
+    val clusters = dupClusters(pairs) // checkpointed: independent of pairs
+    pairs.unpersist()
+    dedupByClusters(df, idCol, clusters)
+  }
+
   // ---- benchmark decontamination ----
 
   /** Corpus documents contaminated by a benchmark/eval set: any shared

@@ -531,4 +531,29 @@ object GraftProps extends Properties("graft") {
       math.abs(det.mean - (base + shift)) < shift * 0.25
     }
 
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.take(60))
+
+  property("dupClusters == driver union-find on random graphs") =
+    forAll(randomEdges) { edges =>
+      // plain-Scala reference: union-find with min-id representatives
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val want = parent.keys.map(id => id -> find(id)).toMap
+      val got = graft.pipeline.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
 }

@@ -299,4 +299,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits(8) == 15)      // probing ALL cells == brute force
   }
 
+  test("dup clusters: transitive closure over pairs, chains converge") {
+    // a 5-hop chain (forces multiple propagation rounds) + a disjoint pair;
+    // pairwise similarity is NOT transitive but the cluster label must be
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cl = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cl(_) == 1L))
+    assert(cl(10L) == 10L && cl(11L) == 10L)
+    assert(cl.size == 7) // only paired ids are labeled
+    // empty pair relation → empty labeling, no throw
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() == 0)
+  }
+
+  test("dedupByClusters keeps representatives; nearDedup end-to-end") {
+    // docs fixture: 1~2 near-dup, 1=4 exact → one cluster {1,2,4}, rep 1
+    val pairs = Dedup.jaccardPairs(docs, "id", "text", 3, 0.5)
+    val cl = Dedup.dupClusters(pairs)
+    pairs.unpersist()
+    val kept = Dedup.dedupByClusters(docs, "id", cl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    val nd = Dedup.nearDedup(docs, "id", "text",
+      k = 32, bands = 16, shingleN = 3, threshold = 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(nd == Set(1L, 3L, 5L))
+  }
+
 }
