@@ -213,29 +213,27 @@ object Dedup {
     var labels = e.select(col("src").as("id"), col("src").as("cluster"))
       .distinct().localCheckpoint()
     var iter = 0
-    var changed = 1L
+    var changed = if (labels.isEmpty) 0L else 1L // no pairs → no rounds
     while (changed > 0 && iter < maxIter) {
-      // min label over graph neighbors
-      val viaEdges = e
+      // one fused propagation round: augmenting the edge list with the
+      // label pointers (id → cluster) makes neighbor-min over labels
+      // deliver BOTH the graph-neighbor minimum and the pointer-jumping
+      // label-of-label term — a single join + min-aggregate per round.
+      val hopEdges = labels.select(col("id").as("src"), col("cluster").as("dst"))
+      val prop = e.unionAll(hopEdges)
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")),
           Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("nc")).as("emin"))
-      // pointer jumping: the label of my label (halves chain length)
-      val viaHop = labels
-        .join(labels.select(col("id").as("cluster"), col("cluster").as("hmin")),
-          Seq("cluster"))
-        .select(col("id"), col("hmin"))
-      val next = labels
-        .join(viaEdges, Seq("id"), "left")
-        .join(viaHop, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"),
-          coalesce(col("emin"), col("cluster")),
-          coalesce(col("hmin"), col("cluster"))).as("cluster"))
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nmin"))
+      val next = labels.withColumnRenamed("cluster", "old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"),
+          col("old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      // convergence check is a scan of the just-checkpointed round, not
+      // an extra join against the previous labels
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select("id", "cluster")
       iter += 1
     }
     e.unpersist()
