@@ -1814,6 +1814,35 @@ object SparkEntry {
       graft.ops.DupGroups.stats(table(s, dir, "events"),
         Seq("user_id", "event_type", "props"))
     }),
+    "q151_quota_sample" -> ((s, dir) => {
+      // exact-quota stratified sampling: kept counts per stratum are
+      // EXACTLY least(quota, stratum size) — restated arithmetically in
+      // the oracle — while determinism and the grow-the-quota superset
+      // guarantee (stable hash order) are checked as booleans
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val big = Map("src0" -> 10L, "src1" -> 25L, "src2" -> 100000L)
+      val small = Map("src0" -> 3L, "src1" -> 7L, "src2" -> 50L)
+      def sample(q: Map[String, Long]) =
+        graft.pipeline.Curate(docs, "doc_id", "text")
+          .sampleQuota("source", q).df.select(col("doc_id"), col("source"))
+      val s1 = sample(big)
+      val keptTotal = s1.count()
+      val qm = typedlit(big)
+      val mismatch = s1.groupBy("source").agg(count(lit(1)).as("kept"))
+        .join(docs.groupBy("source").agg(count(lit(1)).as("total")),
+          Seq("source"), "right")
+        .withColumn("kept0", coalesce(col("kept"), lit(0L)))
+        .withColumn("exp", least(
+          coalesce(element_at(qm, col("source")), col("total")), col("total")))
+        .filter(col("kept0") =!= col("exp")).count()
+      val deterministic = sample(big).exceptAll(s1).count() == 0 &&
+        s1.exceptAll(sample(big)).count() == 0
+      val superset =
+        sample(small).join(s1, Seq("doc_id"), "left_anti").count() == 0
+      Seq((keptTotal, mismatch, deterministic, superset))
+        .toDF("kept_total", "strata_mismatch", "deterministic", "superset")
+    }),
     "q150_dup_clusters" -> ((s, dir) => {
       // connected-component cluster assignment over exact-Jaccard dup
       // pairs (same edge set as q71), plus the keep-one-representative
@@ -3177,6 +3206,17 @@ object SparkEntry {
          FROM (SELECT user_id, event_type, props, count(*) AS c
                FROM events GROUP BY 1, 2, 3
                HAVING count(*) > 1)""",
+    "q151_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         q(source, quota) AS (VALUES ('src0', 10), ('src1', 25),
+           ('src2', 100000)),
+         e AS (SELECT c.source, CASE WHEN q.quota IS NULL THEN c.cnt
+                ELSE least(q.quota, c.cnt) END AS exp
+              FROM c LEFT JOIN q ON q.source = c.source)
+         SELECT CAST(sum(exp) AS BIGINT) AS kept_total,
+           CAST(0 AS BIGINT) AS strata_mismatch,
+           TRUE AS deterministic, TRUE AS superset
+         FROM e""",
     "q150_dup_clusters" ->
       """WITH RECURSIVE norm AS (SELECT doc_id, string_split(trim(regexp_replace(
              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),

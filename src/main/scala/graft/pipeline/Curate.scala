@@ -59,6 +59,25 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"dedup_near>=$threshold${if (useLsh) "(lsh)" else ""}")
   }
 
+  /** Transitive near-dup removal: close the qualifying pairs into
+    * connected components (Dedup.dupClusters) and keep each cluster's
+    * min id. Unlike the single-pass dedupNear rule, a chain A~B~C with
+    * A!~C keeps ONLY A (one representative per cluster), matching
+    * cluster-based corpus dedup. Costs O(log diameter) propagation
+    * rounds on the pair graph — pairs only, never the corpus. */
+  def dedupNearClustered(threshold: Double = 0.8, shingleN: Int = 3,
+                         useLsh: Boolean = true): Curate = {
+    val pairs =
+      if (useLsh) Dedup.minhashLshPairs(df, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      else Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val clusters = Dedup.dupClusters(pairs) // checkpointed
+    pairs.unpersist()
+    copy(df = Dedup.dedupByClusters(df, idCol, clusters),
+      stages = stages :+
+        s"dedup_clustered>=$threshold${if (useLsh) "(lsh)" else ""}")
+  }
+
   /** Benchmark decontamination: drop documents sharing any 13-gram (or
     * an exact normalized match) with the eval set. */
   def decontaminate(benchmark: DataFrame, benchTextCol: String,
@@ -98,6 +117,33 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     copy(df = df.filter(
       pmod(h, lit(1000000L)).cast("double") < keepP * 1000000.0),
       stages = stages :+ s"mix(${weights.size} sources)")
+  }
+
+  /** Exact-quota stratified sample: keep exactly min(quota, |stratum|)
+    * rows per stratum — the form dataset mixtures are actually specified
+    * in ("500M docs of web, 50M of code"), where rate-based mixDomains
+    * can only hit quotas in expectation. Selection order is a seeded
+    * hash of the id, so the sample is deterministic across runs and
+    * cluster layouts, and re-running with a LARGER quota yields a
+    * superset (hash order is stable — quotas can be grown incrementally
+    * without resampling). Strata absent from `quotas` keep all rows.
+    *
+    * Scale shape: one rank-over-window shuffle keyed by stratum. A
+    * mega-stratum makes that per-key sort the bottleneck; AQE skew
+    * handling splits it, and when quota ≪ stratum a cheaper two-pass
+    * plan (per-partition top-quota, then global top-quota) applies —
+    * at 100 TB prefer quotas expressed against pre-bucketed sources. */
+  def sampleQuota(strataCol: String, quotas: Map[String, Long],
+      seed: Long = 42L): Curate = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val m = typedlit(quotas)
+    val q = element_at(m, col(strataCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    copy(df = df.withColumn("__rk", row_number().over(w))
+      .filter(q.isNull || col("__rk") <= q).drop("__rk"),
+      stages = stages :+ s"quota(${quotas.size} strata)")
   }
 
   /** Summary metrics of the surviving corpus (one aggregate). */

@@ -537,6 +537,25 @@ object GraftProps extends Properties("graft") {
       b <- Gen.choose(0L, 30L) if a != b
     } yield (math.min(a, b), math.max(a, b))).map(_.take(60))
 
+  property("sampleQuota: exact per-stratum counts + superset under growth") =
+    forAll(Gen.choose(1, 120), Gen.choose(0L, 40L), Gen.choose(1, 5)) {
+      (n, quota, nStrata) =>
+        val rows = (1L to n.toLong).map(i => (i, s"t$i", s"s${i % nStrata}"))
+        val df = rows.toDF("id", "text", "src")
+        val quotas = Map("s0" -> quota)
+        def ids(q: Map[String, Long]) =
+          graft.pipeline.Curate(df, "id", "text").sampleQuota("src", q)
+            .df.select("id").as[Long].collect().toSet
+        val kept = ids(quotas)
+        val s0Size = rows.count(_._3 == "s0").toLong
+        val s0Kept = kept.count(_ % nStrata == 0).toLong
+        val othersAll = rows.filterNot(_._3 == "s0").map(_._1).toSet
+          .subsetOf(kept)
+        val grown = ids(Map("s0" -> (quota + 7)))
+        s0Kept == math.min(quota, s0Size) && othersAll &&
+          kept.subsetOf(grown)
+    }
+
   property("dupClusters == driver union-find on random graphs") =
     forAll(randomEdges) { edges =>
       // plain-Scala reference: union-find with min-id representatives

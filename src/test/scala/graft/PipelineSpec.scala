@@ -314,6 +314,30 @@ class PipelineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("sampleQuota: exact per-stratum counts, deterministic, superset on grow") {
+    val corpus = (1L to 100L).map(i => (i, s"doc number $i body", s"s${i % 4}"))
+      .toDF("id", "text", "src") // strata s0..s3, 25 rows each
+    def ids(q: Map[String, Long]) =
+      Curate(corpus, "id", "text").sampleQuota("src", q)
+        .df.select("id").as[Long].collect().toSet
+    val q1 = ids(Map("s0" -> 10L, "s1" -> 30L)) // s1 quota over size
+    assert(q1.count(_ % 4 == 0) == 10) // s0: exactly quota
+    assert(q1.count(_ % 4 == 1) == 25) // s1: min(quota, size)
+    assert(q1.count(_ % 4 == 2) == 25 && q1.count(_ % 4 == 3) == 25) // unmapped
+    assert(ids(Map("s0" -> 10L, "s1" -> 30L)) == q1) // deterministic
+    val q2 = ids(Map("s0" -> 5L, "s1" -> 30L))
+    assert(q2.subsetOf(q1)) // growing a quota extends, never resamples
+    assert(ids(Map("s0" -> 0L)).count(_ % 4 == 0) == 0) // zero quota legal
+  }
+
+  test("dedupNearClustered drops a whole chain to one representative") {
+    // 1~2 and 2~4-style chaining via the docs fixture: cluster {1,2,4}
+    val out = Curate(docs, "id", "text")
+      .dedupNearClustered(threshold = 0.5, useLsh = false)
+      .df.select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L))
+  }
+
   test("dedupByClusters keeps representatives; nearDedup end-to-end") {
     // docs fixture: 1~2 near-dup, 1=4 exact → one cluster {1,2,4}, rep 1
     val pairs = Dedup.jaccardPairs(docs, "id", "text", 3, 0.5)
