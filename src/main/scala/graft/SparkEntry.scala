@@ -1814,6 +1814,50 @@ object SparkEntry {
       graft.ops.DupGroups.stats(table(s, dir, "events"),
         Seq("user_id", "event_type", "props"))
     }),
+    "q152_token_budget" -> ((s, dir) => {
+      // token-budget stratified sampling contract: budget never
+      // exceeded, unbudgeted strata untouched, the kept set is maximal
+      // (the next doc in hash order would overflow), and the sample is
+      // deterministic. Hash order itself is not SQL-restatable, so the
+      // oracle pins the four booleans (q130 style); the exact greedy
+      // prefix is separately pinned to a driver reference in GraftProps.
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val budgets = Map("src0" -> 400L, "src1" -> 5L, "src2" -> 10000000L)
+      def run() = graft.pipeline.Curate(docs, "doc_id", "text")
+        .sampleTokenBudget("source", budgets).df
+        .select(col("doc_id"), col("source"))
+      val bm = typedlit(budgets)
+      val tk = docs.select(col("doc_id"), col("source"),
+        graft.pipeline.Text.tokenCount(col("text")).cast("long").as("tk"))
+      val s1 = run()
+      val kept = s1.join(tk, Seq("doc_id", "source"))
+      val bySrc = kept.groupBy("source")
+        .agg(sum("tk").as("kt"), count(lit(1)).as("kc"))
+      val j = tk.groupBy("source").agg(count(lit(1)).as("tc"))
+        .join(bySrc, Seq("source"), "left")
+        .na.fill(0L, Seq("kt", "kc"))
+        .withColumn("b", element_at(bm, col("source")))
+      val exceeded =
+        j.filter(col("b").isNotNull && col("kt") > col("b")).count()
+      val unmappedBad =
+        j.filter(col("b").isNull && col("kc") =!= col("tc")).count()
+      // maximality: the first dropped doc (rank kc+1 in hash order)
+      // must overflow the budget
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(xxhash64(col("doc_id"), lit(42L)), col("doc_id"))
+      val ranked = tk.withColumn("rk", row_number().over(w))
+      val notMaximal = j.filter(col("b").isNotNull && col("kc") < col("tc"))
+        .join(ranked, Seq("source"))
+        .filter(col("rk") === col("kc") + 1)
+        .filter(col("kt") + col("tk") <= col("b")).count()
+      val deterministic = run().exceptAll(s1).count() == 0 &&
+        s1.exceptAll(run()).count() == 0
+      Seq((exceeded == 0, unmappedBad == 0, notMaximal == 0, deterministic))
+        .toDF("no_budget_exceeded", "unmapped_kept_all", "maximal",
+          "deterministic")
+    }),
     "q151_quota_sample" -> ((s, dir) => {
       // exact-quota stratified sampling: kept counts per stratum are
       // EXACTLY least(quota, stratum size) — restated arithmetically in
@@ -3206,6 +3250,9 @@ object SparkEntry {
          FROM (SELECT user_id, event_type, props, count(*) AS c
                FROM events GROUP BY 1, 2, 3
                HAVING count(*) > 1)""",
+    "q152_token_budget" ->
+      """SELECT TRUE AS no_budget_exceeded, TRUE AS unmapped_kept_all,
+           TRUE AS maximal, TRUE AS deterministic""",
     "q151_quota_sample" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
          q(source, quota) AS (VALUES ('src0', 10), ('src1', 25),

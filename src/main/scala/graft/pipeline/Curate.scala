@@ -146,6 +146,28 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"quota(${quotas.size} strata)")
   }
 
+  /** Token-budget stratified sample: corpus recipes are specified in
+    * tokens, not documents ("1T of web, 100B of code"). Per stratum,
+    * documents are taken in seeded-hash order while the running token
+    * total stays within the budget (strict prefix — the budget is never
+    * exceeded; a first document alone over budget yields an empty
+    * stratum). Deterministic across runs and layouts like sampleQuota;
+    * strata absent from `budgets` keep all rows. One cumulative-sum
+    * window shuffle keyed by stratum — same scale notes as sampleQuota. */
+  def sampleTokenBudget(strataCol: String, budgets: Map[String, Long],
+      seed: Long = 42L): Curate = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val m = typedlit(budgets)
+    val b = element_at(m, col(strataCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    copy(df = df
+      .withColumn("__cum", sum(Text.tokenCount(col(textCol))).over(w))
+      .filter(b.isNull || col("__cum") <= b).drop("__cum"),
+      stages = stages :+ s"token_budget(${budgets.size} strata)")
+  }
+
   /** Summary metrics of the surviving corpus (one aggregate). */
   def summary: DataFrame =
     df.agg(

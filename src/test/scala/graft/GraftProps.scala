@@ -556,6 +556,32 @@ object GraftProps extends Properties("graft") {
           kept.subsetOf(grown)
     }
 
+  property("sampleTokenBudget == driver greedy prefix in hash order") =
+    forAll(Gen.choose(1, 60), Gen.choose(0L, 200L)) { (n, budget) =>
+      // token count of doc i is 1 + (i % 7); stratum s0 = even ids
+      val rows = (1L to n.toLong).map(i =>
+        (i, ("w " * (1 + (i % 7)).toInt).trim, s"s${i % 2}"))
+      val df = rows.toDF("id", "text", "src")
+      val got = graft.pipeline.Curate(df, "id", "text")
+        .sampleTokenBudget("src", Map("s0" -> budget)).df
+        .select("id").as[Long].collect().toSet
+      // driver reference: same hash order (read back from Spark so the
+      // property tests the greedy window logic, not xxhash64 itself)
+      val order = df.filter($"src" === "s0")
+        .select($"id", org.apache.spark.sql.functions
+          .xxhash64($"id", org.apache.spark.sql.functions.lit(42L)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, h) => (h, id) }.map(_._1)
+      var cum = 0L
+      val keep = scala.collection.mutable.Set.empty[Long]
+      order.foreach { id =>
+        cum += 1 + (id % 7)
+        if (cum <= budget) keep += id
+      }
+      val unbudgeted = rows.filter(_._3 == "s1").map(_._1).toSet
+      got == (keep.toSet ++ unbudgeted)
+    }
+
   property("dupClusters == driver union-find on random graphs") =
     forAll(randomEdges) { edges =>
       // plain-Scala reference: union-find with min-id representatives

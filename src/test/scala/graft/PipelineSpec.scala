@@ -330,6 +330,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids(Map("s0" -> 0L)).count(_ % 4 == 0) == 0) // zero quota legal
   }
 
+  test("sampleTokenBudget: strict prefix, zero and huge budgets") {
+    val corpus = (1L to 20L).map(i => (i, ("tok " * 5).trim, s"s${i % 2}"))
+      .toDF("id", "text", "src") // every doc = 5 tokens
+    def kept(b: Long) = Curate(corpus, "id", "text")
+      .sampleTokenBudget("src", Map("s0" -> b))
+      .df.filter($"src" === "s0").count()
+    assert(kept(0L) == 0)     // zero budget keeps nothing
+    assert(kept(4L) == 0)     // below one doc: first doc would overflow
+    assert(kept(12L) == 2)    // 2×5 <= 12 < 3×5
+    assert(kept(1000L) == 10) // budget over stratum total keeps all
+    // unbudgeted stratum untouched regardless
+    assert(Curate(corpus, "id", "text")
+      .sampleTokenBudget("src", Map("s0" -> 0L))
+      .df.filter($"src" === "s1").count() == 10)
+  }
+
   test("dedupNearClustered drops a whole chain to one representative") {
     // 1~2 and 2~4-style chaining via the docs fixture: cluster {1,2,4}
     val out = Curate(docs, "id", "text")
