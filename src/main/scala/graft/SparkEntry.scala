@@ -1830,7 +1830,7 @@ object SparkEntry {
       val bm = typedlit(budgets)
       val tk = docs.select(col("doc_id"), col("source"),
         graft.pipeline.Text.tokenCount(col("text")).cast("long").as("tk"))
-      val s1 = run()
+      val s1 = run().persist() // reused by join + two except arms
       val kept = s1.join(tk, Seq("doc_id", "source"))
       val bySrc = kept.groupBy("source")
         .agg(sum("tk").as("kt"), count(lit(1)).as("kc"))
@@ -1854,6 +1854,7 @@ object SparkEntry {
         .filter(col("kt") + col("tk") <= col("b")).count()
       val deterministic = run().exceptAll(s1).count() == 0 &&
         s1.exceptAll(run()).count() == 0
+      s1.unpersist() // result below is driver scalars only
       Seq((exceeded == 0, unmappedBad == 0, notMaximal == 0, deterministic))
         .toDF("no_budget_exceeded", "unmapped_kept_all", "maximal",
           "deterministic")
@@ -1870,7 +1871,7 @@ object SparkEntry {
       def sample(q: Map[String, Long]) =
         graft.pipeline.Curate(docs, "doc_id", "text")
           .sampleQuota("source", q).df.select(col("doc_id"), col("source"))
-      val s1 = sample(big)
+      val s1 = sample(big).persist() // reused by count/groupBy/except/join
       val keptTotal = s1.count()
       val qm = typedlit(big)
       val mismatch = s1.groupBy("source").agg(count(lit(1)).as("kept"))
@@ -1884,6 +1885,7 @@ object SparkEntry {
         s1.exceptAll(sample(big)).count() == 0
       val superset =
         sample(small).join(s1, Seq("doc_id"), "left_anti").count() == 0
+      s1.unpersist() // result below is driver scalars only
       Seq((keptTotal, mismatch, deterministic, superset))
         .toDF("kept_total", "strata_mismatch", "deterministic", "superset")
     }),
