@@ -1814,6 +1814,18 @@ object SparkEntry {
       graft.ops.DupGroups.stats(table(s, dir, "events"),
         Seq("user_id", "event_type", "props"))
     }),
+    "q153_dedup_increment" -> ((s, dir) => {
+      // incremental dedup: incoming (odd ids) vs existing corpus (even
+      // ids) — direct index matches dropped first, then transitive
+      // in-batch clustering among survivors; exact-Jaccard pair
+      // generator so the oracle can restate both steps in SQL
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 1000)
+      graft.pipeline.Dedup.dedupIncrement(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleN = 3, threshold = 0.5, useLsh = false)
+        .select(col("doc_id"))
+    }),
     "q152_token_budget" -> ((s, dir) => {
       // token-budget stratified sampling contract: budget never
       // exceeded, unbudgeted strata untouched, the kept set is maximal
@@ -3252,6 +3264,38 @@ object SparkEntry {
          FROM (SELECT user_id, event_type, props, count(*) AS c
                FROM events GROUP BY 1, 2, 3
                HAVING count(*) > 1)""",
+    "q153_dedup_increment" ->
+      """WITH RECURSIVE norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM norm
+           WHERE doc_id < 1000),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id),
+         j AS (SELECT da, db, CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+           FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db),
+         p AS (SELECT da, db FROM j WHERE jac >= 0.5),
+         drop1 AS (SELECT DISTINCT CASE WHEN da % 2 = 1 THEN da ELSE db
+             END AS id
+           FROM p WHERE (da % 2) <> (db % 2)),
+         surv AS (SELECT doc_id FROM sh WHERE doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT id FROM drop1)),
+         pp AS (SELECT da, db FROM p WHERE da % 2 = 1 AND db % 2 = 1
+           AND da IN (SELECT doc_id FROM surv)
+           AND db IN (SELECT doc_id FROM surv)),
+         e AS (SELECT da AS a, db AS b FROM pp
+               UNION SELECT db AS a, da AS b FROM pp),
+         reach(id, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+         lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT doc_id FROM surv
+         WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)""",
     "q152_token_budget" ->
       """SELECT TRUE AS no_budget_exceeded, TRUE AS unmapped_kept_all,
            TRUE AS maximal, TRUE AS deterministic""",

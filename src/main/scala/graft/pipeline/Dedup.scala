@@ -203,13 +203,46 @@ object Dedup {
     * localCheckpoint so plans stay O(1) deep; on a real cluster swap in
     * reliable checkpoints for executor-loss tolerance. Only ids that
     * appear in some pair are labeled — singletons are trivially their
-    * own cluster and never enter the shuffle. */
+    * own cluster and never enter the shuffle.
+    *
+    * Driver fast path: verified pair graphs are typically orders of
+    * magnitude smaller than the corpus, so when the (long-keyed)
+    * symmetric edge list fits under `driverEdgeLimit` it is collected
+    * and solved by union-find on the driver — a bounded collect (2^20
+    * edges ≈ 16 MB) in the same spirit as the IVF driver k-means fit,
+    * producing byte-identical labels. The iterative path engages for
+    * genuinely huge graphs (or non-long ids). */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-                  idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+                  idB: String = "id_b", maxIter: Int = 25,
+                  driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    val longKeyed = e.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longKeyed && e.count() <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression: union-by-min can build deep
+      // chains before compression, so no recursion
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val rows = e.collect() // bounded by driverEdgeLimit
+      e.unpersist()
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "cluster")
+    }
     var labels = e.select(col("src").as("id"), col("src").as("cluster"))
       .distinct().localCheckpoint()
     var iter = 0
@@ -261,6 +294,56 @@ object Dedup {
     val clusters = dupClusters(pairs) // checkpointed: independent of pairs
     pairs.unpersist()
     dedupByClusters(df, idCol, clusters)
+  }
+
+  /** Incremental near-dedup: dedup an incoming batch against an
+    * existing corpus — the production mode (daily crawl vs index).
+    * Semantics, in order:
+    *   1. an incoming doc with a qualifying pair to ANY existing doc is
+    *      dropped (direct index match — similarity is not transitive,
+    *      so an incoming doc linked to the index only THROUGH another
+    *      dropped incoming doc survives);
+    *   2. survivors are then transitively deduped among themselves
+    *      (dupClusters, keep the min-id representative).
+    * Ids must be distinct across the two frames. The existing corpus is
+    * never modified or re-deduped — at 100 TB it participates only as
+    * the far side of the candidate join (LSH banding keeps that an
+    * equi-join, never a cross join). */
+  def dedupIncrement(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.7, useLsh: Boolean = true): DataFrame = {
+    val tagged = existing.select(col(idCol), col(textCol))
+      .withColumn("__side", lit(0))
+      .unionAll(incoming.select(col(idCol), col(textCol))
+        .withColumn("__side", lit(1)))
+    val pairs =
+      if (useLsh) minhashLshPairs(tagged, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      else jaccardPairs(tagged, idCol, textCol, shingleN, threshold)
+    val side = tagged.select(col(idCol).as("__id"), col("__side"))
+    val p = pairs
+      .join(side.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__side", "sa"), Seq("id_a"))
+      .join(side.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__side", "sb"), Seq("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // pairs relation: small
+    // materialized: the returned plan must not re-derive the pair
+    // relation after it is unpersisted below
+    val hitByExisting = p.filter(col("sa") === 0 && col("sb") === 1)
+      .select(col("id_b").as(idCol))
+      .unionAll(p.filter(col("sa") === 1 && col("sb") === 0)
+        .select(col("id_a").as(idCol)))
+      .distinct().localCheckpoint()
+    val survivors = incoming.join(hitByExisting, Seq(idCol), "left_anti")
+    // in-batch edges restricted to still-surviving incoming docs
+    val ii = p.filter(col("sa") === 1 && col("sb") === 1)
+      .join(survivors.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(survivors.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val clusters = dupClusters(ii) // checkpointed: independent of p
+    p.unpersist()
+    pairs.unpersist()
+    dedupByClusters(survivors, idCol, clusters)
   }
 
   // ---- benchmark decontamination ----

@@ -596,9 +596,15 @@ object GraftProps extends Properties("graft") {
       }
       edges.foreach { case (a, b) => union(a, b) }
       val want = parent.keys.map(id => id -> find(id)).toMap
-      val got = graft.pipeline.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+      // default = driver union-find fast path; driverEdgeLimit = 0
+      // forces the distributed pointer-jumping path — both must agree
+      // with the reference
+      val fast = graft.pipeline.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == want
+      val dist = graft.pipeline.Dedup.dupClusters(edges.toDF("id_a", "id_b"),
+          driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fast == want && dist == want
     }
 
 }

@@ -304,14 +304,21 @@ class PipelineSpec extends AnyFunSuite {
     // pairwise similarity is NOT transitive but the cluster label must be
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val cl = Dedup.dupClusters(pairs)
+    // driverEdgeLimit = 0 forces the distributed propagation path (the
+    // default would take the driver union-find fast path here)
+    val cl = Dedup.dupClusters(pairs, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cl(_) == 1L))
     assert(cl(10L) == 10L && cl(11L) == 10L)
     assert(cl.size == 7) // only paired ids are labeled
-    // empty pair relation → empty labeling, no throw
+    // fast path agrees
+    assert(Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == cl)
+    // empty pair relation → empty labeling, no throw (both paths)
     assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
       .count() == 0)
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      driverEdgeLimit = 0L).count() == 0)
   }
 
   test("sampleQuota: exact per-stratum counts, deterministic, superset on grow") {
@@ -352,6 +359,29 @@ class PipelineSpec extends AnyFunSuite {
       .dedupNearClustered(threshold = 0.5, useLsh = false)
       .df.select("id").as[Long].collect().toSet
     assert(out == Set(1L, 3L, 5L))
+  }
+
+  test("dedupIncrement: index matches drop first, then in-batch clusters") {
+    // existing = {1}; incoming = {2 (near-dup of 1), 3, 4 (exact dup of
+    // 1), 5} → 2 and 4 drop on the direct index match; 3 and 5 survive
+    val out = Dedup.dedupIncrement(
+      docs.filter($"id" === 1L), docs.filter($"id" =!= 1L),
+      "id", "text", shingleN = 3, threshold = 0.5, useLsh = false)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(3L, 5L))
+    // no existing corpus at all → pure in-batch transitive dedup:
+    // cluster {1,2,4} keeps 1; survival through a dropped link: with
+    // existing = {2}, incoming 1 and 4 match the index ONLY via doc 2 —
+    // both 1~2 and 4~2 are direct pairs so both drop; 3, 5 survive
+    val empty = docs.filter($"id" === -1L)
+    assert(Dedup.dedupIncrement(empty, docs, "id", "text",
+      shingleN = 3, threshold = 0.5, useLsh = false)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    val viaTwo = Dedup.dedupIncrement(
+      docs.filter($"id" === 2L), docs.filter($"id" =!= 2L),
+      "id", "text", shingleN = 3, threshold = 0.5, useLsh = false)
+      .select("id").as[Long].collect().toSet
+    assert(viaTwo == Set(3L, 5L))
   }
 
   test("dedupByClusters keeps representatives; nearDedup end-to-end") {
