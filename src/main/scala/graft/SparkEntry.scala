@@ -1901,6 +1901,34 @@ object SparkEntry {
       Seq((keptTotal, mismatch, deterministic, superset))
         .toDF("kept_total", "strata_mismatch", "deterministic", "superset")
     }),
+    "q154_line_dedup" -> ((s, dir) => {
+      // corpus-wide line dedup: duplicated >=30-char lines keep only
+      // their first (doc_id, position) occurrence; documents are rebuilt
+      // from their surviving lines in order. The fixture's documents
+      // share no long lines by construction, so the query wraps each in
+      // the boilerplate this op exists for — a corpus-wide license
+      // header and a per-source footer — making the removal observable
+      // (every doc but the global/per-source first loses those lines).
+      // Result: per-source before/after character accounting.
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
+        .withColumn("text", concat(
+          lit("LICENSE: Creative Commons Attribution 4.0 International\n"),
+          col("text"),
+          lit("\nFOOTER for source "), col("source"),
+          lit(" - all rights reserved")))
+      val out = graft.pipeline.Dedup.dedupLinesCorpus(docs, "doc_id",
+        "text", minLineLen = 30)
+      out.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("la"))
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("lb")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("lb")).as("chars_before"),
+          sum(col("la")).as("chars_after"),
+          count(when(col("la") =!= col("lb"), 1)).as("docs_changed"))
+        .orderBy(col("source"))
+    }),
     "q150_dup_clusters" -> ((s, dir) => {
       // connected-component cluster assignment over exact-Jaccard dup
       // pairs (same edge set as q71), plus the keep-one-representative
@@ -3310,6 +3338,32 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS strata_mismatch,
            TRUE AS deterministic, TRUE AS superset
          FROM e""",
+    "q154_line_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+             'LICENSE: Creative Commons Attribution 4.0 International'
+             || chr(10) || text || chr(10) || 'FOOTER for source '
+             || source || ' - all rights reserved' AS text
+           FROM documents WHERE doc_id < 2000),
+         parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+         lines AS (SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
+           FROM parts),
+         ranked AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+           FROM lines),
+         kept AS (SELECT doc_id, pos, line FROM ranked
+           WHERE length(line) < 30 OR rk = 1),
+         rebuilt AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text2
+           FROM kept GROUP BY doc_id)
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS chars_before,
+           CAST(sum(length(coalesce(r.text2, ''))) AS BIGINT) AS chars_after,
+           CAST(count(CASE WHEN length(coalesce(r.text2, '')) <> length(d.text)
+             THEN 1 END) AS BIGINT) AS docs_changed
+         FROM d LEFT JOIN rebuilt r USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
     "q150_dup_clusters" ->
       """WITH RECURSIVE norm AS (SELECT doc_id, string_split(trim(regexp_replace(
              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),

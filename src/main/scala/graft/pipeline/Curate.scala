@@ -78,6 +78,16 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
         s"dedup_clustered>=$threshold${if (useLsh) "(lsh)" else ""}")
   }
 
+  /** Corpus-wide line dedup (C4/RefinedWeb-style): duplicated lines of
+    * >= minLineLen chars keep only their first (id, position) occurrence
+    * across the corpus; documents keep their remaining lines in order.
+    * Runs AFTER document-level dedup in a standard pass — whole-doc dups
+    * are already gone, this strips the cross-document boilerplate they
+    * left behind. */
+  def dedupLines(minLineLen: Int = 30): Curate =
+    copy(df = Dedup.dedupLinesCorpus(df, idCol, textCol, minLineLen),
+      stages = stages :+ s"dedup_lines>=${minLineLen}ch")
+
   /** Benchmark decontamination: drop documents sharing any 13-gram (or
     * an exact normalized match) with the eval set. */
   def decontaminate(benchmark: DataFrame, benchTextCol: String,

@@ -346,6 +346,53 @@ object Dedup {
     dedupByClusters(survivors, idCol, clusters)
   }
 
+  // ---- line-level corpus dedup ----
+
+  /** Corpus-wide exact line deduplication: every line of at least
+    * `minLineLen` characters that occurs more than once ACROSS the corpus
+    * keeps only its first occurrence (ordered by (id, position)); later
+    * occurrences are removed from their documents and the surviving lines
+    * are rejoined in original order. Lines shorter than `minLineLen` are
+    * never touched — blank lines and short boilerplate ("Home", "***")
+    * occur everywhere, and deduping them would shred unrelated documents.
+    * This is the C4/RefinedWeb-style preprocessing step that document-level
+    * dedup cannot express: boilerplate (cookie banners, nav menus, license
+    * headers) repeats across documents whose full texts are unique.
+    *
+    * Scale shape: explode to (id, pos, line) once; find each duplicated
+    * line's first occurrence with a partial-aggregatable min(struct) — NOT
+    * a per-line window, whose per-key sort would hot-spot on
+    * mega-duplicated boilerplate keys — then one equi-join back on the
+    * line and a groupBy(id) rebuild. The min-agg combines map-side, so
+    * reducer traffic for a line duplicated a billion times is one row per
+    * map partition; the join back is skewed on exactly those keys, which
+    * is AQE skew-join territory (one small row fanned to many). */
+  def dedupLinesCorpus(df: DataFrame, idCol: String, textCol: String,
+                       minLineLen: Int = 30): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    // every instance of a given line shares its length, so filtering
+    // before the groupBy only shrinks the shuffle — it cannot change
+    // which occurrence of an eligible line ranks first
+    val first = lines.filter(length(col("__line")) >= minLineLen)
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol).as("fid"), col("__pos").as("fpos")))
+        .as("__f"))
+    val kept = lines.join(first, Seq("__line"), "left")
+      .filter(col("__f").isNull ||
+        (col("__f.fid") === col(idCol) && col("__f.fpos") === col("__pos")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line"))).as("__text"))
+    // a document whose every line was a later duplicate has no kept rows
+    // at all — it survives as an empty text, for a downstream minTokens
+    // stage to drop or keep by policy
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__text")
+  }
+
   // ---- benchmark decontamination ----
 
   /** Corpus documents contaminated by a benchmark/eval set: any shared

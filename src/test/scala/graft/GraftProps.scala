@@ -607,4 +607,34 @@ object GraftProps extends Properties("graft") {
       fast == want && dist == want
     }
 
+  private val lineDocs: Gen[List[(Long, String)]] = {
+    // line pool straddling the 30-char eligibility bound: short lines
+    // (never deduped, even when repeated) and long lines (deduped
+    // corpus-wide), including empty lines and trailing-newline shapes
+    val short = Gen.oneOf("", "a", "bb", "Home", "***")
+    val long = Gen.oneOf("L1", "L2", "L3", "L4").map(_ * 20) // 40 chars
+    val doc = Gen.choose(0, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(short, long)).map(_.mkString("\n")))
+    Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, doc).map(_.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t) }))
+  }
+
+  property("dedupLinesCorpus == sequential first-occurrence reference") =
+    forAll(lineDocs) { docs =>
+      val minLen = 30
+      // plain-Scala reference: walk docs in (id, pos) order, keep a long
+      // line only the first time it is seen anywhere in the corpus
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        id -> t.split("\n", -1)
+          .filter(l => l.length < minLen || seen.add(l))
+          .mkString("\n")
+      }.toMap
+      val got = graft.pipeline.Dedup.dedupLinesCorpus(
+          docs.toDF("id", "text"), "id", "text", minLen)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == want
+    }
+
 }

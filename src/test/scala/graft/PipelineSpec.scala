@@ -398,4 +398,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(nd == Set(1L, 3L, 5L))
   }
 
+  test("dedupLinesCorpus: first occurrence wins, short lines spared, order kept") {
+    val la = "A" * 40 // eligible (>= 30 chars)
+    val lb = "B" * 35
+    val lc = "C" * 33
+    val fx = Seq(
+      (1L, s"$la\nshort\n$lb", "s"),
+      (2L, s"intro\n$la\ntail", "s"),   // loses la (first lives in doc 1)
+      (3L, s"$lb\n$lb\nshort", "s"),    // loses BOTH lb copies (first is doc 1's)
+      (4L, la, "s"),                    // loses its only line → ""
+      (5L, s"$lc\n$lc\nend", "s")       // intra-doc dup: keeps pos 0 only
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupLinesCorpus(fx, "doc_id", "text")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(out(0) == s"$la\nshort\n$lb") // doc 1 untouched (owns both firsts)
+    assert(out(1) == "intro\ntail")
+    assert(out(2) == "short")
+    assert(out(3) == "")
+    assert(out(4) == s"$lc\nend")
+    // short duplicated lines ("short") survive everywhere; non-text
+    // columns ride through; empty text stays empty
+    val out2 = Dedup.dedupLinesCorpus(
+      fx.unionAll(Seq((6L, "", "t")).toDF("doc_id", "text", "source")),
+      "doc_id", "text")
+    assert(out2.filter($"doc_id" === 6L).select("text", "source")
+      .as[(String, String)].head() == ("", "t"))
+    assert(out2.columns.toSeq == fx.columns.toSeq)
+    // Curate stage wrapper records itself
+    val c = Curate(fx, "doc_id", "text").dedupLines()
+    assert(c.stages == Seq("dedup_lines>=30ch"))
+    assert(c.df.count() == 5)
+  }
+
 }

@@ -161,6 +161,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global window leaked back into the unkeyed gap check:\n${plans.mkString("\n---\n").take(3000)}")
   }
 
+  test("line dedup plans a partial min-agg, not a per-line window") {
+    val docs = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = graft.pipeline.Dedup.dedupLinesCorpus(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    // first-occurrence selection must be the partial-aggregatable
+    // min(struct), never a row_number window — a mega-duplicated
+    // boilerplate line would hot-spot a per-key sort, while partial_min
+    // reduces it map-side to one row per partition
+    assert(!plan.contains("Window"),
+      s"per-line window leaked into line dedup:\n${plan.take(3000)}")
+    assert(plan.contains("partial_min"),
+      s"first-occurrence min-agg must combine map-side:\n${plan.take(3000)}")
+  }
+
   test("Learn exact mode plans no N-fold Expand") {
     val c = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "customer")
     val plans = capturePlans {
