@@ -1941,6 +1941,63 @@ object SparkEntry {
       pairs.unpersist()
       cl.select(col("id").as("doc_id"), col("cluster"),
         (col("id") === col("cluster")).as("keep"))
+    }),
+    "q155_orc_text_roundtrip" -> ((s, dir) => {
+      // ORC + raw-text reader gate (both beyond the reference's format
+      // registry, truthound datasources/factory.py:70-74): write orders
+      // out as ORC and the documents corpus as line-per-row text, read
+      // both back through Readers, and prove metric identity with the
+      // parquet originals — which is exactly what the oracle computes.
+      // Text is exploded to lines BEFORE writing so line-per-row is
+      // exact (the corpus has no \r, asserted in ReadersSpec).
+      import s.implicits._
+      val ord = table(s, dir, "orders")
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt2").toString
+      ord.write.mode("overwrite").orc(tmp + "/orc")
+      docs.select(explode(split(col("text"), "\n")).as("value"))
+        .write.mode("overwrite").text(tmp + "/txt")
+      val o = graft.sources.Readers.orc(s, tmp + "/orc").agg(
+        count(lit(1)).as("rows"),
+        // exact integer cents: floor(double*100) is bit-deterministic,
+        // unlike a rounded double sum whose value depends on add order
+        // (explicit floor — Spark's double→long cast truncates where
+        // DuckDB's rounds, so a bare cast diverges between engines)
+        sum(floor(col("o_totalprice") * 100)).as("price"),
+        count_distinct(col("o_orderstatus")).as("stat")).head()
+      val t = graft.sources.Readers.textLines(s, tmp + "/txt").agg(
+        count(lit(1)).as("lines"),
+        sum(length(col("value"))).cast("long").as("chars")).head()
+      Seq((o.getLong(0), o.getLong(1), o.getLong(2),
+          t.getLong(0), t.getLong(1)))
+        .toDF("rows_orc", "price_orc", "status_orc", "lines_txt", "chars_txt")
+    }),
+    "q156_text_scrub" -> ((s, dir) => {
+      // Free-text PII scrubbing (pre-training redaction): the corpus is
+      // PII-free by construction, so plant one of each default-scrubbed
+      // shape per doc — id-derived so every doc differs — then scrub and
+      // account per source. emails_left proves removal; tagged proves
+      // tag insertion; char_delta pins the exact rewrite length.
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
+        .withColumn("text", concat(col("text"),
+          lit("\nContact user"), col("doc_id").cast("string"),
+          lit("@example.com or +82 10-1234-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(", SSN 123-45-6789, card 4111-1111-1111-1111, host 10.1."),
+          (col("doc_id") % 256).cast("string"), lit(".7 done")))
+      val scrubbed = docs.withColumn("clean",
+        graft.profiler.Pii.scrubText(col("text")))
+      scrubbed.groupBy(col("source")).agg(
+          count(lit(1)).as("docs"),
+          sum(length(col("text")) - length(col("clean")))
+            .cast("long").as("char_delta"),
+          cnt(col("clean").rlike(graft.profiler.Pii.patterns("email")))
+            .as("emails_left"),
+          cnt(col("clean").contains("[EMAIL]") &&
+              col("clean").contains("[SSN_US]") &&
+              col("clean").contains("[CREDIT_CARD]") &&
+              col("clean").contains("[IPV4]")).as("tagged"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3416,6 +3473,50 @@ object SparkEntry {
          SELECT round(2*(SELECT m FROM exy) - (SELECT m FROM exx)
                   - (SELECT m FROM eyy), 6) AS energy,
                 round((SELECT m FROM kxx) + (SELECT m FROM kyy)
-                  - 2*(SELECT m FROM kxy), 6) AS mmd"""
+                  - 2*(SELECT m FROM kxy), 6) AS mmd""",
+    "q155_orc_text_roundtrip" ->
+      """SELECT o.rows_orc, o.price_orc, o.status_orc,
+                t.lines_txt, t.chars_txt
+         FROM (SELECT count(*) AS rows_orc,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_orc,
+                 count(DISTINCT o_orderstatus) AS status_orc
+               FROM orders) o,
+              (SELECT CAST(sum(length(text)
+                   - length(replace(text, chr(10), '')) + 1) AS BIGINT)
+                   AS lines_txt,
+                 CAST(sum(length(replace(text, chr(10), ''))) AS BIGINT)
+                   AS chars_txt
+               FROM documents WHERE doc_id < 2000) t""",
+    "q156_text_scrub" ->
+      """WITH d AS (SELECT source,
+             text || chr(10) || 'Contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or +82 10-1234-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ', SSN 123-45-6789, card 4111-1111-1111-1111, host 10.1.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.7 done' AS text
+           FROM documents WHERE doc_id < 2000),
+         s AS (SELECT source, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}',
+               '[PHONE_INTL]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN_US]', 'g'),
+               '\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b',
+               '[CREDIT_CARD]', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g') AS clean
+           FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(length(text) - length(clean)) AS BIGINT) AS char_delta,
+           CAST(count(CASE WHEN regexp_matches(clean,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             THEN 1 END) AS BIGINT) AS emails_left,
+           CAST(count(CASE WHEN contains(clean, '[EMAIL]')
+             AND contains(clean, '[SSN_US]')
+             AND contains(clean, '[CREDIT_CARD]')
+             AND contains(clean, '[IPV4]') THEN 1 END) AS BIGINT) AS tagged
+         FROM s GROUP BY source ORDER BY source"""
   )
 }

@@ -125,4 +125,28 @@ object Pii {
       d.withColumn(c, masked)
     }
   }
+
+  /** Free-text PII scrubbing for training corpora: every match of each
+    * selected pattern is replaced by a bracketed type tag (`[EMAIL]`,
+    * `[SSN_US]`, …) — the conventional pre-training redaction that keeps
+    * sentence structure while removing the identifier (vs [[redact]]'s
+    * single opaque token per column-level policy; reference maskers'
+    * redact strategy is per-cell, `masking/maskers.py`).
+    *
+    * One chained `regexp_replace` per pattern, all codegen'd inside the
+    * scan stage — no UDF, no extra pass. Patterns apply in the ORDER
+    * GIVEN (deterministic): earlier scrubs can consume text later
+    * patterns would have matched, so callers restating the chain (SQL
+    * oracles, audits) must preserve the order. The default list is the
+    * high-precision subset — broad shapes like my_number_jp (any 12
+    * digits) would mangle ordinary numbers in prose.
+    *
+    * Idempotent for the default set: replacement tags contain no digits
+    * or '@', so a second pass is a no-op. */
+  val scrubDefaults: Seq[String] =
+    Seq("email", "phone_intl", "ssn_us", "credit_card", "ipv4")
+  def scrubText(c: Column, selected: Seq[String] = scrubDefaults): Column =
+    selected.foldLeft(c) { (acc, p) =>
+      regexp_replace(acc, patterns(p), s"[${p.toUpperCase}]")
+    }
 }

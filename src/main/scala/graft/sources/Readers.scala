@@ -82,4 +82,23 @@ object Readers {
   /** A single JSON document or array of documents. */
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
+
+  /** ORC via Spark's native columnar reader — same pushdown/pruning
+    * contract as parquet (PushedFilters + ReadSchema reach the scan).
+    * Beyond the reference's format registry (truthound
+    * `datasources/factory.py:70-74` stops at csv/json/parquet/ndjson);
+    * included because ORC is the other columnar interchange format a
+    * warehouse-scale corpus actually arrives in. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text: one row per line in a `value` string column — the entry
+    * point for web-crawl-style corpora that arrive as flat text files
+    * rather than columnar tables. `wholeFile = true` yields one row per
+    * FILE instead (document-per-file corpora); at scale prefer
+    * line-per-row, which splits on block boundaries and parallelises
+    * across executors, over whole-file rows which cannot split. */
+  def textLines(spark: SparkSession, path: String,
+                wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
 }

@@ -57,6 +57,29 @@ class ProfilerDriftSpec extends AnyFunSuite {
     assert(hashed.select("contact").as[String].collect().forall(_.length == 64))
   }
 
+  test("scrubText tags every default pattern, in order, idempotently") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "mail a@b.com then +82 10-1234-5678 done",
+      "ssn 123-45-6789 card 4111-1111-1111-1111 ip 10.1.2.3",
+      "two mails a@b.com b@c.org",
+      "clean prose with numbers 12 345 and a date 2024-01-02"
+    ).toDF("t")
+    val out = df.select(Pii.scrubText(col("t")).as("c"))
+      .as[String].collect()
+    assert(out(0) == "mail [EMAIL] then [PHONE_INTL] done")
+    assert(out(1) == "ssn [SSN_US] card [CREDIT_CARD] ip [IPV4]")
+    assert(out(2) == "two mails [EMAIL] [EMAIL]") // global, not first-only
+    assert(out(3) == "clean prose with numbers 12 345 and a date 2024-01-02")
+    // idempotent: tags contain no digits or '@', second pass is a no-op
+    val twice = df.select(
+      Pii.scrubText(Pii.scrubText(col("t"))).as("c")).as[String].collect()
+    assert(twice.sameElements(out))
+    // a card number is NOT half-eaten by the earlier SSN pattern (the
+    // {3}-{2}-{4} shape can't anchor inside 4-4-4-4 digit groups)
+    assert(!out(1).contains("[SSN_US]-"))
+  }
+
   test("fake masking is deterministic and format-preserving") {
     import org.apache.spark.sql.functions.col
     val df = Seq("alice@real.com", "bob@real.com", "alice@real.com").toDF("e")

@@ -44,6 +44,42 @@ class ReadersSpec extends AnyFunSuite {
     assert(res.checks.count(!_.passed) == 3) // nulls, dup id 2, age 151
   }
 
+  test("orc round-trips schema and values through Spark's native reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = spark.range(100).selectExpr("id", "cast(id * 1.5 as double) AS v",
+      "concat('s', id % 3) AS s")
+    df.write.mode("overwrite").orc(dir)
+    val back = Readers.orc(spark, dir)
+    // file sources read back nullable; names + types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 100)
+    assert(back.agg(sum(col("v"))).head().getDouble(0)
+      == df.agg(sum(col("v"))).head().getDouble(0))
+    // pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("id") > 90).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      plan)
+  }
+
+  test("textLines: line-per-row and whole-file modes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "l1\nl2\n\nl4\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "only")
+    val lines = Readers.textLines(spark, dir.toString)
+    assert(lines.columns.toSeq == Seq("value"))
+    assert(lines.count() == 5) // l1, l2, "", l4, only
+    assert(lines.filter(col("value") === "").count() == 1)
+    val whole = Readers.textLines(spark, dir.toString, wholeFile = true)
+    assert(whole.count() == 2)
+    assert(whole.filter(col("value").contains("l1\nl2")).count() == 1)
+    // the documents corpus is \r-free, so q155's explode-split('\n')
+    // line accounting is exact under Hadoop's \n|\r|\r\n line reader
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.filter(col("text").contains("\r")).count() == 0)
+  }
+
   test("ndjson and multiline json load") {
     val nd = write("d.ndjson",
       """{"id":1,"v":10}
