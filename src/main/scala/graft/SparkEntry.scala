@@ -1998,6 +1998,39 @@ object SparkEntry {
               col("clean").contains("[CREDIT_CARD]") &&
               col("clean").contains("[IPV4]")).as("tagged"))
         .orderBy(col("source"))
+    }),
+    "q157_bucketed_fk" -> ((s, dir) => {
+      // Bucketed-layout referential validation: persist fact and dim
+      // bucketed by the join key, and the FK orphan check plans with
+      // ZERO exchange on either side — the layout pays the co-location
+      // shuffle once at write; every nightly re-validation reuses it
+      // (the 100 TB contract; see sources/Bucketing.scala). The parent
+      // drops o_orderkey % 97 == 0 so the orphan count is non-trivial;
+      // the oracle recomputes it from parquet, and exchange_free pins
+      // the data-motion-free plan shape (broadcast disabled so the
+      // small dim can't sneak in a BroadcastExchange).
+      import s.implicits._
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"))
+      val ord = table(s, dir, "orders").select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 97 =!= 0)
+      graft.sources.Bucketing.writeBucketed(li, "g_fact_li",
+        Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      graft.sources.Bucketing.writeBucketed(ord, "g_dim_ord",
+        Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      val fact = s.table("g_fact_li"); val dim = s.table("g_dim_ord")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val anti = fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey"), "left_anti")
+        val free = graft.sources.Bucketing.exchangeFree(anti)
+        val orphans = graft.validators.ForeignKeyCheck(
+            "fact", Seq("l_orderkey"), "dim", Seq("o_orderkey"))
+          .run(Map("fact" -> fact, "dim" -> dim))
+          .headOption.map(_.count).getOrElse(0L)
+        Seq((fact.count(), orphans, free))
+          .toDF("fact_rows", "orphans", "exchange_free")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     })
   )
 
@@ -3517,6 +3550,13 @@ object SparkEntry {
              AND contains(clean, '[SSN_US]')
              AND contains(clean, '[CREDIT_CARD]')
              AND contains(clean, '[IPV4]') THEN 1 END) AS BIGINT) AS tagged
-         FROM s GROUP BY source ORDER BY source"""
+         FROM s GROUP BY source ORDER BY source""",
+    "q157_bucketed_fk" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem) AS fact_rows,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderkey % 97 <> 0)) AS orphans,
+           TRUE AS exchange_free"""
   )
 }

@@ -52,11 +52,19 @@ object Exprs {
     else df
   }
 
-  /** Session settings every graft entrypoint applies. */
+  /** Session settings every graft entrypoint applies. The warehouse is
+    * a fresh temp dir per JVM: managed tables (Bucketing.writeBucketed)
+    * never collide with a PREVIOUS run's leftover location — the
+    * in-memory catalog forgets tables across JVMs but the default
+    * cwd-anchored warehouse directory would survive, and saveAsTable
+    * then fails with LOCATION_ALREADY_EXISTS on a name the new catalog
+    * has never seen. */
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft_warehouse").toString)
 
   /** Silence known-benign ERROR-level logging that would otherwise land in
     * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a
