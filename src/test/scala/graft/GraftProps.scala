@@ -637,4 +637,45 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  // --- Pii.scrubText: after scrubbing, NO default pattern can still
+  // match, and a second scrub is the identity. Safe because the
+  // replacement tags contain no digits, '@', '+', or '.', so no pass
+  // can manufacture a match for any other pass — fuzzed here over
+  // adversarial juxtapositions (PII glued to noise with no separator,
+  // doubled '@', digit runs touching planted shapes).
+  private val piiFrag: Gen[String] = Gen.oneOf(
+    for { a <- Gen.choose(1, 999); b <- Gen.choose(1, 99) }
+      yield s"user$a@host$b.com",
+    for { a <- Gen.choose(1, 999); b <- Gen.choose(10, 9999)
+          c <- Gen.choose(100, 9999); d <- Gen.choose(100, 9999) }
+      yield s"+$a $b-$c-$d",
+    for { a <- Gen.choose(100, 999); b <- Gen.choose(10, 99)
+          c <- Gen.choose(1000, 9999) } yield s"$a-$b-$c",
+    Gen.listOfN(4, Gen.choose(1000, 9999)).map(_.mkString("-")),
+    Gen.listOfN(4, Gen.choose(1, 254)).map(_.mkString(".")))
+  private val noiseFrag: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(8)),
+    Gen.numStr.map(_.take(6)),
+    Gen.oneOf(".", "-", "+", "@", " ", "..", "@@", "-.-", "4.0"))
+
+  property("scrubText output matches no scrubbed pattern; idempotent") =
+    forAll(
+      Gen.listOf(Gen.frequency(2 -> piiFrag, 3 -> noiseFrag)).map(_.take(30)),
+      Gen.listOf(Gen.oneOf(" ", "", "\n")).map(_.take(30))) { (frags, seps) =>
+      import org.apache.spark.sql.functions.col
+      val text = frags.zipAll(seps, "", " ")
+        .map { case (f, sep) => f + sep }.mkString
+      val once = Seq(text).toDF("t")
+        .select(graft.profiler.Pii.scrubText(col("t")).as("c"))
+      val out = once.as[String].head()
+      val leftover = graft.profiler.Pii.scrubDefaults.filter { p =>
+        java.util.regex.Pattern.compile(graft.profiler.Pii.patterns(p))
+          .matcher(out).find() }
+      val twice = once
+        .select(graft.profiler.Pii.scrubText(col("c")).as("c"))
+        .as[String].head()
+      Prop(leftover.isEmpty && twice == out) :|
+        s"leftover=$leftover out=$out"
+    }
+
 }
