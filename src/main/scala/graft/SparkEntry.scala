@@ -1259,7 +1259,7 @@ object SparkEntry {
       // representation that parses back to the same value).
       import s.implicits._
       val cust = table(s, dir, "customer")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      val tmp = graft.ops.Exprs.scratchDir("graft_rt")
       cust.write.mode("overwrite").option("header", "true")
         .csv(tmp + "/csv")
       cust.write.mode("overwrite").json(tmp + "/json")
@@ -1953,7 +1953,7 @@ object SparkEntry {
       import s.implicits._
       val ord = table(s, dir, "orders")
       val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rt2").toString
+      val tmp = graft.ops.Exprs.scratchDir("graft_rt2")
       ord.write.mode("overwrite").orc(tmp + "/orc")
       docs.select(explode(split(col("text"), "\n")).as("value"))
         .write.mode("overwrite").text(tmp + "/txt")
@@ -2018,19 +2018,19 @@ object SparkEntry {
       graft.sources.Bucketing.writeBucketed(ord, "g_dim_ord",
         Seq("o_orderkey"), 8, Seq("o_orderkey"))
       val fact = s.table("g_fact_li"); val dim = s.table("g_dim_ord")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      graft.sources.Bucketing.withoutBroadcast(s) {
+        // the orphan count is taken from the SAME anti-join whose plan
+        // shape is asserted — a separate ForeignKeyCheck run would
+        // leave the exchange_free bit covering a plan that never
+        // produced the validated number (and rescan the fact; the
+        // check-over-bucketed-tables equivalence is pinned in
+        // BucketingSpec instead)
         val anti = fact.join(dim,
           fact("l_orderkey") === dim("o_orderkey"), "left_anti")
         val free = graft.sources.Bucketing.exchangeFree(anti)
-        val orphans = graft.validators.ForeignKeyCheck(
-            "fact", Seq("l_orderkey"), "dim", Seq("o_orderkey"))
-          .run(Map("fact" -> fact, "dim" -> dim))
-          .headOption.map(_.count).getOrElse(0L)
-        Seq((fact.count(), orphans, free))
+        Seq((fact.count(), anti.count(), free))
           .toDF("fact_rows", "orphans", "exchange_free")
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
     })
   )
 

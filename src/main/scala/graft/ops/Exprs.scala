@@ -52,19 +52,36 @@ object Exprs {
     else df
   }
 
+  /** A scratch directory deleted recursively at JVM exit — for
+    * round-trip queries and the session warehouse, so repeated bench
+    * sweeps (135 queries × min-of-N × several scale factors) don't
+    * accumulate unbounded data under /tmp. */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Exception => () } // best-effort cleanup
+    }))
+    dir.toString
+  }
+
   /** Session settings every graft entrypoint applies. The warehouse is
-    * a fresh temp dir per JVM: managed tables (Bucketing.writeBucketed)
-    * never collide with a PREVIOUS run's leftover location — the
-    * in-memory catalog forgets tables across JVMs but the default
-    * cwd-anchored warehouse directory would survive, and saveAsTable
-    * then fails with LOCATION_ALREADY_EXISTS on a name the new catalog
-    * has never seen. */
+    * ONE fresh temp dir per JVM (lazy val — getOrCreate callers must
+    * not each mint a stray directory): managed tables
+    * (Bucketing.writeBucketed) never collide with a PREVIOUS run's
+    * leftover location — the in-memory catalog forgets tables across
+    * JVMs but the default cwd-anchored warehouse directory would
+    * survive, and saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    * on a name the new catalog has never seen. Deleted at JVM exit. */
+  private lazy val jvmWarehouse: String = scratchDir("graft_warehouse")
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", java.nio.file.Files
-        .createTempDirectory("graft_warehouse").toString)
+      .config("spark.sql.warehouse.dir", jvmWarehouse)
 
   /** Silence known-benign ERROR-level logging that would otherwise land in
     * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a

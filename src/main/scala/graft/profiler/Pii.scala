@@ -147,6 +147,9 @@ object Pii {
     Seq("email", "phone_intl", "ssn_us", "credit_card", "ipv4")
   def scrubText(c: Column, selected: Seq[String] = scrubDefaults): Column =
     selected.foldLeft(c) { (acc, p) =>
-      regexp_replace(acc, patterns(p), s"[${p.toUpperCase}]")
+      // Locale.ROOT: under a Turkish-family default locale a bare
+      // toUpperCase would emit dotted capital İ tags ([EMAİL], [İPV4])
+      regexp_replace(acc, patterns(p),
+        s"[${p.toUpperCase(java.util.Locale.ROOT)}]")
     }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table persistence for repeated co-located validation.
   *
@@ -36,10 +36,36 @@ object Bucketing {
   }
 
   /** True when the physical plan moves no data: no shuffle AND no
-    * broadcast exchange anywhere in the tree — the proof that a
-    * bucketed join is actually co-located (string-level scan so the
-    * check sees through the AQE wrapper, whose `children` hides the
-    * live plan from collect()). */
-  def exchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    * broadcast exchange node anywhere in the tree — the proof that a
+    * bucketed join is actually co-located. Typed node walk (a string
+    * scan would false-flag a plan whose filter LITERAL contains
+    * "Exchange"); the AQE wrapper is a leaf to collect(), so its
+    * pre-adaptive input plan is traversed explicitly — exchanges AQE
+    * could later touch all exist there already, and AQE never adds
+    * one the input plan lacks. */
+  def exchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // the AQE wrapper is a leaf whose CURRENT plan (initial before any
+    // execution, final after) carries the inserted exchanges; its
+    // inputPlan predates EnsureRequirements and would show none
+    def hasExchange(p: SparkPlan): Boolean =
+      p.collectFirst { case e: Exchange => e }.isDefined ||
+        p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .exists(hasExchange)
+    !hasExchange(df.queryExecution.executedPlan)
+  }
+
+  /** Run `f` with auto-broadcast disabled, restoring the previous
+    * threshold afterwards — the measurement harness for
+    * [[exchangeFree]]: without it a small dimension side turns the
+    * join into a BroadcastExchange and the co-location claim is
+    * untestable. */
+  def withoutBroadcast[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, prev)
+  }
 }

@@ -8,12 +8,8 @@ class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def withNoBroadcast[A](f: => A): A = {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try f finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
+  private def withNoBroadcast[A](f: => A): A =
+    Bucketing.withoutBroadcast(spark)(f)
 
   test("co-bucketed join plans with zero exchange; non-bucketed does not") {
     val fact = spark.range(10000)
@@ -34,6 +30,10 @@ class BucketingSpec extends AnyFunSuite {
       val anti = bf.join(bd, bf("k") === bd("k"), "left_anti")
       assert(Bucketing.exchangeFree(anti))
       assert(anti.count() == 10000L / 500 * 100) // keys 400..499
+      // typed node walk, not a string scan: a plan whose filter
+      // LITERAL says "Exchange" must not flip the verdict
+      assert(Bucketing.exchangeFree(
+        bf.filter(concat(col("k"), lit("x")) === "Exchange")))
     }
   }
 
