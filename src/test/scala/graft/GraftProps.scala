@@ -678,4 +678,61 @@ object GraftProps extends Properties("graft") {
         s"leftover=$leftover out=$out"
     }
 
+  // ---- hyperplane_bucket: the last native kernel without parity fuzz.
+  // The HOF reference form was retired from the library, so the oracle
+  // here is an independent driver-side sign-bit computation over the
+  // shared weight schedule — checked against BOTH execution paths
+  // (whole-stage codegen via a DataFrame projection, interpreted eval
+  // via a Literal child) on vectors with nulls, NaN, short/long/empty
+  // arrays, and the float element type.
+
+  private val bucketVec: Gen[List[Option[Double]]] =
+    Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.choose(-10.0, 10.0).map(Some(_)),
+      1 -> Gen.const(Some(Double.NaN)),
+      1 -> Gen.const(Option.empty[Double]))))
+
+  property("hyperplane_bucket == driver sign-bit ref (codegen + eval)") =
+    forAll(Gen.listOfN(8, bucketVec)) { vecs =>
+      import org.apache.spark.sql.functions.col
+      val planes = 8; val dim = 6
+      def ref(v: List[Option[Double]]): Long = {
+        var bucket = 0L
+        for (p <- 0 until planes) {
+          var dot = 0.0
+          for (d <- 0 until math.min(v.length, dim))
+            v(d).foreach(x =>
+              dot += x * graft.functions.HyperplaneBucket.weight(p, d))
+          if (dot >= 0) bucket |= (1L << p) // NaN dot -> bit stays 0
+        }
+        bucket
+      }
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val codegen = df.orderBy("id")
+        .select(graft.functions.HyperplaneBucket(col("v"), planes, dim))
+        .as[Long].collect().toList
+      val floats = df.orderBy("id")
+        .select(graft.functions.HyperplaneBucket(
+          col("v").cast("array<float>"), planes, dim))
+        .as[Long].collect().toList
+      val evaled = vecs.map { v =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        graft.functions.HyperplaneBucket(
+          Literal.create(v.map(_.map(java.lang.Double.valueOf).orNull), ArrayType(DoubleType)),
+          planes, dim).eval(null)
+      }
+      val want = vecs.map(ref)
+      val wantF = vecs.map(v => ref(v.map(_.map(x => x.toFloat.toDouble))))
+      val nullIn = graft.functions.HyperplaneBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          null, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        planes, dim).eval(null)
+      Prop(codegen == want && evaled == want && floats == wantF &&
+        nullIn == null) :|
+        s"codegen=$codegen eval=$evaled floats=$floats want=$want wantF=$wantF"
+    }
+
 }
