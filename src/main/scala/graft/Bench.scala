@@ -47,9 +47,18 @@ object Bench {
         val t1 = timed(); val t2 = timed()
         if (math.abs(t1 - t2) > 0.5 * math.min(t1, t2)) Seq(t1, t2, timed())
         else Seq(t1, t2)
-      } catch { case _: Throwable => Seq(-1.0) }
+      } catch { case e: Throwable =>
+        // Loud, immediate evidence on stderr (stdout stays JSON-only for
+        // the driver's tail-parse): the r7/r8 postmortem found six -1.0
+        // rows sitting unnoticed in two committed sweeps because nothing
+        // ever surfaced WHICH queries broke or WHY.
+        System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
+          s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
+        Seq(-1.0)
+      }
       name -> runs
     }
+    val failed = results.filter(_._2.min < 0).map(_._1)
     val total = results.map(_._2.min).filter(_ >= 0).sum
     // Host-contention forensics, machine-readable (four rounds of driver
     // runs read 1.2x a quiet-machine anchor with identical code; the
@@ -72,8 +81,9 @@ object Bench {
     val spreadFull = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsFull,"runs":$spreadFull,"contention_median_ratio":$contention%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":$contention%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -84,10 +94,18 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + f"""\":${v.min}%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsShort,"contention":$contention%.3f,"sf":"$sfDir","detail":"BENCH.json"}"""
+      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":$contention%.3f,"sf":"$sfDir","detail":"BENCH.json"}"""
     spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown logging can land
     // between the JSON line and process exit.
     println(line)
+    // A broken query must never hide inside a "successful" sweep again:
+    // exit non-zero so any wrapper (driver, CI, make) goes red. The JSON
+    // line is already printed, so the driver still records the sweep.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -188,9 +188,14 @@ object Cli {
         // keeps the old mark so a failed delta is re-scanned next run.
         import org.apache.spark.sql.functions.{col, unix_micros}
         val df = load(spark, path)
+        // Both timestamp flavors map to epoch micros (NTZ via the UTC-pinned
+        // session cast) so the stored high-water mark keeps one unit contract
+        // regardless of the source's physical encoding.
         val wm = df.schema(wmCol).dataType match {
           case _: org.apache.spark.sql.types.TimestampType =>
             unix_micros(col(wmCol))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col(wmCol).cast("timestamp"))
           case _ => col(wmCol)
         }
         val checks = argOf(rest, "--checks")

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     so orphan ratios, join fan-outs and group cardinalities scale
   *     linearly like a real bigger dataset;
   *   - events keep their distribution; event ids/user ids shift, ts gets a
-  *     +replica ns offset to break exact ties (ts is read as raw ns longs
-  *     under the session's nanosAsLong setting and written back as longs —
-  *     Exprs.table restores timestamp semantics on load);
+  *     +replica µs offset to break exact ties. ts is normalized on read by
+  *     Exprs.normalizeTs (the same shim the query loader uses) and written
+  *     back as TIMESTAMP_NTZ to match the driver fixture's physical type,
+  *     so ladder runs exercise the IDENTICAL loader path as driver runs;
   *   - documents are NOT copied verbatim: replica i recombines the first
   *     half of doc d with the second half of doc d+i, so texts are new but
   *     distribution-alike. Verbatim copies would plant 10-clique exact
@@ -54,7 +55,8 @@ object GenScale {
     val part = read("part");     val partBase = keyBase(part, "p_partkey")
     val ord  = read("orders");   val ordBase  = keyBase(ord, "o_orderkey")
     val li   = read("lineitem")
-    val ev   = read("events");   val evBase   = keyBase(ev, "event_id")
+    val ev = graft.ops.Exprs.normalizeTs(read("events"))
+    val evBase = keyBase(ev, "event_id")
     val usrBase = keyBase(ev, "user_id")
 
     def reps(f: Int => DataFrame): DataFrame =
@@ -78,7 +80,9 @@ object GenScale {
     write(reps(i => ev
       .withColumn("event_id", col("event_id") + lit(i * evBase))
       .withColumn("user_id", col("user_id") + lit(i * usrBase))
-      .withColumn("ts", col("ts") + lit(i.toLong))), "events")
+      .withColumn("ts",
+        timestamp_micros(unix_micros(col("ts")) + lit(i.toLong))
+          .cast("timestamp_ntz"))), "events")
 
     val docs = read("documents")
     val nDocs = docs.count()

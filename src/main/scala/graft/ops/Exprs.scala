@@ -37,19 +37,38 @@ object Exprs {
     -sum(col(countCol) * log(col(countCol)))./(total) + log(total)
   }
 
-  /** Loads a test table. Filter/projection pushdown reaches the parquet
-    * scan because this returns the raw relation untouched.
+  /** Normalizes an event-time column to Spark's session-tz TimestampType
+    * no matter which physical encoding the fixture generation happened to
+    * use. Fixtures have shipped `ts` three ways across driver versions:
     *
-    * Nanosecond-precision parquet timestamps (events.ts) are unsupported by
-    * Spark's vectorized reader; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader restores
-    * timestamp semantics (truncated to Spark's native microseconds). */
+    *   - parquet `timestamp[ns]` → read as LongType nanos under the
+    *     session's `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     (nanos are unsupported by the vectorized reader);
+    *   - parquet `timestamp[us]` (no tz) → read as TIMESTAMP_NTZ, which
+    *     `unix_micros`/`window` reject or mishandle;
+    *   - parquet `timestamp[us, tz=UTC]` → already TimestampType.
+    *
+    * All three converge to identical micros here (sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ cast is a pure
+    * reinterpretation). Every consumer — the batch loader, the streaming
+    * specs, the scale-fixture generator — must route through this one
+    * function so they can never diverge again. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
+  /** Loads a test table. Filter/projection pushdown reaches the parquet
+    * scan because this returns the raw relation untouched — except
+    * `events`, whose `ts` is normalized by [[normalizeTs]] (a projection
+    * over the scan; pushdown below it is unaffected). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema.fields.exists(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** A scratch directory deleted recursively at JVM exit — for

@@ -22,14 +22,16 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  /** Raw on-disk schema (ts = long nanos under nanosAsLong); the stream
-    * restores timestamp semantics exactly like Exprs.table does for batch. */
+  /** Raw on-disk schema (whatever physical form ts takes in this fixture
+    * generation); the stream restores timestamp semantics through the SAME
+    * type-dispatching shim the batch loader uses (Exprs.normalizeTs), so a
+    * fixture re-encode can't split batch and stream onto different paths. */
   private def rawSchema =
     spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
 
   private def eventStream =
-    spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.ops.Exprs.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir))
 
   test("micro-batch validation reuses the fused batch kernel") {
     val results = scala.collection.mutable.ArrayBuffer.empty[ValidationRunResult]
