@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -10,6 +10,36 @@ import org.apache.spark.sql.SparkSession
   * warm runs — `benchmark/runner.py` warmup+measured iterations), then
   * each query timed once end-to-end (plan + execute + consume via count). */
 object Bench {
+  /** Timed min-of-N sweep over a query catalog. A query that throws maps
+    * to `Seq(-1.0)` and its name lands in the second return slot —
+    * extracted from main() so the broken-query-turns-the-sweep-red
+    * contract is unit-testable (BenchSpec) instead of only observable in
+    * a committed driver artifact, which is how six -1.0 rows survived
+    * two rounds unnoticed. */
+  def sweep(spark: SparkSession, sfDir: String,
+            queries: Seq[(String, (SparkSession, String) => DataFrame)],
+            onFail: (String, Throwable) => Unit = (_, _) => ())
+      : (Seq[(String, Seq[Double])], Seq[String]) = {
+    val results = queries.sortBy(_._1).map { case (name, fn) =>
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // r03 postmortem: lexically adjacent tiny queries read 2-4x slow in
+      // one driver run (host-contention window). When the two timings
+      // disagree by >50%, one extra run tightens the min without inflating
+      // the protocol for stable queries.
+      val runs = try {
+        val t1 = timed(); val t2 = timed()
+        if (math.abs(t1 - t2) > 0.5 * math.min(t1, t2)) Seq(t1, t2, timed())
+        else Seq(t1, t2)
+      } catch { case e: Throwable => onFail(name, e); Seq(-1.0) }
+      name -> runs
+    }
+    (results, results.filter(_._2.min < 0).map(_._1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,33 +62,14 @@ object Bench {
     // plan/codegen warm-up, run 2 is the conventional warm number, and
     // taking the min absorbs one-off GC/host-contention spikes (the r02
     // driver run recorded 5.4 s for a query that warm-times at 0.7 s).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // r03 postmortem: q80-q86 (lexically adjacent, all <0.2 s warm) read
-      // 2-4x slow in the driver run but time at r02 levels locally with
-      // unchanged code — a host-contention window spanning consecutive tiny
-      // queries. When the two timings disagree by >50%, one extra run
-      // tightens the min without inflating the protocol for stable queries.
-      val runs = try {
-        val t1 = timed(); val t2 = timed()
-        if (math.abs(t1 - t2) > 0.5 * math.min(t1, t2)) Seq(t1, t2, timed())
-        else Seq(t1, t2)
-      } catch { case e: Throwable =>
-        // Loud, immediate evidence on stderr (stdout stays JSON-only for
-        // the driver's tail-parse): the r7/r8 postmortem found six -1.0
-        // rows sitting unnoticed in two committed sweeps because nothing
-        // ever surfaced WHICH queries broke or WHY.
+    // Loud, immediate failure evidence on stderr (stdout stays JSON-only
+    // for the driver's tail-parse): the r7/r8 postmortem found six -1.0
+    // rows sitting unnoticed in two committed sweeps because nothing
+    // ever surfaced WHICH queries broke or WHY.
+    val (results, failed) = sweep(spark, sfDir, SparkEntry.queries.toSeq,
+      onFail = (name, e) =>
         System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
-          s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
-        Seq(-1.0)
-      }
-      name -> runs
-    }
-    val failed = results.filter(_._2.min < 0).map(_._1)
+          s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}"))
     val total = results.map(_._2.min).filter(_ >= 0).sum
     // Host-contention forensics, machine-readable (four rounds of driver
     // runs read 1.2x a quiet-machine anchor with identical code; the

@@ -2031,6 +2031,26 @@ object SparkEntry {
         Seq((fact.count(), anti.count(), free))
           .toDF("fact_rows", "orphans", "exchange_free")
       }
+    }),
+    "q158_pack_sequences" -> ((s, dir) => {
+      // Sequence-packing plan accounting (concat-and-chunk pretraining
+      // layout, pipeline/Pack.scala): documents in deterministic
+      // md5(id) order, token stream cut into 2048-token sequences. The
+      // two-phase distributed prefix-sum (bucketed window + driver
+      // bucket offsets — never a global window) must place every doc
+      // exactly where the oracle's global-window restatement does; the
+      // mod-p offset checksum pins per-doc placements, not just totals.
+      val docs = table(s, dir, "documents")
+      val plan = graft.pipeline.Pack.packPlan(docs, "doc_id",
+        graft.pipeline.Text.tokenCount(col("text")), seqLen = 2048)
+      plan.agg(
+        count(lit(1)).as("docs"),
+        sum("n_tokens").as("total_tokens"),
+        expr("(sum(n_tokens) + 2047L) div 2048L").as("n_sequences"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L))
+          .as("boundary_docs"),
+        sum(col("offset") % 1000003L).as("offset_checksum"),
+        sum(col("seq_first")).as("seq_first_sum"))
     })
   )
 
@@ -3557,6 +3577,26 @@ object SparkEntry {
            (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
                 AND o.o_orderkey % 97 <> 0)) AS orphans,
-           TRUE AS exchange_free"""
+           TRUE AS exchange_free""",
+    "q158_pack_sequences" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         t AS (SELECT doc_id, COALESCE(CASE WHEN nt = '' THEN 0
+             ELSE len(string_split(nt, ' ')) END, 0) AS tk,
+             md5(CAST(doc_id AS VARCHAR)) AS k FROM norm),
+         c AS (SELECT doc_id, tk, sum(tk) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS off
+           FROM t),
+         p AS (SELECT tk, off, off // 2048 AS sf,
+             (off + greatest(tk, 1) - 1) // 2048 AS sl FROM c)
+         SELECT CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST((sum(tk) + 2047) // 2048 AS BIGINT) AS n_sequences,
+           CAST(count(CASE WHEN sl > sf THEN 1 END) AS BIGINT)
+             AS boundary_docs,
+           CAST(sum(off % 1000003) AS BIGINT) AS offset_checksum,
+           CAST(sum(sf) AS BIGINT) AS seq_first_sum
+         FROM p"""
   )
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing planner: the concat-and-chunk layout every GPT-style
+  * pretraining pipeline runs before writing training shards — documents
+  * are laid out in one deterministic global order, their token streams
+  * concatenated, and the stream cut into fixed-length sequences of
+  * `seqLen` tokens. The plan assigns every document its global token
+  * offset and the first/last sequence it lands in, which is all a shard
+  * writer needs to materialize batches (and all an auditor needs to
+  * account for boundary-crossing documents).
+  *
+  * Reference scope: truthound has no packing operator — this is part of
+  * the beyond-reference training-pipeline surface (like sampleQuota /
+  * sampleTokenBudget, which specify the corpus this operator then lays
+  * out).
+  *
+  * Scale shape — the global prefix-sum is the textbook two-phase scan,
+  * expressed declaratively:
+  *
+  *   1. every doc gets a deterministic sort key `md5(id)` (layout- and
+  *      run-independent, SQL-restatable) and a bucket = the key's first
+  *      `bucketHexChars` hex chars — a PREFIX of the key, so bucket
+  *      order is consistent with key order and (bucket, key, id) is the
+  *      same total order as (key, id);
+  *   2. per-bucket token totals (one partial-aggregatable groupBy over
+  *      ≤ 16^bucketHexChars rows) come back to the driver, where the
+  *      running bucket offsets are a trivial prefix sum over at most
+  *      65k values — broadcast back as a tiny join side;
+  *   3. the within-bucket cumulative sum is a window PARTITIONED BY
+  *      bucket — never a global single-partition window (the
+  *      "No Partition Defined" plan shape that dies first at scale).
+  *
+  * One full shuffle (hash by bucket for the window), one tiny aggregate.
+  * The default 4 hex chars = 65,536 buckets keeps per-bucket window
+  * sorts ~1.5 GB at a 100 TB corpus; the id+count projection is scanned
+  * twice (bucket totals, then the window pass) — two pushed-down
+  * two-column scans beat caching the corpus.
+  *
+  * Determinism: everything derives from data values (no
+  * spark_partition_id, no RNG), so the same corpus packs identically on
+  * every run, cluster layout, and partition count — and a DuckDB oracle
+  * can restate the layout exactly (global window over the same
+  * (md5, id) order).
+  */
+object Pack {
+
+  /** Per-document placement: (idCol, n_tokens, offset, seq_first,
+    * seq_last, spans_boundary). `offset` is the document's 0-based
+    * position in the concatenated token stream; zero-token documents
+    * occupy no tokens and report seq_last = seq_first. */
+  def packPlan(df: DataFrame, idCol: String, tokens: Column, seqLen: Int,
+               bucketHexChars: Int = 4): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars must be in [1, 8]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol),
+      coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"),
+      md5(col(idCol).cast("string")).as("__k"))
+      .withColumn("__b", substring(col("__k"), 1, bucketHexChars))
+    // Phase 1: bucket totals — partial-aggregated, ≤ 16^bucketHexChars
+    // rows to the driver (bounded by construction, not by data size).
+    val totals = keyed.groupBy("__b").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bucketOffsets = totals.map { case (b, t) =>
+      val o = acc; acc += t; (b, o)
+    }.toSeq
+    val offDf = bucketOffsets.toDF("__b", "__boff")
+    // Phase 2: within-bucket cumsum + broadcast bucket base offsets.
+    val w = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("offset", col("__boff") + col("__cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"offset div ${seqLen}L"))
+      .withColumn("seq_last",
+        expr(s"(offset + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("spans_boundary", col("seq_last") > col("seq_first"))
+      .drop("__k", "__b", "__boff", "__cum")
+  }
+
+  /** One-aggregate accounting of a pack plan: document/token totals, the
+    * sequence count `ceil(total_tokens / seqLen)`, boundary-crossing
+    * docs, and the padding wasted in the final partial sequence. */
+  def packStats(plan: DataFrame, seqLen: Int): DataFrame =
+    plan.agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      expr(s"(sum(n_tokens) + ${seqLen - 1}L) div ${seqLen}L")
+        .as("n_sequences"),
+      sum(when(col("spans_boundary"), 1L).otherwise(0L))
+        .as("boundary_docs"),
+      expr(s"(${seqLen}L - pmod(sum(n_tokens), ${seqLen}L)) % ${seqLen}L")
+        .as("tail_padding"))
+}
