@@ -2051,6 +2051,17 @@ object SparkEntry {
           .as("boundary_docs"),
         sum(col("offset") % 1000003L).as("offset_checksum"),
         sum(col("seq_first")).as("seq_first_sum"))
+    }),
+    "q159_cap_per_key" -> ((s, dir) => {
+      // Per-key document cap (max K docs per domain): the EXACT kept set
+      // is the oracle — md5(id) ordering is restatable in ANSI SQL, so
+      // unlike the xxhash64-ordered samplers this query hash-checks the
+      // selection itself, not just boolean contracts over it.
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Curate(docs, "doc_id", "text")
+        .capPerKey("source", 40L).df
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3597,6 +3608,12 @@ object SparkEntry {
              AS boundary_docs,
            CAST(sum(off % 1000003) AS BIGINT) AS offset_checksum,
            CAST(sum(sf) AS BIGINT) AS seq_first_sum
-         FROM p"""
+         FROM p""",
+    "q159_cap_per_key" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) WHERE rk <= 40 ORDER BY doc_id"""
   )
 }

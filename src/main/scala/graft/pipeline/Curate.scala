@@ -156,6 +156,27 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"quota(${quotas.size} strata)")
   }
 
+  /** Per-key document cap — the web-curation "at most K documents per
+    * domain" rule that stops a handful of mega-hosts dominating a crawl
+    * corpus. Keeps the first `cap` documents of every key in
+    * deterministic md5(id) order: layout- and run-independent like
+    * sampleQuota, but the order key is md5 (not xxhash64) so an exact
+    * kept-SET oracle can be restated in ANSI SQL, and every key gets the
+    * same cap without enumerating keys up front (quotas enumerate).
+    *
+    * Scale shape: one rank-over-window shuffle keyed by `keyCol` — same
+    * mega-stratum caveat as sampleQuota (AQE skew handling splits it;
+    * when cap ≪ stratum a per-partition pre-top-cap pass applies). */
+  def capPerKey(keyCol: String, cap: Long): Curate = {
+    require(cap >= 0, "cap must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    copy(df = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk"),
+      stages = stages :+ s"cap_per_$keyCol<=$cap")
+  }
+
   /** Token-budget stratified sample: corpus recipes are specified in
     * tokens, not documents ("1T of web, 100B of code"). Per stratum,
     * documents are taken in seeded-hash order while the running token

@@ -430,4 +430,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.df.count() == 5)
   }
 
+  test("capPerKey: exact per-key counts, layout-independent, superset on grow") {
+    val d = (1L to 200L).map(i => (i, s"doc $i", s"dom${i % 7}"))
+      .toDF("doc_id", "text", "domain")
+    def run(df: org.apache.spark.sql.DataFrame, k: Long) =
+      Curate(df, "doc_id", "text").capPerKey("domain", k).df
+        .select("doc_id", "domain")
+    val kept = run(d, 10L)
+    // every key capped exactly (each dom has ~28 docs >= 10)
+    val byKey = kept.groupBy("domain").count().collect()
+    assert(byKey.length == 7 && byKey.forall(_.getLong(1) == 10L))
+    // identical selection under a different physical layout
+    val kept17 = run(d.repartition(17), 10L)
+    assert(kept.exceptAll(kept17).count() == 0 &&
+      kept17.exceptAll(kept).count() == 0)
+    // growing the cap keeps the old selection (stable md5 order)
+    assert(kept.exceptAll(run(d, 25L)).count() == 0)
+    // cap above key size keeps everything; cap 0 keeps nothing
+    assert(run(d, 1000L).count() == 200L && run(d, 0L).count() == 0L)
+  }
+
 }
