@@ -100,10 +100,12 @@ object Bench {
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final line (BENCH_r02 had "parsed":null because the 2829-char
     // full-name line was truncated mid-JSON). Print a compact line using
-    // each query's unique qNNN prefix (mapping recorded in BASELINE.md);
-    // ~1400 chars for 101 queries, safely inside the capture window.
+    // each query's unique qNNN prefix (mapping recorded in BASELINE.md)
+    // at centisecond precision — at 137 queries the millisecond form hit
+    // 1851 chars, one failed-list entry away from truncation; 10 ms
+    // resolution keeps ~300 chars of headroom (ms detail in BENCH.json).
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + f"""\":${v.min}%.3f""" }.mkString("{", ",", "}")
+      "\"" + k.takeWhile(_ != '_') + f"""\":${v.min}%.2f""" }.mkString("{", ",", "}")
     val line =
       f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":$contention%.3f,"sf":"$sfDir","detail":"BENCH.json"}"""
     spark.stop()
