@@ -2062,6 +2062,27 @@ object SparkEntry {
         .capPerKey("source", 40L).df
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+    "q160_embed_dedup_lsh" -> ((s, dir) => {
+      // Scale-path embedding near-dup (SemDeDup shape): corpus = the
+      // embeddings table plus exact copies of vec_id < 48 under shifted
+      // ids. Identical vectors ALWAYS share an LSH bucket (the bucketer
+      // is a pure function of the values) and every reported pair is
+      // exact-cosine-verified, so at threshold 0.99 the result is
+      // EXACTLY the planted (source, copy) pairs at cosine 1.0 — the
+      // max non-identical cosine in the fixture is ~0.60 (verified at
+      // sf0.01 and sf0.1), leaving a 0.39 margin.
+      val emb = table(s, dir, "embeddings")
+      val copies = emb.filter(col("vec_id") < 48)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(copies)
+      graft.pipeline.Dedup.embeddingDupPairsLsh(
+          corpus, "vec_id", "embedding", threshold = 0.99,
+          planes = 12, dim = 64)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3614,6 +3635,10 @@ object SparkEntry {
            SELECT doc_id, source, row_number() OVER (
              PARTITION BY source
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-           FROM documents) WHERE rk <= 40 ORDER BY doc_id"""
+           FROM documents) WHERE rk <= 40 ORDER BY doc_id""",
+    "q160_embed_dedup_lsh" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 48 ORDER BY id_a, id_b"""
   )
 }

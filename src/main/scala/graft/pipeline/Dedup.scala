@@ -182,6 +182,55 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** Embedding near-duplicate pairs at scale (the SemDeDup-style semantic
+    * dedup shape): hyperplane-LSH bucketing turns the O(n²) all-pairs
+    * cosine of [[embeddingDupPairs]] into an equi-self-join on bucket id.
+    * Exact-cosine verification runs only on bucket-colliding candidates,
+    * so reported pairs are TRUE positives by construction — LSH only
+    * affects recall, never precision.
+    *
+    * Recall contract: bit p of the bucket is the sign of vec·plane_p, a
+    * pure function of the vector values — identical vectors ALWAYS share
+    * a bucket, so exact duplicates are found with probability 1. With
+    * `probe1` each row additionally probes the `planes` one-bit-flipped
+    * buckets on the probing side of the join, so any pair separated by at
+    * most ONE hyperplane is still compared (a pair at cosine c has
+    * per-plane separation probability arccos(c)/π ≈ 0.045 at c = 0.99;
+    * at planes = 12 that is ≥ 98% recall with probing). Raise `planes`
+    * roughly with log₂(corpus) to keep buckets small; the candidate join
+    * is an equi-join (shuffle hash by bucket), AQE's skew handling covers
+    * dense semantic clusters.
+    *
+    * Probing one side suffices: for a pair (x, y) with id x < y the join
+    * tests bucket(y) ∈ {bucket(x)} ∪ flips(bucket(x)), which holds iff
+    * Hamming(bucket(x), bucket(y)) ≤ 1 — a symmetric condition. Each
+    * qualifying pair matches exactly one probe of x, so the result needs
+    * no distinct. */
+  def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, planes: Int = 12,
+                           dim: Int = 0, probe1: Boolean = true): DataFrame = {
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = if (dim > 0) Some(dim)
+      else v.select(size(col("v")).as("d")).take(1).headOption.map(_.getInt(0))
+    if (probed.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).limit(0)
+    val d = probed.get
+    val b = v.withColumn("bucket", Similarity.lshBucket(col("v"), planes, d))
+    val probes =
+      if (!probe1) b.withColumn("probe", col("bucket"))
+      else b.withColumn("probe", explode(array(
+        (col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+    probes.as("a").join(b.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // ---- near-duplicate cluster assignment ----
 
   /** Connected-component cluster labels over a near-duplicate pair

@@ -143,6 +143,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("embeddingDupPairsLsh: precision exact, exact-dup recall 1, subset of brute") {
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val copies = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Dedup.embeddingDupPairs(corpus, "vec_id", "embedding", 0.8))
+    val lsh = pairSet(Dedup.embeddingDupPairsLsh(corpus, "vec_id", "embedding",
+      0.8, planes = 12, dim = 64))
+    // every reported pair is exact-cosine verified -> subset of brute
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh diff brute}")
+    // identical vectors always share a bucket -> all planted pairs found
+    val planted = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(lsh), s"missed exact dups: ${planted diff lsh}")
+    // layout independence: same pairs after a repartition
+    val lsh2 = pairSet(Dedup.embeddingDupPairsLsh(corpus.repartition(7),
+      "vec_id", "embedding", 0.8, planes = 12, dim = 64))
+    assert(lsh2 == lsh)
+    // empty corpus: empty result, not a throw
+    assert(Dedup.embeddingDupPairsLsh(corpus.limit(0), "vec_id", "embedding",
+      0.8).count() == 0)
+  }
+
   test("lshTopK on an empty or all-null corpus returns empty, not a throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
