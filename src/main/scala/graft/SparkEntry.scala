@@ -2083,6 +2083,25 @@ object SparkEntry {
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q161_payload_chunks" -> ((s, dir) => {
+      // Fixed-window binary chunking (audio/video frame-window plumbing):
+      // documents' UTF-8 bytes chunked at 256 B, then whole-corpus
+      // accounting. total_bytes == sum of per-chunk slice lengths proves
+      // the slicing is lossless; the arithmetic restates exactly in SQL
+      // from octet_length.
+      val docs = table(s, dir, "documents").filter(length(col("text")) > 0)
+      val payload = graft.pipeline.Multimodal.asPayload(docs, "text",
+        "audio/wav")
+      graft.pipeline.Multimodal.chunkPayload(payload, "content", 256)
+        .withColumn("clen", length(col("chunk")))
+        .agg(
+          count_distinct(col("doc_id")).as("docs"),
+          count(lit(1)).as("total_chunks"),
+          sum(col("clen")).as("total_bytes"),
+          cnt(col("clen") === 256).as("full_chunks"),
+          sum(when(col("clen") < 256, col("clen"))
+            .otherwise(0L)).as("partial_bytes"))
     })
   )
 
@@ -3639,6 +3658,15 @@ object SparkEntry {
     "q160_embed_dedup_lsh" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
          CAST(1.0 AS DOUBLE) AS cos
-         FROM embeddings WHERE vec_id < 48 ORDER BY id_a, id_b"""
+         FROM embeddings WHERE vec_id < 48 ORDER BY id_a, id_b""",
+    "q161_payload_chunks" ->
+      """WITH d AS (SELECT octet_length(encode(text)) AS b FROM documents
+           WHERE length(text) > 0)
+         SELECT count(*) AS docs,
+           CAST(sum((b + 255) // 256) AS BIGINT) AS total_chunks,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           CAST(sum(b // 256) AS BIGINT) AS full_chunks,
+           CAST(sum(b % 256) AS BIGINT) AS partial_bytes
+         FROM d"""
   )
 }

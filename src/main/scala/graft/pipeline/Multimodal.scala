@@ -76,6 +76,30 @@ object Multimodal {
     when(durationMs.isNull || durationMs <= 0, array().cast("array<bigint>"))
       .otherwise(sequence(lit(0L), durationMs - 1, lit(everyMs)))
 
+  /** Fixed-window chunking of a binary payload — the audio/video frame
+    * window shape (REAL plumbing, no codec needed): one output row per
+    * `chunkBytes` window carrying its index and exact byte slice, ready
+    * for a per-chunk decoder/featurizer. Entirely scan-stage
+    * (sequence + explode + binary substring, all codegen'd); payload
+    * bytes still never cross a shuffle — extract per-chunk features
+    * before anything wide, then drop the slice. Null or zero-length
+    * payloads produce no chunk rows (explode of an empty sequence).
+    * Output adds `chunk_idx` (0-based) and `chunk` (binary, full
+    * `chunkBytes` except a shorter final window). */
+  def chunkPayload(df: DataFrame, contentCol: String,
+                   chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val n = length(col(contentCol))
+    df.withColumn("chunk_idx", explode(
+        when(col(contentCol).isNull || n === 0,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(0),
+          ((n - 1) / chunkBytes).cast("int")))))
+      .withColumn("chunk",
+        col(contentCol).substr(col("chunk_idx") * chunkBytes + 1,
+          lit(chunkBytes)))
+  }
+
   /** Full pipeline: payload -> features, dropping the heavy bytes before
     * anything wide happens. `mapPartitions`-free: all stages are scan-time
     * projections, so Catalyst keeps them in one WholeStageCodegen span.

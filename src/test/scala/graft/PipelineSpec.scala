@@ -167,6 +167,34 @@ class PipelineSpec extends AnyFunSuite {
       0.8).count() == 0)
   }
 
+  test("chunkPayload: lossless slicing — chunks reassemble to the original bytes") {
+    import graft.pipeline.Multimodal
+    val docs = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(50).select($"doc_id", $"text")
+    val payload = Multimodal.asPayload(docs, "text", "audio/wav")
+    val re = Multimodal.chunkPayload(payload, "content", 64)
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk"))),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x.getField("chunk"))).as("reassembled"))
+    val mismatches = re.join(payload.select($"doc_id", $"content"), "doc_id")
+      .filter(md5($"reassembled") =!= md5($"content")).count()
+    assert(mismatches == 0)
+    // chunk arithmetic: counts and final-window length per doc
+    val bad = Multimodal.chunkPayload(payload, "content", 64)
+      .groupBy($"doc_id", length($"content").as("b"))
+      .agg(count(lit(1)).as("n"), max(length($"chunk")).as("maxlen"),
+        min(length($"chunk")).as("minlen"))
+      .filter($"n" =!= ceil($"b" / lit(64.0)).cast("long") ||
+        $"maxlen" > 64 || $"minlen" =!= $"b" - ($"n" - 1) * 64)
+    assert(bad.count() == 0)
+    // null / empty payloads produce no chunk rows, not a throw
+    val edge = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array.emptyByteArray)).toDF("doc_id", "content")
+    assert(Multimodal.chunkPayload(edge, "content", 64).count() == 0)
+  }
+
   test("lshTopK on an empty or all-null corpus returns empty, not a throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
