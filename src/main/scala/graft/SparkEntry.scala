@@ -2102,6 +2102,35 @@ object SparkEntry {
           cnt(col("clen") === 256).as("full_chunks"),
           sum(when(col("clen") < 256, col("clen"))
             .otherwise(0L)).as("partial_bytes"))
+    }),
+    "q162_kr_phone" -> ((s, dir) => {
+      // KoreanPhoneValidator: synthesize deterministic KR phone strings
+      // from c_custkey (mobile / landline / special / invalid by key
+      // residue, with dash and dot separators mixed in), then count the
+      // per-class validity mask the validator computes.
+      val ph = table(s, dir, "customer").select(col("c_custkey").as("k"))
+        .withColumn("phone",
+          when(col("k") % 4 === 0,
+            concat(lit("010-"), lpad((col("k") % 10000).cast("string"), 4,
+              "0"), lit("-1234")))
+          .when(col("k") % 4 === 1,
+            concat(lit("02."), lpad((col("k") % 1000).cast("string"), 3,
+              "0"), lit(".4567")))
+          .when(col("k") % 4 === 2,
+            concat(lit("1588-"), lpad((col("k") % 10000).cast("string"), 4,
+              "0")))
+          .otherwise(concat(lit("015-"),
+            lpad((col("k") % 1000).cast("string"), 3, "0"))))
+      import graft.validators.LocalFormats.koreanPhoneValid
+      ph.agg(
+        count(lit(1)).as("n"),
+        cnt(koreanPhoneValid(col("phone"))).as("any_valid"),
+        cnt(koreanPhoneValid(col("phone"), allowLandline = false,
+          allowSpecial = false)).as("mobile_valid"),
+        cnt(koreanPhoneValid(col("phone"), allowMobile = false,
+          allowSpecial = false)).as("landline_valid"),
+        cnt(koreanPhoneValid(col("phone"), allowMobile = false,
+          allowLandline = false)).as("special_valid"))
     })
   )
 
@@ -3667,6 +3696,30 @@ object SparkEntry {
            CAST(sum(b) AS BIGINT) AS total_bytes,
            CAST(sum(b // 256) AS BIGINT) AS full_chunks,
            CAST(sum(b % 256) AS BIGINT) AS partial_bytes
-         FROM d"""
+         FROM d""",
+    "q162_kr_phone" ->
+      """WITH ph AS (SELECT
+           CASE WHEN c_custkey % 4 = 0 THEN '010-' ||
+                  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-1234'
+                WHEN c_custkey % 4 = 1 THEN '02.' ||
+                  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '.4567'
+                WHEN c_custkey % 4 = 2 THEN '1588-' ||
+                  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '015-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+           END AS phone FROM customer),
+         s AS (SELECT regexp_replace(phone, '[\s\-.]', '', 'g') AS d FROM ph)
+         SELECT count(*) AS n,
+           count(*) FILTER (WHERE regexp_matches(d, '^01[016789][0-9]{7,8}$')
+             OR regexp_matches(d, '^0[2-6][0-9]{7,9}$')
+             OR regexp_matches(d, '^(080[0-9]{7}|1[0-9]{3}[0-9]{4})$'))
+             AS any_valid,
+           count(*) FILTER (WHERE regexp_matches(d, '^01[016789][0-9]{7,8}$'))
+             AS mobile_valid,
+           count(*) FILTER (WHERE regexp_matches(d, '^0[2-6][0-9]{7,9}$'))
+             AS landline_valid,
+           count(*) FILTER (WHERE
+             regexp_matches(d, '^(080[0-9]{7}|1[0-9]{3}[0-9]{4})$'))
+             AS special_valid
+         FROM s"""
   )
 }

@@ -214,6 +214,42 @@ object LocalFormats {
     * national checksum exists; regex structure per reference
     * `localization/korean.py`). */
   val koreanBankAccount = "^[0-9]{2,6}-[0-9]{2,6}-[0-9]{4,8}$"
+
+  /** Korean phone numbers (reference `localization/korean.py:250-312`):
+    * mobile `01[016789]` + 7-8 digits, landline `0[2-6]` + 7-9 digits,
+    * special (toll-free/service) `080`+7 or `1NNN`+4. Separators
+    * (whitespace, dash, dot) are stripped first, matching the reference
+    * base preprocessor (`localization/base.py:86`). */
+  def koreanPhoneValid(c: Column, allowMobile: Boolean = true,
+      allowLandline: Boolean = true, allowSpecial: Boolean = true): Column = {
+    val d = regexp_replace(c, "[\\s\\-.]", "")
+    Seq(
+      allowMobile -> "^01[016789][0-9]{7,8}$",
+      allowLandline -> "^0[2-6][0-9]{7,9}$",
+      allowSpecial -> "^(080[0-9]{7}|1[0-9]{3}[0-9]{4})$")
+      .collect { case (true, p) => d.rlike(p) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+}
+
+/** KoreanPhoneValidator: mobile/landline/special formats with per-class
+  * allow flags (reference `localization/korean.py:250`). */
+final case class KoreanPhoneCheck(column: String,
+    allowMobile: Boolean = true, allowLandline: Boolean = true,
+    allowSpecial: Boolean = true) extends Validator {
+  val name = s"korean_phone[$column]"
+  val category = "localization"
+  private val k = MetricKey("kr_phone_invalid", column)
+  private def pred: Column = col(column).isNotNull &&
+    !LocalFormats.koreanPhoneValid(col(column), allowMobile, allowLandline,
+      allowSpecial)
+  def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> count(when(pred, 1)))
+  def evaluate(m: Metrics, total: Long) = {
+    val n = m.long(k)
+    if (n > 0) Seq(issue(column, "invalid_korean_phone", n, total,
+      Severity.Medium)) else Nil
+  }
 }
 
 /** KoreanRRNValidator: structure + check digit. */

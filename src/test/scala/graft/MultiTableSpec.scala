@@ -119,4 +119,30 @@ class MultiTableSpec extends AnyFunSuite {
     val r2 = SuiteRunner.run(df2, Seq(LocalFormatCheck("biz", "korean_biz")))
     assert(r2.checks.head.issues.head.count == 1)
   }
+
+  test("KoreanPhoneCheck: mobile/landline/special classes and separators") {
+    import spark.implicits._
+    val df = Seq(
+      "010-1234-5678",   // mobile (dashes)
+      "011 123 4567",    // mobile, 10-digit legacy prefix (spaces)
+      "02.123.4567",     // landline (dots)
+      "031-1234-5678",   // landline
+      "080-123-4567",    // special toll-free
+      "1588-1234",       // special service number
+      "015-123",         // too short, 015 not a class
+      "12345",           // garbage
+      "+82-10-1234-5678" // not digits after strip -> invalid
+    ).toDF("ph")
+    val all = SuiteRunner.run(df, Seq(KoreanPhoneCheck("ph")))
+    assert(all.checks.head.issues.head.count == 3)
+    // per-class flags: only the allowed class validates
+    val mobileOnly = SuiteRunner.run(df, Seq(KoreanPhoneCheck("ph",
+      allowLandline = false, allowSpecial = false)))
+    assert(mobileOnly.checks.head.issues.head.count == 7)
+    // null is not an issue (mask only counts non-null invalids)
+    val withNull = SuiteRunner.run(
+      Seq(Some("010-1234-5678"), None).toDF("ph"),
+      Seq(KoreanPhoneCheck("ph")))
+    assert(withNull.checks.head.issues.isEmpty)
+  }
 }
