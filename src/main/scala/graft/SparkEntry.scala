@@ -2131,6 +2131,17 @@ object SparkEntry {
           allowSpecial = false)).as("landline_valid"),
         cnt(koreanPhoneValid(col("phone"), allowMobile = false,
           allowLandline = false)).as("special_valid"))
+    }),
+    "q163_range_drift" -> ((s, dir) => {
+      // RangeDriftValidator: current = quantity-capped lineitem slice vs
+      // the full table as reference — max shrinks (flagged), min is
+      // unchanged (not flagged). allowExpansion=true keeps the max
+      // shrinkage flagged (it IS shrinkage) and would suppress growth.
+      val ref = table(s, dir, "lineitem")
+      val cur = ref.filter(col("l_quantity") <= 40)
+      graft.drift.Drift.rangeDrift(cur, ref, "l_quantity",
+          thresholdPct = 10.0, allowExpansion = true)
+        .orderBy(col("stat"))
     })
   )
 
@@ -3720,6 +3731,25 @@ object SparkEntry {
            count(*) FILTER (WHERE
              regexp_matches(d, '^(080[0-9]{7}|1[0-9]{3}[0-9]{4})$'))
              AS special_valid
-         FROM s"""
+         FROM s""",
+    "q163_range_drift" ->
+      """WITH r AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+             CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem),
+         c AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+             CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem
+             WHERE l_quantity <= 40),
+         s AS (SELECT 'min' AS stat, r.mn AS ref_value, c.mn AS cur_value
+                 FROM r, c
+               UNION ALL
+               SELECT 'max', r.mx, c.mx FROM r, c),
+         p AS (SELECT stat, ref_value, cur_value,
+             CASE WHEN ref_value = 0 THEN 0.0
+                  ELSE abs(cur_value - ref_value) / abs(ref_value) * 100
+             END AS pct FROM s)
+         SELECT stat, ref_value, cur_value, round(pct, 6) AS pct_change,
+           (ref_value <> 0 AND pct > 10 AND
+            ((stat = 'min' AND cur_value > ref_value) OR
+             (stat = 'max' AND cur_value < ref_value))) AS flagged
+         FROM p ORDER BY stat"""
   )
 }

@@ -357,4 +357,38 @@ object Drift {
     if (b == 0) (if (a == 0) 0.0 else Double.PositiveInfinity)
     else math.abs(a - b) / math.abs(b)
   }
+
+  /** RangeDriftValidator (reference `drift/numeric.py:295`): min/max
+    * shift versus a reference frame, as one row per checked stat with
+    * the reference's flagging rule — pct change above `thresholdPct`,
+    * and under `allowExpansion` only SHRINKAGE alerts (min rising or
+    * max falling); a zero reference stat never flags. One min+max
+    * aggregate per frame; the comparison is driver math over four
+    * scalars, like the other drift statistics. */
+  def rangeDrift(cur: DataFrame, ref: DataFrame, column: String,
+                 thresholdPct: Double = 10.0, allowExpansion: Boolean = false,
+                 checkMin: Boolean = true, checkMax: Boolean = true)
+      : DataFrame = {
+    def minMax(df: DataFrame): (Double, Double) = {
+      val r = df.agg(min(col(column)).cast("double"),
+        max(col(column)).cast("double")).head()
+      (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+       if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+    val (refMin, refMax) = minMax(ref)
+    val (curMin, curMax) = minMax(cur)
+    val stats =
+      (if (checkMin) Seq(("min", refMin, curMin)) else Nil) ++
+      (if (checkMax) Seq(("max", refMax, curMax)) else Nil)
+    val rows = stats.map { case (stat, r, c) =>
+      val pct = if (r == 0) 0.0 else math.abs(c - r) / math.abs(r) * 100.0
+      val shrink = (stat == "min" && c > r) || (stat == "max" && c < r)
+      val flagged = r != 0 && pct > thresholdPct &&
+        (!allowExpansion || shrink)
+      (stat, r, c, math.rint(pct * 1e6) / 1e6, flagged)
+    }
+    val spark = cur.sparkSession
+    import spark.implicits._
+    rows.toDF("stat", "ref_value", "cur_value", "pct_change", "flagged")
+  }
 }

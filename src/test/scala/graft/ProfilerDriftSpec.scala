@@ -120,6 +120,30 @@ class ProfilerDriftSpec extends AnyFunSuite {
     assert(Drift.chiSquare(Drift.categoricalPq(cat1, cat2, "c")) > 10)
   }
 
+  test("drift: rangeDrift flags shrinkage, allowExpansion suppresses growth") {
+    val ref = Seq(1.0, 5.0, 10.0).toDF("v")
+    val shrunk = Seq(2.0, 5.0, 8.0).toDF("v")   // min up 100%, max down 20%
+    val grown = Seq(0.5, 5.0, 20.0).toDF("v")   // min down 50%, max up 100%
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getBoolean(4))).toMap
+    val s = flags(Drift.rangeDrift(shrunk, ref, "v"))
+    assert(s("min") && s("max"))
+    // allowExpansion: growth is fine, shrinkage still flags
+    val g = flags(Drift.rangeDrift(grown, ref, "v", allowExpansion = true))
+    assert(!g("min") && !g("max"))
+    val s2 = flags(Drift.rangeDrift(shrunk, ref, "v", allowExpansion = true))
+    assert(s2("min") && s2("max"))
+    // zero reference stat never flags; checkMin/checkMax select rows
+    val zref = Seq(0.0, 0.0).toDF("v")
+    val z = flags(Drift.rangeDrift(Seq(3.0).toDF("v"), zref, "v"))
+    assert(!z("min") && !z("max"))
+    assert(Drift.rangeDrift(shrunk, ref, "v", checkMin = false)
+      .collect().map(_.getString(0)).toSeq == Seq("max"))
+    // empty frames: null min/max coerce to 0.0, no flags, no throw
+    val e = flags(Drift.rangeDrift(ref.limit(0), ref.limit(0), "v"))
+    assert(!e("min") && !e("max"))
+  }
+
   test("drift: exact KS and Wasserstein") {
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val b = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
