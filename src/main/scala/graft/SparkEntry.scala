@@ -2142,6 +2142,26 @@ object SparkEntry {
       graft.drift.Drift.rangeDrift(cur, ref, "l_quantity",
           thresholdPct = 10.0, allowExpansion = true)
         .orderBy(col("stat"))
+    }),
+    "q164_write_shards" -> ((s, dir) => {
+      // Shard materialization gate: pack the documents corpus
+      // (seqLen 2048), write one parquet file per 8-sequence shard, read
+      // the shards BACK from disk and account per shard. The oracle
+      // restates shard membership from the same global-window cumsum as
+      // q158 — so this checks the write path end-to-end: assignment,
+      // partitioned layout, and lossless round-trip.
+      val docs = table(s, dir, "documents")
+      val plan = graft.pipeline.Pack.packPlan(docs, "doc_id",
+        graft.pipeline.Text.tokenCount(col("text")), seqLen = 2048)
+      val tmp = graft.ops.Exprs.scratchDir("graft_shards")
+      graft.pipeline.Pack.writeShards(plan, "doc_id", 8L, tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).as("tokens"),
+          min(col("offset")).as("min_offset"),
+          max(col("offset") + col("n_tokens")).as("max_end"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -3750,6 +3770,23 @@ object SparkEntry {
            (ref_value <> 0 AND pct > 10 AND
             ((stat = 'min' AND cur_value > ref_value) OR
              (stat = 'max' AND cur_value < ref_value))) AS flagged
-         FROM p ORDER BY stat"""
+         FROM p ORDER BY stat""",
+    "q164_write_shards" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         t AS (SELECT doc_id, COALESCE(CASE WHEN nt = '' THEN 0
+             ELSE len(string_split(nt, ' ')) END, 0) AS tk,
+             md5(CAST(doc_id AS VARCHAR)) AS k FROM norm),
+         c AS (SELECT doc_id, tk, sum(tk) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS off
+           FROM t),
+         p AS (SELECT tk, off, (off // 2048) // 8 AS shard FROM c)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS docs,
+           CAST(sum(tk) AS BIGINT) AS tokens,
+           CAST(min(off) AS BIGINT) AS min_offset,
+           CAST(max(off + tk) AS BIGINT) AS max_end
+         FROM p GROUP BY shard ORDER BY shard"""
   )
 }

@@ -84,6 +84,36 @@ object Pack {
       .drop("__k", "__b", "__boff", "__cum")
   }
 
+  /** Shard assignment over a pack plan: shard = seq_first div
+    * `seqsPerShard` — every document belongs to the shard that owns its
+    * FIRST training sequence; the reader of shard s consumes the
+    * spillover tail of the last boundary-crossing document of shard s-1
+    * (the standard concat-and-chunk layout). Pure arithmetic on the
+    * plan, no extra scan. */
+  def shardAssign(plan: DataFrame, seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    plan.withColumn("shard", expr(s"seq_first div ${seqsPerShard}L"))
+  }
+
+  /** Materialize a pack plan as on-disk training shards: one parquet
+    * file per shard under `path`/shard=N, rows pre-sorted in pack order
+    * ((md5(id), id) — the identical total order packPlan laid out).
+    * `repartition(col("shard"))` clusters every shard into exactly one
+    * task, so `partitionBy("shard")` emits exactly one file per shard;
+    * with more shards than shuffle partitions a task just writes several
+    * shard files sequentially — shard size, not shard count, is what
+    * must fit a task. Returns the shard count. */
+  def writeShards(plan: DataFrame, idCol: String, seqsPerShard: Long,
+                  path: String): Long = {
+    val sharded = shardAssign(plan, seqsPerShard)
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"),
+        md5(col(idCol).cast("string")), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    sharded.agg(count_distinct(col("shard"))).head().getLong(0)
+  }
+
   /** One-aggregate accounting of a pack plan: document/token totals, the
     * sequence count `ceil(total_tokens / seqLen)`, boundary-crossing
     * docs, and the padding wasted in the final partial sequence. */

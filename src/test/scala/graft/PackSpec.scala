@@ -84,6 +84,32 @@ class PackSpec extends AnyFunSuite {
     assert(stats.getLong(3) == 2L)
   }
 
+  test("writeShards: one file per shard, in-file pack order, lossless") {
+    val plan = Pack.packPlan(docs, "doc_id",
+      Text.tokenCount(col("text")), 512)
+    val tmp = graft.ops.Exprs.scratchDir("graft_shards_spec")
+    val nShards = Pack.writeShards(plan, "doc_id", 4L, tmp)
+    val back = spark.read.parquet(tmp)
+    // lossless: same doc set, same offsets
+    assert(back.count() == plan.count())
+    assert(back.join(plan.withColumnRenamed("offset", "o2"), "doc_id")
+      .filter($"offset" =!= $"o2").count() == 0)
+    // one physical file per shard
+    val files = back.select($"shard", input_file_name().as("f"))
+      .groupBy($"shard").agg(count_distinct($"f").as("nf"))
+    assert(files.filter($"nf" =!= 1).count() == 0)
+    assert(files.count() == nShards)
+    // rows inside each file are in pack order (md5(id), id): offset,
+    // which is cumulative in exactly that order, must be nondecreasing
+    // in file-row order within a shard
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy(monotonically_increasing_id())
+    val viol = back.select($"shard", $"offset")
+      .withColumn("prev", lag($"offset", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" > $"offset")
+    assert(viol.count() == 0, "shard file rows out of pack order")
+  }
+
   test("plan contains no unpartitioned window") {
     val plan = Pack.packPlan(docs, "doc_id",
       Text.tokenCount(col("text")), 2048)
