@@ -104,10 +104,18 @@ object Bench {
     // at centisecond precision — at 137 queries the millisecond form hit
     // 1851 chars, one failed-list entry away from truncation; 10 ms
     // resolution keeps ~300 chars of headroom (ms detail in BENCH.json).
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + f"""\":${v.min}%.2f""" }.mkString("{", ",", "}")
-    val line =
+    // As the suite grows even the centisecond form will eventually brush
+    // the window, so the precision is adaptive: render at 2 decimals,
+    // and if the whole line would exceed the 1900-char budget fall back
+    // to 1 decimal (ms detail is always in BENCH.json either way).
+    def render(decimals: Int): String = {
+      val qsShort = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+            Double.box(v.min)) }.mkString("{", ",", "}")
       f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":$contention%.3f,"sf":"$sfDir","detail":"BENCH.json"}"""
+    }
+    val line = { val l2 = render(2); if (l2.length <= 1900) l2 else render(1) }
     spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown logging can land
     // between the JSON line and process exit.

@@ -18,9 +18,12 @@ class Round3Spec extends AnyFunSuite {
     val short = keys.map(_.takeWhile(_ != '_'))
     assert(short.distinct.size == keys.size,
       s"colliding prefixes: ${short.diff(short.distinct).distinct}")
-    // and the compact line stays well inside the 2000-char capture window
-    val line = short.sorted.map(k => "\"" + k + "\":99.999").mkString(",")
-    assert(line.length + 120 < 2000, s"compact line too long: ${line.length}")
+    // and the compact line stays inside the 2000-char capture window:
+    // Bench renders at 2 decimals and adaptively falls back to 1 decimal
+    // when the line would brush the budget, so the invariant to pin is
+    // the FALLBACK form (worst-case "99.9" values) with wrapper overhead
+    val line = short.sorted.map(k => "\"" + k + "\":99.9").mkString(",")
+    assert(line.length + 150 < 1900, s"compact line too long: ${line.length}")
   }
 
   test("pointer-doubled depths matches explicit BFS on a deep chain") {
