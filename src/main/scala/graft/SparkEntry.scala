@@ -2079,7 +2079,7 @@ object SparkEntry {
         .unionByName(copies)
       graft.pipeline.Dedup.embeddingDupPairsLsh(
           corpus, "vec_id", "embedding", threshold = 0.99,
-          planes = 12, dim = 64)
+          bands = 4, bandBits = 14, dim = 64)
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))

@@ -183,32 +183,54 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs at scale (the SemDeDup-style semantic
-    * dedup shape): hyperplane-LSH bucketing turns the O(n²) all-pairs
-    * cosine of [[embeddingDupPairs]] into an equi-self-join on bucket id.
-    * Exact-cosine verification runs only on bucket-colliding candidates,
-    * so reported pairs are TRUE positives by construction — LSH only
-    * affects recall, never precision.
+    * dedup shape): a banded hyperplane-signature self-join turns the
+    * O(n²) all-pairs cosine of [[embeddingDupPairs]] into an equi-join,
+    * the same Hamming-blocking discipline [[simhashPairs]] uses for
+    * text. Exact-cosine verification runs only on band-colliding
+    * candidates, so reported pairs are TRUE positives by construction —
+    * LSH only affects recall, never precision.
     *
-    * Recall contract: bit p of the bucket is the sign of vec·plane_p, a
-    * pure function of the vector values — identical vectors ALWAYS share
-    * a bucket, so exact duplicates are found with probability 1. With
-    * `probe1` each row additionally probes the `planes` one-bit-flipped
-    * buckets on the probing side of the join, so any pair separated by at
-    * most ONE hyperplane is still compared (a pair at cosine c has
-    * per-plane separation probability arccos(c)/π ≈ 0.045 at c = 0.99;
-    * at planes = 12 that is ≥ 98% recall with probing). Raise `planes`
-    * roughly with log₂(corpus) to keep buckets small; the candidate join
-    * is an equi-join (shuffle hash by bucket), AQE's skew handling covers
-    * dense semantic clusters.
+    * Shape: a `bands * bandBits`-bit sign signature per row (one native
+    * codegen'd bucketer call), exploded to `bands` (band, bits) keys,
+    * self-joined on the key. A pair is compared iff SOME band of the two
+    * signatures agrees exactly — identical vectors agree on every band,
+    * so exact duplicates are found with probability 1; a pair at cosine
+    * c survives with 1-(1-q^bandBits)^bands for q = 1-arccos(c)/π
+    * (bands=4, bandBits=14: ~95% at c=0.99, ~99.9% at c=0.999).
     *
-    * Probing one side suffices: for a pair (x, y) with id x < y the join
-    * tests bucket(y) ∈ {bucket(x)} ∪ flips(bucket(x)), which holds iff
-    * Hamming(bucket(x), bucket(y)) ≤ 1 — a symmetric condition. Each
-    * qualifying pair matches exactly one probe of x, so the result needs
-    * no distinct. */
+    * Scale contract: candidate volume is governed by bandBits — the
+    * per-band key space is 2^bandBits, so size bandBits ≈ log₂(n) to
+    * hold expected bucket occupancy at O(1) (the earlier fixed-bucket
+    * 1-bit-probe form went quadratic the moment n outgrew 2^planes).
+    * Two cheap bit-level filters run between the join and the exact
+    * cosine so the expensive arithmetic touches ~only true candidates:
+    *
+    *  - FIRST-MATCHING-BAND: a pair agreeing on several bands would be
+    *    emitted once per band; keeping only the lowest agreeing band
+    *    (three bit comparisons against the full signatures, which ride
+    *    the join anyway) makes each pair unique WITHOUT a distinct —
+    *    no post-join shuffle at all.
+    *  - HAMMING SCREEN: a pair at cosine t differs on ≈ B·acos(t)/π of
+    *    its B sign bits, while a random band-colliding pair differs on
+    *    ≈ (B-bandBits)/2; `bit_count(sig_a ^ sig_b)` ≤ 2× the expected
+    *    true-pair distance rejects ~all random collisions for ≲2% recall
+    *    cost at t = 0.99 (`maxHamming` overrides the auto bound).
+    *
+    * Dense semantic clusters still collide by construction — that is
+    * the point — and their verify cost is proportional to TRUE near-dup
+    * pairs, not corpus size; AQE skew handling covers the join. */
   def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, planes: Int = 12,
-                           dim: Int = 0, probe1: Boolean = true): DataFrame = {
+                           threshold: Double, bands: Int = 4,
+                           bandBits: Int = 14, dim: Int = 0,
+                           maxHamming: Int = -1): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      s"bands * bandBits must fit a long: $bands * $bandBits")
+    val totalBits = bands * bandBits
+    val hmax =
+      if (maxHamming >= 0) maxHamming
+      else math.min(totalBits,
+        math.ceil(2.0 * totalBits * math.acos(threshold) / math.Pi).toInt
+          .max(1))
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = if (dim > 0) Some(dim)
@@ -217,14 +239,25 @@ object Dedup {
       return v.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).limit(0)
     val d = probed.get
-    val b = v.withColumn("bucket", Similarity.lshBucket(col("v"), planes, d))
-    val probes =
-      if (!probe1) b.withColumn("probe", col("bucket"))
-      else b.withColumn("probe", explode(array(
-        (col("bucket") +: (0 until planes).map(p =>
-          col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
-    probes.as("a").join(b.as("b"),
-        col("a.probe") === col("b.bucket") && col("a.id") < col("b.id"))
+    val mask = (1L << bandBits) - 1
+    val sig = v.withColumn("sig",
+      Similarity.lshBucket(col("v"), totalBits, d))
+    val keyed = sig.withColumn("band",
+        explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bits",
+        expr(s"shiftright(sig, band * $bandBits) & ${mask}L"))
+      .select(col("id"), col("v"), col("sig"), col("band"), col("bits"))
+    // lowest agreeing band only: every band below the joined one differs
+    val firstMatch = (0 until bands - 1).map { b =>
+      col("a.band") <= b ||
+        expr(s"shiftright(a.sig, $b * $bandBits) & ${mask}L") =!=
+        expr(s"shiftright(b.sig, $b * $bandBits) & ${mask}L")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .filter(firstMatch)
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= hmax)
       .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

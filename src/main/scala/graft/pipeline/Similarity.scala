@@ -16,9 +16,19 @@ import org.apache.spark.sql.expressions.Window
   * equi-join — the shape that survives a billion-row corpus. */
 object Similarity {
 
-  /** Cosine similarity between two array<float/double> columns, computed
-    * in double via fused zip_with/aggregate — no UDF. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<float/double> columns — the
+    * native codegen kernel ([[graft.functions.CosineSim]]): one
+    * primitive double loop per row, no boxed lambda per element. The
+    * HOF reference form below is kept as the parity-fuzz oracle
+    * (GraftProps pins bit-identical results), the same kernel-vs-HOF
+    * discipline as HyperplaneBucket and NormalizeText. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
+
+  /** Reference HOF form of [[cosine]] (fused zip_with/aggregate) — the
+    * semantics the kernel must match exactly; parity-fuzzed, not used on
+    * hot paths. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), _ + _)

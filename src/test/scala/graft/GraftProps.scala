@@ -735,4 +735,42 @@ object GraftProps extends Properties("graft") {
         s"codegen=$codegen eval=$evaled floats=$floats want=$want wantF=$wantF"
     }
 
+  // ---- cosine_sim kernel vs the retained HOF reference form, over
+  // adversarial inputs: nulls inside arrays, length mismatches, empty
+  // and all-zero vectors, float element type. The HOF's corner rules
+  // (zero-norm check precedes the null-poisoned dot) must match
+  // bit-for-bit in both codegen and interpreted eval.
+  property("cosine_sim kernel == HOF reference (codegen, floats, corners)") =
+    forAll(Gen.listOfN(6, bucketVec), Gen.listOfN(6, bucketVec)) { (as, bs) =>
+      import org.apache.spark.sql.functions.col
+      val rows = as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a, b) }
+      // NaN-free corpus for the equality check (NaN != NaN would flap);
+      // NaN propagation itself is identical arithmetic in both forms.
+      val clean = rows.map { case (i, a, b) =>
+        (i, a.map(_.map(x => if (x.isNaN) 0.5 else x)),
+            b.map(_.map(x => if (x.isNaN) 0.5 else x))) }
+      val df = clean.toDF("id", "a", "b").orderBy("id")
+      def run(sel: org.apache.spark.sql.Column): List[Option[Double]] =
+        df.select(sel).collect().toList
+          .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val kernel = run(graft.functions.CosineSim(col("a"), col("b")))
+      val hof = run(graft.pipeline.Similarity.cosineHof(col("a"), col("b")))
+      val kernelF = run(graft.functions.CosineSim(
+        col("a").cast("array<float>"), col("b").cast("array<float>")))
+      val hofF = run(graft.pipeline.Similarity.cosineHof(
+        col("a").cast("array<float>"), col("b").cast("array<float>")))
+      // interpreted eval path matches codegen
+      val evaled = clean.map { case (_, a, b) =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        def l(v: List[Option[Double]]) = Literal.create(
+          v.map(_.map(java.lang.Double.valueOf).orNull), ArrayType(DoubleType))
+        Option(graft.functions.CosineSim(l(a), l(b)).eval(null))
+          .map(_.asInstanceOf[Double])
+      }
+      Prop(kernel == hof && kernelF == hofF && evaled == kernel) :|
+        s"kernel=$kernel hof=$hof kernelF=$kernelF hofF=$hofF eval=$evaled"
+    }
+
 }

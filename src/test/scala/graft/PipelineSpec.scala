@@ -152,7 +152,7 @@ class PipelineSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairSet(Dedup.embeddingDupPairs(corpus, "vec_id", "embedding", 0.8))
     val lsh = pairSet(Dedup.embeddingDupPairsLsh(corpus, "vec_id", "embedding",
-      0.8, planes = 12, dim = 64))
+      0.8, bands = 4, bandBits = 14, dim = 64))
     // every reported pair is exact-cosine verified -> subset of brute
     assert(lsh.subsetOf(brute), s"false positives: ${lsh diff brute}")
     // identical vectors always share a bucket -> all planted pairs found
@@ -160,7 +160,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.subsetOf(lsh), s"missed exact dups: ${planted diff lsh}")
     // layout independence: same pairs after a repartition
     val lsh2 = pairSet(Dedup.embeddingDupPairsLsh(corpus.repartition(7),
-      "vec_id", "embedding", 0.8, planes = 12, dim = 64))
+      "vec_id", "embedding", 0.8, bands = 4, bandBits = 14, dim = 64))
     assert(lsh2 == lsh)
     // empty corpus: empty result, not a throw
     assert(Dedup.embeddingDupPairsLsh(corpus.limit(0), "vec_id", "embedding",
