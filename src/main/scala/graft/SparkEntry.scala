@@ -2150,11 +2150,21 @@ object SparkEntry {
       // restates shard membership from the same global-window cumsum as
       // q158 — so this checks the write path end-to-end: assignment,
       // partitioned layout, and lossless round-trip.
+      // Shard size scales with the corpus (targeting ~64 shard files,
+      // floor 8 sequences) so the file count stays bounded at any SF —
+      // the fixed-8 form wrote 73k tiny files at sf10. One cheap token
+      // aggregate fixes the rule; the oracle restates the identical
+      // arithmetic.
       val docs = table(s, dir, "documents")
+      val tot = docs.agg(sum(coalesce(
+        graft.pipeline.Text.tokenCount(col("text")).cast("long"), lit(0L))))
+        .head().getLong(0)
+      val nSeq = (tot + 511L) / 512L
+      val sps = math.max(8L, (nSeq + 63L) / 64L)
       val plan = graft.pipeline.Pack.packPlan(docs, "doc_id",
-        graft.pipeline.Text.tokenCount(col("text")), seqLen = 2048)
+        graft.pipeline.Text.tokenCount(col("text")), seqLen = 512)
       val tmp = graft.ops.Exprs.scratchDir("graft_shards")
-      graft.pipeline.Pack.writeShards(plan, "doc_id", 8L, tmp)
+      graft.pipeline.Pack.writeShards(plan, "doc_id", sps, tmp)
       s.read.parquet(tmp)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("docs"),
@@ -3781,7 +3791,10 @@ object SparkEntry {
          c AS (SELECT doc_id, tk, sum(tk) OVER (ORDER BY k, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS off
            FROM t),
-         p AS (SELECT tk, off, (off // 2048) // 8 AS shard FROM c)
+         sz AS (SELECT greatest(8, (((sum(tk) + 511) // 512) + 63) // 64)
+             AS sps FROM t),
+         p AS (SELECT tk, off, (off // 512) // (SELECT sps FROM sz)
+             AS shard FROM c)
          SELECT CAST(shard AS BIGINT) AS shard,
            count(*) AS docs,
            CAST(sum(tk) AS BIGINT) AS tokens,
