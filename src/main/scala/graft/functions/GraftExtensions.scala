@@ -61,27 +61,10 @@ object GraftExtensions {
       RegExpReplace(Lower(e), Literal("[^a-z0-9 ]"), Literal(" ")),
       Literal(" +"), Literal(" ")))
 
-  private def sumAgg(arr: Expression, term: Expression => Expression)
-      : Expression =
-    ArrayAggregate(arr, Literal(0.0),
-      lam2("acc", "v")((acc, v) => Add(acc, term(v))), lam1("r")(identity))
-
-  /** Similarity.cosine in catalyst terms (zip_with dot product +
-    * aggregate norms, zero-norm guard). */
-  private def cosineExpr(a: Expression, b: Expression): Expression = {
-    val ad = Cast(a, ArrayType(DoubleType))
-    val bd = Cast(b, ArrayType(DoubleType))
-    val dot = ArrayAggregate(
-      ZipWith(ad, bd, lam2("x", "y")((x, y) => Multiply(x, y))),
-      Literal(0.0), lam2("acc", "v")((acc, v) => Add(acc, v)),
-      lam1("r")(identity))
-    val na = Sqrt(sumAgg(ad, v => Multiply(v, v)))
-    val nb = Sqrt(sumAgg(bd, v => Multiply(v, v)))
-    CaseWhen(
-      Seq((Or(EqualTo(na, Literal(0.0)), EqualTo(nb, Literal(0.0))),
-        Literal(0.0))),
-      Some(Divide(dot, Multiply(na, nb))))
-  }
+  // graft_cosine used to build the HOF catalyst tree here; it now binds
+  // the native CosineSim kernel directly (same semantics, pinned by the
+  // GraftProps parity property), so SQL and DataFrame callers share one
+  // codegen'd implementation.
 
   /** (name, usage, arity, builder). simhash64 is a native Catalyst
     * expression; normalize/fingerprint/cosine are the pipeline ops
@@ -100,6 +83,8 @@ object GraftExtensions {
       "graft_fingerprint(str) - md5 content fingerprint of normalized text",
       1, cs => Md5(Cast(normalizeExpr(cs.head), BinaryType))),
     ("graft_cosine",
-      "graft_cosine(array<double>, array<double>) - cosine similarity",
-      2, cs => cosineExpr(cs(0), cs(1))))
+      "graft_cosine(array<double>, array<double>) - cosine similarity " +
+        "(native CosineSim kernel)",
+      2, cs => CosineSim(Cast(cs(0), ArrayType(DoubleType)),
+        Cast(cs(1), ArrayType(DoubleType)))))
 }

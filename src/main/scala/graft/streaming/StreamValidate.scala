@@ -162,6 +162,21 @@ object StreamValidate {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(Seq(idCol, tsCol))
 
+  /** Stream dedup whose state stays watermark-bounded even when the SAME
+    * id arrives with DIFFERENT event times (retries, producer replays —
+    * the common crawl-ingest shape): dropDuplicatesWithinWatermark keys
+    * state by id alone and expires each entry once the watermark passes
+    * its event time. [[dedupStream]] keys on (id, ts), so replays with
+    * drifting timestamps all pass through it; this form drops them, at
+    * the cost of only deduplicating within the watermark horizon. On an
+    * unbounded 100 TB/day stream this is the difference between O(ids in
+    * horizon) and O(distinct (id, ts) pairs) of state. */
+  def dedupStreamWithinWatermark(stream: DataFrame, idCol: String,
+                                 tsCol: String,
+                                 watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   // ---- custom state (flatMapGroupsWithState) ----
 
   final case class SeqEvent(key: String, ts: java.sql.Timestamp,

@@ -104,6 +104,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 3)
   }
 
+  test("watermark-bounded dedup drops replays with drifting timestamps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // id 1 replayed at three different event times, id 2 once — the
+    // (id, ts) form would keep all three id-1 rows; this form keeps one
+    input.addData((1L, at(0)), (1L, at(5)), (2L, at(1)), (1L, at(9)))
+    val deduped = StreamValidate.dedupStreamWithinWatermark(
+      input.toDF().toDF("id", "ts"), "id", "ts", "1 minute")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_wm_out").count() == 2)
+  }
+
   test("stateful monotonic check matches per-key lag on a batch frame") {
     val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
     val got = StreamValidate.statefulMonotonicCheck(
