@@ -2172,6 +2172,26 @@ object SparkEntry {
           min(col("offset")).as("min_offset"),
           max(col("offset") + col("n_tokens")).as("max_end"))
         .orderBy(col("shard"))
+    }),
+    "q165_html_extract" -> ((s, dir) => {
+      // Crawl HTML -> text extraction: wrap every document in a
+      // deterministic HTML shell (script/style blocks, attributes, the
+      // six common entities incl. the double-escape &amp;amp; trap),
+      // strip with Text.stripHtml, and hash the EXACT extracted text per
+      // doc — the oracle replays the identical regexp/replace chain in
+      // SQL, so this pins the full extraction, not just counts.
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style>" +
+          "<script type=\"text/js\">if (1 < 2) { x(); }</script>" +
+          "</head><body class=\"m\"><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><br/><div>&amp;amp; 5 &lt; 7 &gt; 3 &quot;q&#39;s" +
+          "&quot; a&nbsp;b</div></body></html>"))
+      docs.select(col("doc_id"),
+          graft.pipeline.Text.stripHtml(html).as("t"))
+        .select(col("doc_id"), md5(col("t").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3800,6 +3820,25 @@ object SparkEntry {
            CAST(sum(tk) AS BIGINT) AS tokens,
            CAST(min(off) AS BIGINT) AS min_offset,
            CAST(max(off + tk) AS BIGINT) AS max_end
-         FROM p GROUP BY shard ORDER BY shard"""
+         FROM p GROUP BY shard ORDER BY shard""",
+    "q165_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style>p { color: red }</style>' ||
+           '<script type="text/js">if (1 < 2) { x(); }</script>' ||
+           '</head><body class="m"><h1>Doc</h1><p>' || text ||
+           '</p><br/><div>&amp;amp; 5 &lt; 7 &gt; 3 &quot;q&#39;s' ||
+           '&quot; a&nbsp;b</div></body></html>' AS html
+           FROM documents WHERE doc_id < 300),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+           '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r]*>',
+           ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+           FROM s1),
+         s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+           replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
+         s4 AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r]+', ' ',
+           'g')) AS t FROM s3)
+         SELECT doc_id, md5(t) AS digest FROM s4 ORDER BY doc_id"""
   )
 }

@@ -41,6 +41,13 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"lang in ${langs.mkString(",")}")
 
   /** Exact dedup on the normalized-content fingerprint, keep lowest id. */
+  /** HTML -> text extraction stage (crawl ingest: run FIRST, before any
+    * quality/dedup stage sees markup): replaces the text column with
+    * [[Text.stripHtml]]'s extraction. */
+  def extractHtml(): Curate =
+    copy(df = df.withColumn(textCol, Text.stripHtml(col(textCol))),
+      stages = stages :+ "extract_html")
+
   def dedupExact(): Curate =
     copy(df = Dedup.exactDedup(df, textCol, idCol),
       stages = stages :+ "dedup_exact")

@@ -195,6 +195,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.chunkPayload(edge, "content", 64).count() == 0)
   }
 
+  test("stripHtml: blocks, tags, entities, double-escape, whitespace") {
+    val rows = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      "<script>if (a < b) { x(); }</script>after" -> "after",
+      "<STYLE media=\"all\">p{}</style>ok" -> "ok",
+      "a &lt;tag&gt; &quot;q&#39;s&quot; &amp; b" -> "a <tag> \"q's\" & b",
+      // &amp;lt; must decode to the literal text "&lt;", never to "<"
+      "&amp;lt;" -> "&lt;",
+      "one\t\ntwo   three <br/> four" -> "one two three four",
+      "plain text" -> "plain text")
+    val df = rows.zipWithIndex.map { case ((in, want), i) => (i, in, want) }
+      .toDF("i", "in", "want")
+    val bad = df.filter(
+      graft.pipeline.Text.stripHtml($"in") =!= $"want").collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
   test("lshTopK on an empty or all-null corpus returns empty, not a throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
