@@ -2192,6 +2192,34 @@ object SparkEntry {
           graft.pipeline.Text.stripHtml(html).as("t"))
         .select(col("doc_id"), md5(col("t").cast("binary")).as("digest"))
         .orderBy(col("doc_id"))
+    }),
+    "q166_url_canon" -> ((s, dir) => {
+      // Crawl-frontier URL dedup: five syntactic variants per page
+      // (case, default port, www, fragment, plus genuinely-distinct
+      // https and query forms) synthesized from c_custkey; canonical
+      // distinct count collapses the first three per page while raw
+      // distinct keeps them apart. The oracle replays the identical
+      // extract/lower chain.
+      val urls = table(s, dir, "customer").select(
+        (col("c_custkey") % 97).cast("long").as("p"),
+        (col("c_custkey") % 5).cast("int").as("v"))
+        .withColumn("url",
+          when(col("v") === 0,
+            concat(lit("http://example.com/p/"), col("p").cast("string")))
+          .when(col("v") === 1,
+            concat(lit("HTTP://Example.Com:80/p/"), col("p").cast("string")))
+          .when(col("v") === 2,
+            concat(lit("http://www.example.com/p/"),
+              col("p").cast("string"), lit("#frag")))
+          .when(col("v") === 3,
+            concat(lit("https://example.com/p/"), col("p").cast("string")))
+          .otherwise(concat(lit("http://example.com/p/"),
+            col("p").cast("string"), lit("?x=1"))))
+      urls.agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("url")).as("distinct_raw"),
+        count_distinct(graft.pipeline.Text.canonicalUrl(col("url")))
+          .as("distinct_canonical"))
     })
   )
 
@@ -3839,6 +3867,35 @@ object SparkEntry {
            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
          s4 AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r]+', ' ',
            'g')) AS t FROM s3)
-         SELECT doc_id, md5(t) AS digest FROM s4 ORDER BY doc_id"""
+         SELECT doc_id, md5(t) AS digest FROM s4 ORDER BY doc_id""",
+    "q166_url_canon" ->
+      """WITH u AS (SELECT
+           CASE c_custkey % 5
+             WHEN 0 THEN 'http://example.com/p/' || (c_custkey % 97)
+             WHEN 1 THEN 'HTTP://Example.Com:80/p/' || (c_custkey % 97)
+             WHEN 2 THEN 'http://www.example.com/p/' || (c_custkey % 97)
+                         || '#frag'
+             WHEN 3 THEN 'https://example.com/p/' || (c_custkey % 97)
+             ELSE 'http://example.com/p/' || (c_custkey % 97) || '?x=1'
+           END AS url FROM customer),
+         c AS (SELECT url,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           FROM u),
+         k AS (SELECT url, scheme ||  '://' ||
+           regexp_replace(CASE WHEN scheme = 'http'
+               THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END, '^www\.', '') ||
+           CASE WHEN rest = '' THEN '/' ELSE rest END AS canon
+           FROM c)
+         SELECT count(*) AS n,
+           count(DISTINCT url) AS distinct_raw,
+           count(DISTINCT canon) AS distinct_canonical
+         FROM k"""
   )
 }

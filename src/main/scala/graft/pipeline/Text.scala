@@ -264,4 +264,26 @@ object Text {
       .foldLeft(noTags) { case (e, (k, v)) => replace(e, lit(k), lit(v)) }
     trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
   }
+
+  /** URL canonicalization for crawl-frontier dedup: lowercase scheme and
+    * host, drop the default port (:80 http / :443 https), optionally
+    * strip a leading `www.`, drop the fragment, and normalize an empty
+    * path to `/`. Path case and the query string are PRESERVED — they
+    * are semantic on most servers. Strings without a `scheme://` prefix
+    * pass through unchanged. Pure regexp_extract/lower composition:
+    * scan-speed, engine-portable (the oracle replays it in SQL), and no
+    * java.net.URL per row (driver-side parsing is the anti-pattern). */
+  def canonicalUrl(u: Column, stripWww: Boolean = true): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = if (stripWww) regexp_replace(noPort, "^www\\.", "") else noPort
+    val rest =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = when(rest === "", lit("/")).otherwise(rest)
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, path))
+  }
 }

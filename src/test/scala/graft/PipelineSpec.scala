@@ -212,6 +212,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(";"))
   }
 
+  test("canonicalUrl: case, ports, www, fragments, empty path, non-URLs") {
+    val rows = Seq(
+      "HTTP://Example.Com:80/A/b?Q=1#frag" -> "http://example.com/A/b?Q=1",
+      "https://www.Example.com:443" -> "https://example.com/",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "http://example.com" -> "http://example.com/",
+      "ftp://Host.Com/File" -> "ftp://host.com/File",
+      "not a url" -> "not a url",
+      "http://www.example.com/www.keep" -> "http://example.com/www.keep")
+    val df = rows.zipWithIndex.map { case ((in, want), i) => (i, in, want) }
+      .toDF("i", "in", "want")
+    val bad = df.filter(
+      graft.pipeline.Text.canonicalUrl($"in") =!= $"want").collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+    // stripWww = false preserves the www host
+    val keep = df.filter($"i" === 1).select(
+      graft.pipeline.Text.canonicalUrl($"in", stripWww = false))
+      .head().getString(0)
+    assert(keep == "https://www.example.com/")
+  }
+
   test("lshTopK on an empty or all-null corpus returns empty, not a throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
