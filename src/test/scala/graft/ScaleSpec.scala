@@ -111,6 +111,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "verify phase must be candidate-scoped via a semi join")
   }
 
+  test("embeddingDupPairsLsh plan: no distinct, no post-join exchange") {
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val pairs = graft.pipeline.Dedup.embeddingDupPairsLsh(
+      emb, "vec_id", "embedding", 0.9, dim = 64)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the first-matching-band filter replaces the old distinct: the only
+    // exchanges are the two join-input shuffles (plus AQE readers), so
+    // nothing above the join re-shuffles the (potentially huge) pair set
+    assert(!plan.contains("HashAggregate(keys=[id_a"),
+      s"pair-level distinct resurfaced:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"post-join exchange appeared ($exchanges):\n" +
+      plan.take(3000))
+    // the Hamming screen and exact cosine stay in the join stage
+    assert(plan.contains("bit_count") && plan.contains("cosine_sim"),
+      s"bit screen / native cosine missing:\n${plan.take(3000)}")
+  }
+
   test("q74 evaluates the language argmax once per row") {
     val df = SparkEntry.queries("q74_language_id")(spark,
       "/root/testdata/sf0.001")
