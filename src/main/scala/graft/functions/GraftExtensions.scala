@@ -66,6 +66,41 @@ object GraftExtensions {
   // GraftProps parity property), so SQL and DataFrame callers share one
   // codegen'd implementation.
 
+  /** Text.stripHtml stated in catalyst terms — identical pattern
+    * literals and stage order, parity pinned in Round3Spec. */
+  private def stripHtmlExpr(e: Expression): Expression = {
+    val noBlocks = RegExpReplace(e,
+      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\r]*>"),
+      Literal(" "))
+    val noTags = RegExpReplace(noBlocks, Literal("<[^>]*>"), Literal(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags: Expression) { case (x, (k, v)) =>
+        StringReplace(x, Literal(k), Literal(v)) }
+    StringTrim(RegExpReplace(decoded, Literal("[ \\t\\n\\r]+"), Literal(" ")))
+  }
+
+  /** Text.canonicalUrl (stripWww = true) in catalyst terms. */
+  private def canonicalUrlExpr(u: Expression): Expression = {
+    val scheme = Lower(RegExpExtract(u,
+      Literal("^([A-Za-z][A-Za-z0-9+.-]*)://"), Literal(1)))
+    val hostport = Lower(RegExpExtract(u,
+      Literal("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"), Literal(1)))
+    val noPort = CaseWhen(Seq(
+      (EqualTo(scheme, Literal("http")),
+        RegExpReplace(hostport, Literal(":80$"), Literal(""))),
+      (EqualTo(scheme, Literal("https")),
+        RegExpReplace(hostport, Literal(":443$"), Literal("")))),
+      Some(hostport))
+    val host = RegExpReplace(noPort, Literal("^www\\."), Literal(""))
+    val rest = RegExpExtract(u,
+      Literal("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"), Literal(1))
+    val path = CaseWhen(Seq((EqualTo(rest, Literal("")), Literal("/"))),
+      Some(rest))
+    CaseWhen(Seq((EqualTo(scheme, Literal("")), u)),
+      Some(Concat(Seq(scheme, Literal("://"), host, path))))
+  }
+
   /** (name, usage, arity, builder). simhash64 is a native Catalyst
     * expression; normalize/fingerprint/cosine are the pipeline ops
     * restated as catalyst trees — one semantics, shared by the DataFrame
@@ -86,5 +121,11 @@ object GraftExtensions {
       "graft_cosine(array<double>, array<double>) - cosine similarity " +
         "(native CosineSim kernel)",
       2, cs => CosineSim(Cast(cs(0), ArrayType(DoubleType)),
-        Cast(cs(1), ArrayType(DoubleType)))))
+        Cast(cs(1), ArrayType(DoubleType)))),
+    ("graft_strip_html",
+      "graft_strip_html(str) - HTML to text extraction (crawl ingest)",
+      1, cs => stripHtmlExpr(cs.head)),
+    ("graft_canonical_url",
+      "graft_canonical_url(str) - canonical URL for crawl-frontier dedup",
+      1, cs => canonicalUrlExpr(cs.head)))
 }

@@ -339,6 +339,21 @@ class Round3Spec extends AnyFunSuite {
       .select(expr("graft_fingerprint(text)").as("sqlFp"),
         graft.pipeline.Text.fingerprint(col("text")).as("dfFp")).head()
     assert(both.getString(0) == both.getString(1))
+    // crawl ops: SQL and DataFrame forms agree on adversarial inputs
+    val crawl = Seq(
+      ("<script>a<b</script><p>Hi &amp;lt; &nbsp;there</p>",
+        "HTTP://www.Example.Com:80/A?q=1#f"),
+      ("plain", "not a url")).toDF("h", "u")
+    crawl.createOrReplaceTempView("crawl")
+    val cmp = crawl.select(
+        expr("graft_strip_html(h)").as("sqlH"),
+        graft.pipeline.Text.stripHtml(col("h")).as("dfH"),
+        expr("graft_canonical_url(u)").as("sqlU"),
+        graft.pipeline.Text.canonicalUrl(col("u")).as("dfU")).collect()
+    cmp.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"stripHtml: $r")
+      assert(r.getString(2) == r.getString(3), s"canonicalUrl: $r")
+    }
     // DataFrame-API simhash and SQL simhash agree (shared expression)
     val toks = Seq(Seq("a", "b", "c")).toDF("t")
     toks.createOrReplaceTempView("tk")
