@@ -2077,9 +2077,16 @@ object SparkEntry {
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .unionByName(copies)
+      // banding sized from the corpus (parquet-footer count, no scan):
+      // the fixed (4, 14) form went quadratic at sf100 (2M vectors,
+      // 16k buckets/band -> 57 s); lshPlan holds candidates at
+      // O(bands * n) for any SF. Planted exact dups collide on every
+      // band under ANY plan, so the oracle pair set is unchanged.
+      val (nb, bb) = graft.pipeline.Dedup.lshPlan(
+        emb.count() + 48, threshold = 0.99)
       graft.pipeline.Dedup.embeddingDupPairsLsh(
           corpus, "vec_id", "embedding", threshold = 0.99,
-          bands = 4, bandBits = 14, dim = 64)
+          bands = nb, bandBits = math.max(14, bb), dim = 64)
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))

@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
   * Bucket values are identical to Similarity.lshBucket's HOF form (same
   * splitmix weight schedule), so plans and tests can mix the two.
   */
-case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, dim: Int,
+                            planeOffset: Int = 0)
     extends UnaryExpression {
   require(planes >= 1 && planes <= 63, s"planes must be in [1,63]: $planes")
   require(dim >= 1, s"dim must be positive: $dim")
+  require(planeOffset >= 0, s"planeOffset must be >= 0: $planeOffset")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
@@ -45,9 +47,15 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
             child.dataType.simpleString(100))
     }
 
-  // flat planes x dim weight matrix, built once per expression instance
+  // flat planes x dim weight matrix, built once per expression instance.
+  // Rows are GLOBAL plane indices [planeOffset, planeOffset + planes): the
+  // schedule depends only on the global index, so bucket(k planes at
+  // offset o) reproduces exactly bits [o, o+k) of bucket(o+k planes at
+  // offset 0) — banded callers draw disjoint plane sets that stay
+  // bit-compatible with the packed single-signature form (pinned in
+  // GraftProps).
   @transient private lazy val weights: Array[Double] =
-    HyperplaneBucket.weightMatrix(planes, dim)
+    HyperplaneBucket.weightMatrix(planes, dim, planeOffset)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -115,21 +123,25 @@ object HyperplaneBucket {
     (math.floorMod(z, 1000L).toDouble / 500.0) - 1.0
   }
 
-  def weightMatrix(planes: Int, dim: Int): Array[Double] = {
+  def weightMatrix(planes: Int, dim: Int, planeOffset: Int = 0)
+      : Array[Double] = {
     val w = new Array[Double](planes * dim)
     var p = 0
     while (p < planes) {
       var d = 0
-      while (d < dim) { w(p * dim + d) = weight(p, d); d += 1 }
+      while (d < dim) { w(p * dim + d) = weight(planeOffset + p, d); d += 1 }
       p += 1
     }
     w
   }
 
-  /** Column form: hyperplaneBucket(vecCol, planes, dim). */
+  /** Column form: hyperplaneBucket(vecCol, planes, dim[, planeOffset]). */
   def apply(vec: Column, planes: Int, dim: Int): Column =
+    apply(vec, planes, dim, 0)
+
+  def apply(vec: Column, planes: Int, dim: Int, planeOffset: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       HyperplaneBucket(
         org.apache.spark.sql.graft.ColumnBridge.expression(vec),
-        planes, dim))
+        planes, dim, planeOffset))
 }

@@ -202,6 +202,14 @@ object Dedup {
     * per-band key space is 2^bandBits, so size bandBits ≈ log₂(n) to
     * hold expected bucket occupancy at O(1) (the earlier fixed-bucket
     * 1-bit-probe form went quadratic the moment n outgrew 2^planes).
+    * Each band draws its own `bandBits`-plane signature from a DISJOINT
+    * plane range (plane offset b·bandBits), so bands and bandBits are
+    * independent — there is no bands·bandBits ≤ 63 packing ceiling, and
+    * a billion-vector corpus can run bandBits = 30 with as many bands
+    * as the recall target needs ([[lshPlan]] sizes both). For
+    * bands·bandBits ≤ 63 the per-band keys are bit-identical to the
+    * old packed-single-long form (same global plane schedule; pinned in
+    * GraftProps), so existing oracles and anchors carry over.
     * Two cheap bit-level filters run between the join and the exact
     * cosine so the expensive arithmetic touches ~only true candidates:
     *
@@ -223,8 +231,9 @@ object Dedup {
                            threshold: Double, bands: Int = 4,
                            bandBits: Int = 14, dim: Int = 0,
                            maxHamming: Int = -1): DataFrame = {
-    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
-      s"bands * bandBits must fit a long: $bands * $bandBits")
+    require(bands >= 1, s"bands must be >= 1: $bands")
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits must be in [1,63]: $bandBits")
     val totalBits = bands * bandBits
     val hmax =
       if (maxHamming >= 0) maxHamming
@@ -239,29 +248,69 @@ object Dedup {
       return v.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).limit(0)
     val d = probed.get
-    val mask = (1L << bandBits) - 1
-    val sig = v.withColumn("sig",
-      Similarity.lshBucket(col("v"), totalBits, d))
+    // one bandBits-plane signature per band, each from its own disjoint
+    // plane range — all computed in a single projection (one codegen'd
+    // loop per band over the row's vector)
+    val sigCols = (0 until bands).map(b =>
+      Similarity.lshBucket(col("v"), bandBits, d, b * bandBits).as(s"s$b"))
+    val sig = v.select(col("id") +: col("v") +: sigCols: _*)
     val keyed = sig.withColumn("band",
         explode(array((0 until bands).map(lit): _*)))
-      .withColumn("bits",
-        expr(s"shiftright(sig, band * $bandBits) & ${mask}L"))
-      .select(col("id"), col("v"), col("sig"), col("band"), col("bits"))
+      .withColumn("bits", element_at(
+        array((0 until bands).map(b => col(s"s$b")): _*), col("band") + 1))
     // lowest agreeing band only: every band below the joined one differs
     val firstMatch = (0 until bands - 1).map { b =>
-      col("a.band") <= b ||
-        expr(s"shiftright(a.sig, $b * $bandBits) & ${mask}L") =!=
-        expr(s"shiftright(b.sig, $b * $bandBits) & ${mask}L")
+      col("a.band") <= b || col(s"a.s$b") =!= col(s"b.s$b")
     }.reduceOption(_ && _).getOrElse(lit(true))
+    val hamming = (0 until bands)
+      .map(b => bit_count(col(s"a.s$b").bitwiseXOR(col(s"b.s$b"))))
+      .reduce(_ + _)
     keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
       .filter(firstMatch)
-      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= hmax)
+      .filter(hamming <= hmax)
       .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Size (bands, bandBits) for [[embeddingDupPairsLsh]] from the corpus
+    * size and the recall target: bandBits = ⌈log₂ n⌉ (clamped to
+    * [8, 63]) holds expected random bucket occupancy at O(1) — candidate
+    * volume stays O(bands · n) instead of O(n²/2^bandBits) — and bands
+    * is the smallest count reaching `recall` for a pair at cosine
+    * `threshold` under the sign-LSH collision model
+    * P(agree) = (1 - arccos(c)/π)^bandBits per band (capped at 64: past
+    * that the threshold is too far below what sign-LSH banding can
+    * retrieve economically and the caller should lower `recall` or
+    * raise `threshold`).
+    *
+    * Caveat measured on the sf100 ladder: for CLUSTER-CONCENTRATED
+    * corpora, sign-key occupancy is bound by the cluster structure, not
+    * the key space (the sf100 embeddings populate only ~34k of 2^21
+    * keys), so widening bandBits past the data's sign-entropy stops
+    * shrinking buckets and each extra band adds near-linear candidate
+    * cost. The irreducible floor is the true-pair count itself — every
+    * pair above `threshold` must be verified and emitted — so on
+    * dup-dense corpora wall time tracks recall, and lowering `recall`
+    * is the honest cost knob. */
+  def lshPlan(n: Long, threshold: Double,
+              recall: Double = 0.95): (Int, Int) = {
+    require(n >= 0, s"n must be >= 0: $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    require(recall > 0.0 && recall < 1.0, s"recall must be in (0,1): $recall")
+    val bandBits = math.min(63, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
+    val q = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pBand = math.pow(q, bandBits.toDouble)
+    val bands =
+      if (pBand >= 1.0) 1
+      else math.min(64, math.max(1,
+        math.ceil(math.log1p(-recall) / math.log1p(-pBand)).toInt))
+    (bands, bandBits)
   }
 
   // ---- near-duplicate cluster assignment ----

@@ -63,8 +63,9 @@ object Similarity {
     * (17× super-linear at sf10) and a constant-literal HOF pipeline
     * (correct scaling but boxed lambda evaluation that degraded
     * several-fold under long-JVM GC pressure in the full-suite bench). */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
-    graft.functions.HyperplaneBucket(vec, planes, dim)
+  def lshBucket(vec: Column, planes: Int, dim: Int,
+                planeOffset: Int = 0): Column =
+    graft.functions.HyperplaneBucket(vec, planes, dim, planeOffset)
 
   /** ANN top-k: only corpus rows in the query's LSH bucket are scored.
     * Recall is tunable via `planes` (fewer planes = bigger buckets =

@@ -735,6 +735,28 @@ object GraftProps extends Properties("graft") {
         s"codegen=$codegen eval=$evaled floats=$floats want=$want wantF=$wantF"
     }
 
+  // plane-offset consistency: a k-plane signature at offset o is exactly
+  // bits [o, o+k) of the packed (o+k)-plane signature — the invariant
+  // that makes the banded per-signature dedup form (Dedup.
+  // embeddingDupPairsLsh with bands*bandBits > 63) bit-compatible with
+  // the old packed-single-long form on every band key.
+  property("hyperplane_bucket planeOffset == packed signature slice") =
+    forAll(Gen.listOfN(6, bucketVec),
+           Gen.choose(1, 20), Gen.choose(0, 40)) { (vecs, k, o) =>
+      import org.apache.spark.sql.functions.col
+      val dim = 6
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val rows = df.orderBy("id").select(
+          graft.functions.HyperplaneBucket(col("v"), k, dim, o).as("off"),
+          graft.functions.HyperplaneBucket(col("v"), o + k, dim).as("packed"))
+        .as[(Long, Long)].collect().toList
+      val mask = (1L << k) - 1
+      Prop(rows.forall { case (off, packed) =>
+        off == ((packed >>> o) & mask) }) :|
+        s"k=$k o=$o rows=$rows"
+    }
+
   // ---- cosine_sim kernel vs the retained HOF reference form, over
   // adversarial inputs: nulls inside arrays, length mismatches, empty
   // and all-zero vectors, float element type. The HOF's corner rules

@@ -165,6 +165,27 @@ class PipelineSpec extends AnyFunSuite {
     // empty corpus: empty result, not a throw
     assert(Dedup.embeddingDupPairsLsh(corpus.limit(0), "vec_id", "embedding",
       0.8).count() == 0)
+    // wide mode (bands*bandBits > 63, per-band plane-offset signatures —
+    // the regime the packed-long form could not reach): same invariants
+    val wide = pairSet(Dedup.embeddingDupPairsLsh(corpus, "vec_id",
+      "embedding", 0.8, bands = 6, bandBits = 20, dim = 64))
+    assert(wide.subsetOf(brute), s"wide false positives: ${wide diff brute}")
+    assert(planted.subsetOf(wide), s"wide missed exact dups: ${planted diff wide}")
+  }
+
+  test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {
+    // bandBits tracks ceil(log2 n), clamped to [8, 63]
+    assert(Dedup.lshPlan(100L, 0.99)._2 == 8)
+    assert(Dedup.lshPlan(2000000L, 0.99)._2 == 21)
+    assert(Dedup.lshPlan(1L << 40, 0.99)._2 == 40)
+    // band count reaches the recall target under the sign-LSH model
+    val (bands, bits) = Dedup.lshPlan(2000000L, 0.99, recall = 0.95)
+    val q = 1.0 - math.acos(0.99) / math.Pi
+    val achieved = 1.0 - math.pow(1.0 - math.pow(q, bits), bands)
+    assert(achieved >= 0.95, s"recall $achieved with $bands bands")
+    // one band fewer would miss the target (minimality)
+    val under = 1.0 - math.pow(1.0 - math.pow(q, bits), bands - 1)
+    assert(under < 0.95, s"bands not minimal: $bands")
   }
 
   test("chunkPayload: lossless slicing — chunks reassemble to the original bytes") {
