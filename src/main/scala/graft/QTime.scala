@@ -16,11 +16,12 @@ object QTime {
     val sfDir = args(0)
     val wanted = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
+    val spark = graft.ops.Exprs.sizedDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")))
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")),
+      sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.ops.Exprs.quietNoisyLoggers()

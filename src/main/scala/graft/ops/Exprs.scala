@@ -102,6 +102,41 @@ object Exprs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", jvmWarehouse)
 
+  /** [[sessionDefaults]] plus a shuffle width sized from the data
+    * directory — the local analogue of sizing reduce width to the
+    * cluster/data on a real deployment. AQE's initialPartitionNum is
+    * clamp(on-disk bytes / 64 MB, 32, 512) and AQE coalesces DOWN to
+    * the ~64 MB advisory size at runtime, so fixtures at and below
+    * sf10 keep the exact 32-wide plans every anchor was recorded at
+    * (bytes/64MB < 32 there), while sf100's 600M-row sort-joins get
+    * ~250-way reduces whose per-task sort state fits memory instead
+    * of external-sorting 19M rows per task. Measurement notes
+    * (BASELINE.md round-9): a STATIC 256 tripled the many-small-stage
+    * dedup queries at sf0.1 (width must follow the data, hence this
+    * form); at sf100 the first A/B read q105 44.8 -> 34.5 s and q03
+    * 56.5 -> 28.3 s, but an interleaved same-JVM replication put the
+    * width effect inside the host's ±30% noise envelope — the sized
+    * width is kept for the principled reason (a fixed 32-wide reduce
+    * cannot be right at 1000x the data), with local effect recorded
+    * as neutral-to-positive, not as a measured win. */
+  def sizedDefaults(b: SparkSession.Builder, dataDir: String)
+      : SparkSession.Builder = {
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(dataDir)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(q => java.nio.file.Files.isRegularFile(q))
+            .mapToLong(q => java.nio.file.Files.size(q)).sum
+          finally s.close()
+        } else 0L
+      } catch { case _: Throwable => 0L }
+    val parts = math.min(512L, math.max(32L, bytes / (64L << 20)))
+    sessionDefaults(b).config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      parts.toString)
+  }
+
   /** Silence known-benign ERROR-level logging that would otherwise land in
     * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a
     * full Derby stack trace at ERROR when an aggregate pushdown attempt is
