@@ -72,6 +72,11 @@ object Bench {
         System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
           s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}"))
     val total = results.map(_._2.min).filter(_ >= 0).sum
+    // ALL numeric JSON rendering goes through Locale.ROOT: the f""
+    // interpolator is default-locale-dependent and would emit comma
+    // decimals (invalid JSON) on a comma-decimal locale.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     // Host-contention forensics, machine-readable (four rounds of driver
     // runs read 1.2x a quiet-machine anchor with identical code; the
     // judge had to separate contention from regression by hand): each
@@ -88,14 +93,14 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     // Full-name per-query detail goes to BENCH.json (unbounded length):
     // min-of-N plus each query's run spread.
-    val qsFull = results.map { case (k, v) => "\"" + k + f"""\":${v.min}%.4f""" }
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + num(v.min, 4) }
       .mkString("{", ",", "}")
     val spreadFull = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]" }
+      "\"" + k + "\":[" + v.map(t => num(t, 4)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":$contention%.3f,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":${num(contention, 3)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -111,12 +116,18 @@ object Bench {
     // to 1 decimal (ms detail is always in BENCH.json either way).
     def render(decimals: Int): String = {
       val qsShort = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" +
-          String.format(java.util.Locale.ROOT, s"%.${decimals}f",
-            Double.box(v.min)) }.mkString("{", ",", "}")
-      f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":$contention%.3f,"sf":"$sfDir","detail":"BENCH.json"}"""
+        "\"" + k.takeWhile(_ != '_') + "\":" + num(v.min, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":${num(contention, 3)},"sf":"$sfDir","detail":"BENCH.json"}"""
     }
     val line = { val l2 = render(2); if (l2.length <= 1900) l2 else render(1) }
+    // last-resort guard: if even the 1-decimal form exceeds the driver's
+    // ~2000-char stdout tail window, say so loudly on stderr — a silently
+    // truncated JSON line cost round 2 its bench parse.
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: compact line ${line.length} chars" +
+        " exceeds the 1900-char budget even at 1 decimal — the driver's" +
+        " tail-parse may truncate it; shard the suite or shorten names")
     spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown logging can land
     // between the JSON line and process exit.

@@ -2068,10 +2068,13 @@ object SparkEntry {
       // embeddings table plus exact copies of vec_id < 48 under shifted
       // ids. Identical vectors ALWAYS share an LSH bucket (the bucketer
       // is a pure function of the values) and every reported pair is
-      // exact-cosine-verified, so at threshold 0.99 the result is
-      // EXACTLY the planted (source, copy) pairs at cosine 1.0 — the
-      // max non-identical cosine in the fixture is ~0.60 (verified at
-      // sf0.01 and sf0.1), leaving a 0.39 margin.
+      // exact-cosine-verified. The oracle DERIVES the qualifying pair
+      // set from the data (DuckDB list_cosine_similarity over the
+      // corpus), so it is fixture-independent — at the Verify SFs the
+      // max non-identical cosine is ~0.51-0.60, leaving a wide margin
+      // to the 0.99 threshold (a fixture change that planted natural
+      // near-dups would fail LOUDLY via the ~95%-recall gap instead of
+      // silently passing a stale hard-coded set).
       val emb = table(s, dir, "embeddings")
       val copies = emb.filter(col("vec_id") < 48)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
@@ -2080,13 +2083,13 @@ object SparkEntry {
       // banding sized from the corpus (parquet-footer count, no scan):
       // the fixed (4, 14) form went quadratic at sf100 (2M vectors,
       // 16k buckets/band -> 57 s); lshPlan holds candidates at
-      // O(bands * n) for any SF. Planted exact dups collide on every
-      // band under ANY plan, so the oracle pair set is unchanged.
+      // O(bands * n) for any SF. The (bands, bandBits) pair is used
+      // AS-IS — bands are sized for the bandBits actually run.
       val (nb, bb) = graft.pipeline.Dedup.lshPlan(
         emb.count() + 48, threshold = 0.99)
       graft.pipeline.Dedup.embeddingDupPairsLsh(
           corpus, "vec_id", "embedding", threshold = 0.99,
-          bands = nb, bandBits = math.max(14, bb), dim = 64)
+          bands = nb, bandBits = bb, dim = 64)
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2227,6 +2230,58 @@ object SparkEntry {
         count_distinct(col("url")).as("distinct_raw"),
         count_distinct(graft.pipeline.Text.canonicalUrl(col("url")))
           .as("distinct_canonical"))
+    }),
+    "q167_embed_dedup_fused" -> ((s, dir) => {
+      // Fused representative-only embedding dedup (Dedup.dedupByEmbedding
+      // — the 100 TB path that never materializes the pair list): corpus
+      // = a bounded slice (vec_id < 300) plus TWO planted copy
+      // generations, so clusters of size 3 ({v, v+100k, v+200k} for
+      // v < 24) and size 2 (24 <= v < 48) both exist and the kept set
+      // exercises transitive min-representative selection. The oracle
+      // DERIVES the exact kept set from the data: DuckDB computes the
+      // cosine >= 0.99 pair graph over the same corpus and closes it
+      // into components with a recursive CTE — fixture-independent, no
+      // assumption that only planted pairs exist.
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val c1 = emb.filter(col("vec_id") < 48)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val c2 = emb.filter(col("vec_id") < 24)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(c1).unionByName(c2)
+      graft.pipeline.Dedup.dedupByEmbedding(corpus, "vec_id", "embedding",
+          threshold = 0.99, dim = 64)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+    "q168_embed_dedup_corpus" -> ((s, dir) => {
+      // Full-corpus fused dedup — the SCALE workload companion to q167
+      // (same operator, whole embeddings table + planted copies). On
+      // dup-dense fixtures (sf100 plants ~210M true pairs) this is the
+      // regime where pair materialization (q160's contract) is
+      // output-bound and the fused path must stay corpus-bound. The
+      // oracle pins the SF-INDEPENDENT invariants of representative
+      // selection: every planted copy is dropped at ANY scale (its
+      // source shares its cluster with a strictly smaller id, so the
+      // cluster min is never the copy), the globally-minimal id is
+      // always kept (it is its own cluster min), and the kept count
+      // respects corpus-minus-copies. Exact kept-set semantics are
+      // q167's job on the bounded slice.
+      val emb = table(s, dir, "embeddings")
+      val copies = emb.filter(col("vec_id") < 48)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(copies)
+      val n = emb.count() + 48
+      val (nb, bb) = graft.pipeline.Dedup.lshPlan(n, threshold = 0.99)
+      val kept = graft.pipeline.Dedup.dedupByEmbedding(corpus, "vec_id",
+        "embedding", threshold = 0.99, bands = nb, bandBits = bb, dim = 64)
+      kept.agg(
+        sum(when(col("vec_id") >= 10000000L, 1L).otherwise(0L))
+          .as("copies_kept"),
+        min(col("vec_id")).cast("long").as("min_kept"),
+        (count(lit(1)) <= lit(n - 48) && count(lit(1)) >= lit(1L))
+          .as("kept_within_bound"))
     })
   )
 
@@ -3781,9 +3836,18 @@ object SparkEntry {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) WHERE rk <= 40 ORDER BY doc_id""",
     "q160_embed_dedup_lsh" ->
-      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
-         CAST(1.0 AS DOUBLE) AS cos
-         FROM embeddings WHERE vec_id < 48 ORDER BY id_a, id_b""",
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings
+           WHERE vec_id < 48)
+         SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+           CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST(round(list_cosine_similarity(a.embedding, b.embedding), 6)
+             AS DOUBLE) AS cos
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+         ORDER BY id_a, id_b""",
     "q161_payload_chunks" ->
       """WITH d AS (SELECT octet_length(encode(text)) AS b FROM documents
            WHERE length(text) > 0)
@@ -3903,6 +3967,33 @@ object SparkEntry {
          SELECT count(*) AS n,
            count(DISTINCT url) AS distinct_raw,
            count(DISTINCT canon) AS distinct_canonical
-         FROM k"""
+         FROM k""",
+    "q167_embed_dedup_fused" ->
+      """WITH RECURSIVE slice AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         corpus AS (
+           SELECT vec_id, embedding FROM slice
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM slice WHERE vec_id < 48
+           UNION ALL
+           SELECT vec_id + 200000, embedding FROM slice WHERE vec_id < 24),
+         pairs AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+         edges AS (
+           SELECT ia AS s, ib AS d FROM pairs
+           UNION SELECT ib, ia FROM pairs),
+         reach(id, r) AS (
+           SELECT vec_id, vec_id FROM corpus
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS vec_id FROM comp WHERE id = c
+         ORDER BY vec_id""",
+    "q168_embed_dedup_corpus" ->
+      """SELECT CAST(0 AS BIGINT) AS copies_kept,
+           CAST(0 AS BIGINT) AS min_kept,
+           true AS kept_within_bound"""
   )
 }

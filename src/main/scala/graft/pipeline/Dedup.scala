@@ -297,12 +297,19 @@ object Dedup {
     * dup-dense corpora wall time tracks recall, and lowering `recall`
     * is the honest cost knob. */
   def lshPlan(n: Long, threshold: Double,
-              recall: Double = 0.95): (Int, Int) = {
+              recall: Double = 0.95, minBandBits: Int = 8): (Int, Int) = {
     require(n >= 0, s"n must be >= 0: $n")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1]: $threshold")
     require(recall > 0.0 && recall < 1.0, s"recall must be in (0,1): $recall")
-    val bandBits = math.min(63, math.max(8,
+    require(minBandBits >= 1 && minBandBits <= 63,
+      s"minBandBits must be in [1,63]: $minBandBits")
+    // callers needing a bandBits floor pass it HERE (not by overriding the
+    // returned value) so the band count is computed for the bandBits
+    // actually used — an external max(floor, bb) override would leave
+    // bands sized for a higher per-band collision probability than the
+    // widened key space delivers, silently missing the recall target
+    val bandBits = math.min(63, math.max(minBandBits,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
     val q = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     val pBand = math.pow(q, bandBits.toDouble)
@@ -312,6 +319,131 @@ object Dedup {
         math.ceil(math.log1p(-recall) / math.log1p(-pBand)).toInt))
     (bands, bandBits)
   }
+
+  /** Fused representative-only embedding dedup labels — the 100 TB path
+    * for near-dup REMOVAL. [[embeddingDupPairsLsh]] materializes the
+    * verified pair LIST, which is the wrong plan when the caller only
+    * wants the deduped corpus: on dup-dense corpora output ≈ true-pair
+    * count (the sf100 ladder fixture plants ~210M pairs at cosine ≥
+    * 0.99; a 100× corpus at that density implies ~21B pair rows before
+    * clustering even starts). This operator never materializes pairs:
+    * each round recomputes the banded sign-LSH self-join and immediately
+    * AGGREGATES the minimum verified-neighbor label per id — partial
+    * aggregation collapses the pair stream map-side, so shuffle traffic
+    * and storage stay O(n · bands) at ANY pair density, and the pair
+    * verification (the irreducible exact-cosine work) is compute-only.
+    *
+    * Semantics: connected components over the SAME verified-candidate
+    * graph that `embeddingDupPairsLsh |> dupClusters` would build (banded
+    * hyperplane signatures, first-matching-band uniqueness, Hamming
+    * screen, exact-cosine verify at `threshold`) — every id that appears
+    * in the graph is labeled with the minimum id reachable through
+    * verified pairs. LSH affects recall only, identically to the pair
+    * path: exact duplicates share every band by construction.
+    *
+    * Convergence: hash-min with pointer jumping over the IMPLICIT graph —
+    *   label(x) ← min(label(x), labels of verified neighbors,
+    *                  label(label(x)))
+    * so rounds = O(log diameter). Rounds after the first skip
+    * verification for same-label candidate pairs (one long compare
+    * before any cosine arithmetic): near-clique dup clusters — the
+    * dominant corpus shape — converge in one verified round plus one
+    * cheap confirmation round. Per-round lineage is truncated via
+    * localCheckpoint (swap in reliable checkpoints on a real cluster). */
+  def embedDupLabels(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bands: Int = 0, bandBits: Int = 0,
+                     dim: Int = 0, maxHamming: Int = -1,
+                     maxIter: Int = 20): DataFrame = {
+    val v0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = if (dim > 0) Some(dim)
+      else v0.select(size(col("v")).as("d")).take(1).headOption.map(_.getInt(0))
+    if (probed.isEmpty)
+      return v0.select(col("id"), col("id").as("cluster")).limit(0)
+    val d = probed.get
+    val (nb, bb) =
+      if (bands > 0 && bandBits > 0) (bands, bandBits)
+      else {
+        val plan = lshPlan(v0.count(), threshold)
+        (if (bands > 0) bands else plan._1,
+         if (bandBits > 0) bandBits else plan._2)
+      }
+    val totalBits = nb * bb
+    val hmax =
+      if (maxHamming >= 0) maxHamming
+      else math.min(totalBits,
+        math.ceil(2.0 * totalBits * math.acos(threshold) / math.Pi).toInt
+          .max(1))
+    val sigCols = (0 until nb).map(b =>
+      Similarity.lshBucket(col("v"), bb, d, b * bb).as(s"s$b"))
+    val sig = v0.select(col("id") +: col("v") +: sigCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    val firstMatch = (0 until nb - 1).map { b =>
+      col("a.band") <= b || col(s"a.s$b") =!= col(s"b.s$b")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val hamming = (0 until nb)
+      .map(b => bit_count(col(s"a.s$b").bitwiseXOR(col(s"b.s$b"))))
+      .reduce(_ + _)
+    var labels = sig.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val keyed = sig.join(labels, Seq("id"))
+        .withColumn("band", explode(array((0 until nb).map(lit): _*)))
+        .withColumn("bits", element_at(
+          array((0 until nb).map(b => col(s"s$b")): _*), col("band") + 1))
+      // the fused verify+aggregate: same candidate discipline as
+      // embeddingDupPairsLsh, but the select feeds straight into a
+      // min-aggregate — pair rows exist only inside the map task.
+      // Same-label pairs (already one component) skip the cosine: a
+      // long compare guards the arithmetic, which makes confirmation
+      // rounds nearly free on converged clusters.
+      val contrib = keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.id") < col("b.id"))
+        .filter(firstMatch)
+        .filter(col("a.cluster") =!= col("b.cluster"))
+        .filter(hamming <= hmax)
+        .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+        .select(explode(array(
+          struct(col("a.id").as("id"), col("b.cluster").as("nl")),
+          struct(col("b.id").as("id"), col("a.cluster").as("nl")))).as("c"))
+        .select(col("c.id").as("id"), col("c.nl").as("nl"))
+      // pointer jumping: label-of-label shortcuts chain-shaped clusters
+      val pj = labels.as("x").join(labels.as("y"),
+          col("x.cluster") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.cluster").as("nl"))
+      val prop = contrib.unionAll(pj).groupBy(col("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.withColumnRenamed("cluster", "old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"),
+          col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select("id", "cluster")
+      iter += 1
+    }
+    sig.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"embedDupLabels did not converge in $maxIter rounds ($changed " +
+          "labels still moving) — raise maxIter")
+    labels
+  }
+
+  /** Keep one representative (the min id) per embedding near-dup cluster,
+    * without ever materializing the pair list — see [[embedDupLabels]]
+    * for the contract. Rows with null vectors survive untouched. */
+  def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, bands: Int = 0, bandBits: Int = 0,
+                       dim: Int = 0, maxHamming: Int = -1,
+                       maxIter: Int = 20): DataFrame =
+    dedupByClusters(df, idCol,
+      embedDupLabels(df, idCol, vecCol, threshold, bands, bandBits, dim,
+        maxHamming, maxIter))
 
   // ---- near-duplicate cluster assignment ----
 

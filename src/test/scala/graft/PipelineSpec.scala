@@ -173,6 +173,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.subsetOf(wide), s"wide missed exact dups: ${planted diff wide}")
   }
 
+  test("dedupByEmbedding: fused labels match pairs|>dupClusters exactly") {
+    // the fused representative-only path must produce the SAME components
+    // as materializing the verified pair list and clustering it — both
+    // run the identical banded-LSH candidate discipline, so parity is
+    // deterministic regardless of recall. Threshold 0.8 on the real
+    // fixture yields natural (non-planted) near-dup pairs too.
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val copies = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+    val pairs = Dedup.embeddingDupPairsLsh(corpus, "vec_id", "embedding",
+      0.8, bands = 4, bandBits = 14, dim = 64)
+    val viaPairs = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fusedAll = Dedup.embedDupLabels(corpus, "vec_id", "embedding",
+      0.8, bands = 4, bandBits = 14, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fused labels every vector (singletons label themselves); the pair
+    // path labels only paired ids — restrict to those and compare exactly
+    assert(viaPairs.keySet.subsetOf(fusedAll.keySet))
+    assert(viaPairs.forall { case (id, c) => fusedAll(id) == c },
+      s"label mismatch: ${viaPairs.filter { case (id, c) => fusedAll(id) != c }}")
+    assert(fusedAll.filterNot { case (id, _) => viaPairs.contains(id) }
+      .forall { case (id, c) => id == c }) // unpaired ids are their own rep
+    // and the dedup form keeps exactly one representative per cluster
+    val kept = Dedup.dedupByEmbedding(corpus, "vec_id", "embedding",
+      0.8, bands = 4, bandBits = 14, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val reps = fusedAll.values.toSet
+    val losers = fusedAll.filter { case (id, c) => id != c }.keySet
+    assert(kept == (fusedAll.keySet -- losers))
+    assert(reps.subsetOf(kept))
+  }
+
+  test("dedupByEmbedding: chain-shaped cluster converges transitively") {
+    // A ~ B ~ C with A !~ C (similarity is not transitive): unit vectors
+    // rotated in 20-degree steps — adjacent cos ~0.94 >= 0.9, two-step
+    // cos ~0.77 < 0.9. The whole chain is ONE component and only vec 0
+    // survives; reaching that requires label propagation beyond round 1
+    // (the min-neighbor of vec 4 is vec 3, not vec 0). Plan is sized for
+    // ~1-2e-7 miss probability per adjacent pair (16 bands x 4 bits at
+    // cos 0.94), so the test is deterministic in practice.
+    val step = math.toRadians(20)
+    val chain = (0 until 5).map { i =>
+      val a = i * step
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat) ++
+        Array.fill(62)(0.0f))
+    }
+    val far = Seq((100L, Array.fill(64)(0.0f).updated(30, 1.0f)))
+    val df = (chain ++ far).toDF("vec_id", "embedding")
+    val kept = Dedup.dedupByEmbedding(df, "vec_id", "embedding",
+      threshold = 0.9, bands = 16, bandBits = 4, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L), s"kept $kept")
+    // null-vector rows always survive (they cannot be near-duplicates)
+    val withNull = df.unionByName(Seq((200L,
+      null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val kept2 = Dedup.dedupByEmbedding(withNull, "vec_id", "embedding",
+      threshold = 0.9, bands = 16, bandBits = 4, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(0L, 100L, 200L))
+  }
+
   test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {
     // bandBits tracks ceil(log2 n), clamped to [8, 63]
     assert(Dedup.lshPlan(100L, 0.99)._2 == 8)
