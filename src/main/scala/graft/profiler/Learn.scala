@@ -23,7 +23,8 @@ final case class ColumnBaseline(
     mean: Option[Double], std: Option[Double],
     q25: Option[Double], q50: Option[Double], q75: Option[Double],
     minLength: Option[Int], maxLength: Option[Int],
-    allowedValues: Option[Seq[String]])
+    allowedValues: Option[Seq[String]],
+    approxStats: Boolean = false)
 
 final case class TableBaseline(rowCount: Long, columns: Seq[ColumnBaseline]) {
   def apply(c: String): ColumnBaseline = columns.find(_.name == c).get
@@ -36,34 +37,60 @@ object Learn {
   }
 
   /** One-pass learn; optional second pass for allowed values of columns
-    * whose distinct count is <= lowCardinality. */
+    * whose distinct count is <= lowCardinality.
+    *
+    * Size gate (`maxExactDistinct`): exact distinct counting and exact
+    * `percentile` both hold a per-distinct-value buffer through the
+    * final merge — the ONE aggregation family whose driver/merge
+    * footprint grows with distinct-value count (the sf100 ladder showed
+    * 1-4.3 GB single-array allocations; 10x that OOMs). Before the
+    * stats pass, a cheap fused HLL probe (`approx_count_distinct`, one
+    * Expand-free scan) estimates each column's cardinality; columns over
+    * the budget automatically run the approx path (HLL distinct +
+    * t-digest percentiles) and are flagged `approxStats = true` in the
+    * baseline, which `save` records. Oracle-scale runs stay exact: the
+    * gate only trips past ~8M distinct values per column. Set
+    * `maxExactDistinct = 0` to disable the gate (the pre-gate behavior),
+    * or `exactDistinct = false` to force approx for every column. */
   def learn(df: DataFrame, lowCardinality: Int = 20,
-            exactDistinct: Boolean = true, rsd: Double = 0.02): TableBaseline = {
+            exactDistinct: Boolean = true, rsd: Double = 0.02,
+            maxExactDistinct: Long = 1L << 23): TableBaseline = {
     val fields = df.schema.fields
+    // the probe pass: one fused HLL estimate per column (coarse rsd —
+    // the gate needs an order of magnitude, not a count)
+    val approxCols: Set[String] =
+      if (!exactDistinct || maxExactDistinct <= 0 || fields.isEmpty) Set.empty
+      else {
+        val pAggs = fields.map(f =>
+          approx_count_distinct(col(f.name), 0.05).as(f.name))
+        val r = df.agg(pAggs.head, pAggs.tail: _*).head()
+        fields.map(_.name)
+          .filter(n => r.getAs[Long](n) > maxExactDistinct).toSet
+      }
+    def colExact(c: String): Boolean = exactDistinct && !approxCols(c)
     def distinctOf(c: String): Column =
-      if (exactDistinct) count_distinct(struct(col(c)))
+      if (colExact(c)) count_distinct(struct(col(c)))
       else approx_count_distinct(col(c), rsd)
     // Expand guard (same lesson as SuiteRunner.collectSplitDistinct): 2+
     // exact DISTINCT aggregates in ONE Aggregate make Spark Expand the
-    // input N-fold. Keep the FIRST column's exact distinct fused (a single
-    // distinct is Expand-free); run each remaining column's distinct as
-    // its own column-pruned job. Approx (HLL) mode has no Expand — all
-    // fused.
-    val fuseDistinct: String => Boolean =
-      if (!exactDistinct) _ => true
-      else fields.headOption.map(_.name).toSet
+    // input N-fold. Keep the FIRST exact column's distinct fused (a single
+    // distinct is Expand-free); run each remaining exact column's distinct
+    // as its own column-pruned job. Approx (HLL) columns have no Expand —
+    // all fused.
+    val firstExact = fields.map(_.name).find(colExact)
+    def fuseDistinct(c: String): Boolean = !colExact(c) || firstExact.contains(c)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = f.name
       val base = Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls")) ++
         (if (fuseDistinct(c)) Seq(distinctOf(c).as(s"${c}__distinct")) else Nil)
-      // exactDistinct also selects exact (sort-based, driver-heavy) vs
-      // t-digest approximate percentiles — flip it off at scale. ONE
-      // array-form aggregate per column: three scalar percentile(c, p)
-      // calls each build their own value buffer over the whole column
-      // (3x the memory and merge work for identical values — sf10's
-      // dominant learn cost); percentile(c, array(...)) shares one.
+      // the same per-column gate selects exact (sort-based, driver-heavy)
+      // vs t-digest approximate percentiles. ONE array-form aggregate per
+      // column: three scalar percentile(c, p) calls each build their own
+      // value buffer over the whole column (3x the memory and merge work
+      // for identical values — sf10's dominant learn cost);
+      // percentile(c, array(...)) shares one.
       val pcts: Column =
-        if (exactDistinct) expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+        if (colExact(c)) expr(s"percentile($c, array(0.25, 0.5, 0.75))")
         else percentile_approx(col(c),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
       val numeric =
@@ -124,7 +151,8 @@ object Learn {
           get[Any](s"${c}__minlen").map { case v: Number => v.intValue() } else None,
         maxLength = if (f.dataType == StringType)
           get[Any](s"${c}__maxlen").map { case v: Number => v.intValue() } else None,
-        allowedValues = None)
+        allowedValues = None,
+        approxStats = !colExact(c))
     }
 
     // pass 2: allowed values for low-cardinality columns, fused into ONE agg
@@ -151,10 +179,11 @@ object Learn {
     baseline.columns.map(b => (baseline.rowCount, b.name, b.dtype, b.nullable,
       b.nullCount, b.distinctCount, b.nullRatio, b.uniqueRatio,
       b.min, b.max, b.mean, b.std, b.q25, b.q50, b.q75,
-      b.minLength, b.maxLength, b.allowedValues))
+      b.minLength, b.maxLength, b.allowedValues, b.approxStats))
       .toDF("rowCount", "name", "dtype", "nullable", "nullCount",
         "distinctCount", "nullRatio", "uniqueRatio", "min", "max", "mean",
-        "std", "q25", "q50", "q75", "minLength", "maxLength", "allowedValues")
+        "std", "q25", "q50", "q75", "minLength", "maxLength", "allowedValues",
+        "approxStats")
       .coalesce(1).write.mode("overwrite").json(path)
   }
 
@@ -174,7 +203,10 @@ object Learn {
         opt[String](r, "max"), optD(r, "mean"), optD(r, "std"),
         optD(r, "q25"), optD(r, "q50"), optD(r, "q75"),
         optD(r, "minLength").map(_.toInt), optD(r, "maxLength").map(_.toInt),
-        opt[scala.collection.Seq[String]](r, "allowedValues").map(_.toSeq))
+        opt[scala.collection.Seq[String]](r, "allowedValues").map(_.toSeq),
+        // absent in baselines written before the size gate -> exact
+        approxStats = if (r.schema.fieldNames.contains("approxStats"))
+          opt[Boolean](r, "approxStats").getOrElse(false) else false)
     }
     TableBaseline(rows.headOption.map(_.getAs[Long]("rowCount")).getOrElse(0),
       cols.toSeq)

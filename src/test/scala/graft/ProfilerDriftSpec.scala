@@ -29,6 +29,33 @@ class ProfilerDriftSpec extends AnyFunSuite {
     assert(loaded("v").mean.contains(25.0))
   }
 
+  test("learn: size-gated exact->approx switch flags columns over budget") {
+    val df = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "customer")
+    // default budget (8M) never trips at test scale: identical to the
+    // ungated form, every column exact
+    val gated = Learn.learn(df)
+    val ungated = Learn.learn(df, maxExactDistinct = 0L)
+    assert(gated.columns.forall(!_.approxStats))
+    assert(gated.columns.map(c => (c.name, c.distinctCount, c.q50)) ==
+      ungated.columns.map(c => (c.name, c.distinctCount, c.q50)))
+    // force the gate: a 10-distinct budget flips the high-cardinality
+    // columns (c_custkey, c_name, ...) to HLL distinct + t-digest
+    // percentiles while low-cardinality ones stay exact
+    val forced = Learn.learn(df, maxExactDistinct = 10L)
+    assert(forced("c_custkey").approxStats)
+    assert(!forced("c_mktsegment").approxStats) // 5 segments, under budget
+    val n = gated.rowCount
+    val est = forced("c_custkey").distinctCount
+    assert(math.abs(est - n) <= math.max(3, (0.1 * n).toLong),
+      s"HLL estimate $est vs $n")
+    assert(forced("c_custkey").q50.isDefined) // approx percentiles present
+    // the flag round-trips through save/load (recorded in baseline JSON)
+    val path = java.nio.file.Files.createTempDirectory("gate").toString + "/b"
+    Learn.save(spark, forced, path)
+    val loaded = Learn.load(spark, path)
+    assert(loaded("c_custkey").approxStats && !loaded("c_mktsegment").approxStats)
+  }
+
   test("auto-suite decisions are deterministic baseline functions") {
     val df = Seq((1, "x", 5.0), (2, "y", 6.0)).toDF("user_id", "name", "score")
     val d = AutoSuite.decisions(Learn.learn(df))
