@@ -136,6 +136,12 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       stages = stages :+ s"mix(${weights.size} sources)")
   }
 
+  /** Deterministic salt sub-group id for the two-pass mega-stratum
+    * samplers: a pure function of the row id, so the kept set stays
+    * layout- and run-independent. */
+  private def saltOf(salt: Int): Column =
+    pmod(xxhash64(col(idCol), lit(0x5a17L)), lit(salt.toLong))
+
   /** Exact-quota stratified sample: keep exactly min(quota, |stratum|)
     * rows per stratum — the form dataset mixtures are actually specified
     * in ("500M docs of web, 50M of code"), where rate-based mixDomains
@@ -146,21 +152,33 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     * without resampling). Strata absent from `quotas` keep all rows.
     *
     * Scale shape: one rank-over-window shuffle keyed by stratum. A
-    * mega-stratum makes that per-key sort the bottleneck; AQE skew
-    * handling splits it, and when quota ≪ stratum a cheaper two-pass
-    * plan (per-partition top-quota, then global top-quota) applies —
-    * at 100 TB prefer quotas expressed against pre-bucketed sources. */
+    * mega-stratum makes that per-key sort ONE hot task; pass `salt > 1`
+    * for the two-pass form: rows first rank WITHIN (stratum, salted
+    * sub-group) — salt-times the parallelism — and only sub-group
+    * survivors (≤ salt·quota rows per stratum, since a globally-kept
+    * row's sub-rank never exceeds its global rank) enter the exact
+    * global rank. Identical kept set by construction (property-pinned);
+    * use when quota ≪ stratum, which is exactly the skew regime. */
   def sampleQuota(strataCol: String, quotas: Map[String, Long],
-      seed: Long = 42L): Curate = {
+      seed: Long = 42L, salt: Int = 0): Curate = {
     require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
     val m = typedlit(quotas)
     val q = element_at(m, col(strataCol))
+    val ord = Seq(xxhash64(col(idCol), lit(seed)), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-    copy(df = df.withColumn("__rk", row_number().over(w))
+      .partitionBy(col(strataCol)).orderBy(ord: _*)
+    val pre =
+      if (salt <= 1) df
+      else {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol), saltOf(salt)).orderBy(ord: _*)
+        df.withColumn("__srk", row_number().over(w1))
+          .filter(q.isNull || col("__srk") <= q).drop("__srk")
+      }
+    copy(df = pre.withColumn("__rk", row_number().over(w))
       .filter(q.isNull || col("__rk") <= q).drop("__rk"),
-      stages = stages :+ s"quota(${quotas.size} strata)")
+      stages = stages :+ s"quota(${quotas.size} strata" +
+        (if (salt > 1) s", salt=$salt" else "") + ")")
   }
 
   /** Per-key document cap — the web-curation "at most K documents per
@@ -171,17 +189,27 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     * kept-SET oracle can be restated in ANSI SQL, and every key gets the
     * same cap without enumerating keys up front (quotas enumerate).
     *
-    * Scale shape: one rank-over-window shuffle keyed by `keyCol` — same
-    * mega-stratum caveat as sampleQuota (AQE skew handling splits it;
-    * when cap ≪ stratum a per-partition pre-top-cap pass applies). */
-  def capPerKey(keyCol: String, cap: Long): Curate = {
+    * Scale shape: one rank-over-window shuffle keyed by `keyCol`; pass
+    * `salt > 1` for the two-pass mega-key form (rank within (key,
+    * salted sub-group) first, exact global rank over the ≤ salt·cap
+    * survivors per key — identical kept set, property-pinned). */
+  def capPerKey(keyCol: String, cap: Long, salt: Int = 0): Curate = {
     require(cap >= 0, "cap must be non-negative")
+    val ord = Seq(md5(col(idCol).cast("string")), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    copy(df = df.withColumn("__rk", row_number().over(w))
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+    val pre =
+      if (salt <= 1) df
+      else {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol), saltOf(salt)).orderBy(ord: _*)
+        df.withColumn("__srk", row_number().over(w1))
+          .filter(col("__srk") <= cap).drop("__srk")
+      }
+    copy(df = pre.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk"),
-      stages = stages :+ s"cap_per_$keyCol<=$cap")
+      stages = stages :+ s"cap_per_$keyCol<=$cap" +
+        (if (salt > 1) s"(salt=$salt)" else ""))
   }
 
   /** Token-budget stratified sample: corpus recipes are specified in
@@ -190,20 +218,39 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     * total stays within the budget (strict prefix — the budget is never
     * exceeded; a first document alone over budget yields an empty
     * stratum). Deterministic across runs and layouts like sampleQuota;
-    * strata absent from `budgets` keep all rows. One cumulative-sum
-    * window shuffle keyed by stratum — same scale notes as sampleQuota. */
+    * strata absent from `budgets` keep all rows.
+    *
+    * `tokensOf` overrides the per-document token counter (default: the
+    * whitespace `Text.tokenCount`; pass `Text.bpeCount(...)` for
+    * tokenizer-accurate budgets). `salt > 1` selects the two-pass
+    * mega-stratum form: the prefix sum runs first within (stratum,
+    * salted sub-group) — a row's sub-group prefix sum never exceeds its
+    * global prefix sum, so sub-group survivors are a superset of the
+    * kept set — then the exact global prefix sum runs over survivors
+    * only. Identical kept set (property-pinned); use when the budget
+    * covers a small fraction of a dominant stratum. */
   def sampleTokenBudget(strataCol: String, budgets: Map[String, Long],
-      seed: Long = 42L): Curate = {
+      seed: Long = 42L, salt: Int = 0, tokensOf: Column = null): Curate = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val m = typedlit(budgets)
     val b = element_at(m, col(strataCol))
+    val tk = Option(tokensOf).getOrElse(Text.tokenCount(col(textCol)))
+    val ord = Seq(xxhash64(col(idCol), lit(seed)), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-    copy(df = df
-      .withColumn("__cum", sum(Text.tokenCount(col(textCol))).over(w))
+      .partitionBy(col(strataCol)).orderBy(ord: _*)
+    val pre =
+      if (salt <= 1) df
+      else {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol), saltOf(salt)).orderBy(ord: _*)
+        df.withColumn("__scum", sum(tk).over(w1))
+          .filter(b.isNull || col("__scum") <= b).drop("__scum")
+      }
+    copy(df = pre
+      .withColumn("__cum", sum(tk).over(w))
       .filter(b.isNull || col("__cum") <= b).drop("__cum"),
-      stages = stages :+ s"token_budget(${budgets.size} strata)")
+      stages = stages :+ s"token_budget(${budgets.size} strata" +
+        (if (salt > 1) s", salt=$salt" else "") + ")")
   }
 
   /** Summary metrics of the surviving corpus (one aggregate). */

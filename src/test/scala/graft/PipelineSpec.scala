@@ -236,6 +236,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept2 == Set(0L, 100L, 200L))
   }
 
+  test("salted two-pass samplers: identical kept sets vs single-window") {
+    // the mega-stratum form (rank/prefix-sum within salted sub-groups,
+    // then exact global pass over survivors) must keep EXACTLY the same
+    // rows as the single-window form, for every cap/quota/budget/salt
+    val docsT = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    def ids(c: Curate) = c.df.select("doc_id").as[Long].collect().toSet
+    for (cap <- Seq(0L, 1L, 3L, 40L); salt <- Seq(2, 7)) {
+      val base = Curate(docsT, "doc_id", "text").capPerKey("source", cap)
+      val salted = Curate(docsT, "doc_id", "text")
+        .capPerKey("source", cap, salt = salt)
+      assert(ids(salted) == ids(base), s"capPerKey cap=$cap salt=$salt")
+    }
+    val quotas = Map("src0" -> 5L, "src1" -> 100L, "src2" -> 0L)
+    for (salt <- Seq(2, 7)) {
+      assert(ids(Curate(docsT, "doc_id", "text")
+          .sampleQuota("source", quotas, salt = salt)) ==
+        ids(Curate(docsT, "doc_id", "text").sampleQuota("source", quotas)),
+        s"sampleQuota salt=$salt")
+    }
+    val budgets = Map("src0" -> 400L, "src1" -> 5L, "src2" -> 10000000L)
+    for (salt <- Seq(2, 7)) {
+      assert(ids(Curate(docsT, "doc_id", "text")
+          .sampleTokenBudget("source", budgets, salt = salt)) ==
+        ids(Curate(docsT, "doc_id", "text")
+          .sampleTokenBudget("source", budgets)),
+        s"sampleTokenBudget salt=$salt")
+    }
+    // plan assertion: the salted form's FIRST window partitions by
+    // (key, salt-hash) — the extra parallelism is in the plan, not
+    // just intended
+    // (Catalyst pre-projects the salt hash into a _wN attribute, so
+    // match the projected expression plus a two-key window partition
+    // spec; the optimizer also inserts WindowGroupLimit — per-partition
+    // top-k pushdown — on both passes, which is the plan we want)
+    val plan = Curate(docsT, "doc_id", "text")
+      .capPerKey("source", 3L, salt = 8).df
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("pmod(xxhash64("), s"no salt hash in plan:\n$plan")
+    assert(plan.linesIterator.exists(w => w.contains("WindowGroupLimit") &&
+      w.contains("source") && w.contains(", _w")),
+      s"no salted two-key window group limit in plan:\n$plan")
+  }
+
   test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {
     // bandBits tracks ceil(log2 n), clamped to [8, 63]
     assert(Dedup.lshPlan(100L, 0.99)._2 == 8)
