@@ -210,4 +210,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plans.exists(_.contains("Expand")),
       s"Expand returned to Learn's exact mode:\n${plans.filter(_.contains("Expand")).mkString.take(3000)}")
   }
+
+  test("dupClusters >2^20 edges takes the DISTRIBUTED branch, exact labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Every oracle fixture fits the <=2^20-edge driver union-find, so the
+    // pointer-jumping path had only property-scale coverage. This graph
+    // exceeds the limit BY CONSTRUCTION: 800k ids in 4-cliques-by-chain
+    // (600k edges) plus a 2000-node chain (diameter ~2000 — the regime
+    // the pointer-jumping term exists for). Symmetric-distinct edge count
+    // = 2 * 602k = 1.204M > 2^20, so the driver fast path cannot engage.
+    val blocks = spark.range(800000L).filter(col("id") % 4 < 3)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val chain = spark.range(1000000L, 1001999L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val pairs = blocks.unionAll(chain)
+    assert(pairs.count() * 2 > (1L << 20))
+    val labels = graft.pipeline.Dedup.dupClusters(pairs)
+    // branch assertion, not just the answer: the driver path materializes
+    // a LocalRelation (driver union-find -> toDF); the distributed path
+    // ends in a localCheckpoint -> LogicalRDD. Prove the discriminator on
+    // a small graph first.
+    val small = graft.pipeline.Dedup.dupClusters(
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+    assert(small.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") && !plan.contains("LocalRelation"),
+      s"expected distributed branch (checkpointed LogicalRDD), got:\n$plan")
+    // exact-labels oracle: block member id -> id - id%4; chain -> 1000000
+    val expected = spark.range(800000L)
+      .select(col("id"), (col("id") - col("id") % 4).as("exp"))
+      .unionAll(spark.range(1000000L, 1002000L)
+        .select(col("id"), lit(1000000L).as("exp")))
+    val joined = labels.join(expected, Seq("id"), "full")
+    assert(joined.filter(col("cluster").isNull || col("exp").isNull ||
+      col("cluster") =!= col("exp")).count() == 0)
+    assert(labels.count() == 802000L)
+  }
 }
