@@ -2282,6 +2282,57 @@ object SparkEntry {
         min(col("vec_id")).cast("long").as("min_kept"),
         (count(lit(1)) <= lit(n - 48) && count(lit(1)) >= lit(1L))
           .as("kept_within_bound"))
+    }),
+    "q169_bpe_tokens" -> ((s, dir) => {
+      // Tokenizer-accurate counting (Text.bpeCount — greedy longest
+      // match over a piece vocabulary, native trie kernel): synthesized
+      // per-class strings whose greedy tokenization is hand-derivable,
+      // so the oracle independently restates what the kernel MUST
+      // produce via CASE arithmetic ("hello world" -> hello|world = 2;
+      // "helloworld" -> 2; "heworld xyz" -> he|world + 3 unknown
+      // singles = 5; k+1 repeats of "hello" -> k+1). Free-text behavior
+      // is separately parity-pinned against the naive reference scan in
+      // PipelineSpec.
+      val v = graft.pipeline.Text.demoBpeVocab
+      val t = table(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_custkey") % 4).cast("int").as("cls"))
+        .withColumn("t",
+          when(col("cls") === 0, lit("hello world"))
+          .when(col("cls") === 1, lit("helloworld"))
+          .when(col("cls") === 2, lit("heworld xyz"))
+          .otherwise(concat_ws(" ", array_repeat(lit("hello"),
+            (col("c_custkey") % 3 + 1).cast("int")))))
+      t.groupBy("cls").agg(
+          count(lit(1)).as("n"),
+          sum(graft.pipeline.Text.bpeCount(col("t"), v)).cast("long")
+            .as("tokens"))
+        .orderBy("cls")
+    }),
+    "q170_pack_bpe" -> ((s, dir) => {
+      // BPE-denominated sequence packing: same two-phase distributed
+      // prefix-sum contract as q158, but the token column is the real
+      // tokenizer count (Text.bpeCount) over synthesized texts whose
+      // greedy tokenization the oracle can restate exactly — so the
+      // md5-ordered offsets, boundary flags and per-doc placements are
+      // all checked under tokenizer-accurate accounting.
+      val v = graft.pipeline.Text.demoBpeVocab
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, lit("hello world"))
+          .when(col("doc_id") % 4 === 1, lit("helloworld"))
+          .when(col("doc_id") % 4 === 2, lit("heworld xyz"))
+          .otherwise(concat_ws(" ", array_repeat(lit("hello"),
+            (col("doc_id") % 3 + 1).cast("int")))).as("text"))
+      val plan = graft.pipeline.Pack.packPlan(docs, "doc_id",
+        graft.pipeline.Text.bpeCount(col("text"), v), seqLen = 8)
+      plan.agg(
+        count(lit(1)).as("docs"),
+        sum("n_tokens").as("total_tokens"),
+        expr("(sum(n_tokens) + 7L) div 8L").as("n_sequences"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L))
+          .as("boundary_docs"),
+        sum(col("offset") % 1000003L).as("offset_checksum"),
+        sum(col("seq_first")).as("seq_first_sum"))
     })
   )
 
@@ -3994,6 +4045,32 @@ object SparkEntry {
     "q168_embed_dedup_corpus" ->
       """SELECT CAST(0 AS BIGINT) AS copies_kept,
            CAST(0 AS BIGINT) AS min_kept,
-           true AS kept_within_bound"""
+           true AS kept_within_bound""",
+    "q169_bpe_tokens" ->
+      """SELECT CAST(c_custkey % 4 AS INT) AS cls,
+           count(*) AS n,
+           CAST(sum(CASE c_custkey % 4
+             WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 5
+             ELSE 1 + c_custkey % 3 END) AS BIGINT) AS tokens
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q170_pack_bpe" ->
+      """WITH t AS (SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 5
+               ELSE 1 + doc_id % 3 END AS tk,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+           FROM documents WHERE doc_id < 2000),
+         c AS (SELECT tk, sum(tk) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS off
+           FROM t),
+         p AS (SELECT tk, off, off // 8 AS sf,
+             (off + greatest(tk, 1) - 1) // 8 AS sl FROM c)
+         SELECT CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST((sum(tk) + 7) // 8 AS BIGINT) AS n_sequences,
+           CAST(count(CASE WHEN sl > sf THEN 1 END) AS BIGINT)
+             AS boundary_docs,
+           CAST(sum(off % 1000003) AS BIGINT) AS offset_checksum,
+           CAST(sum(sf) AS BIGINT) AS seq_first_sum
+         FROM p"""
   )
 }

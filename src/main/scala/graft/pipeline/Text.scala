@@ -37,6 +37,57 @@ object Text {
   def approxBpeCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Tokenizer-accurate subword count over a loadable piece vocabulary
+    * — greedy longest-match, one native codegen'd trie scan per row
+    * ([[graft.functions.BpeCount]]). Token-budget sampling
+    * ([[Curate.sampleTokenBudget]]'s `tokensOf`) and sequence packing
+    * ([[Pack.packPlan]]'s token column) are token-denominated contracts;
+    * pass this where the recipe counts real tokenizer pieces. Load a
+    * vocab with [[bpeVocabFromFile]] (one piece per line, # comments). */
+  def bpeCount(c: Column, vocab: Seq[String]): Column =
+    graft.functions.BpeCount(c, vocab)
+
+  /** Reference Scala form of [[bpeCount]]'s greedy longest-match rule
+    * (naive prefix scan, no trie) — the semantics the kernel must match
+    * exactly; parity-pinned in specs, not for hot paths. */
+  def bpeCountReference(text: String, vocab: Seq[String]): Int = {
+    val byLen = vocab.distinct.sortBy(-_.length)
+    var i = 0
+    var count = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c <= ' ') i += 1
+      else byLen.find(p => text.startsWith(p, i)) match {
+        case Some(p) => count += 1; i += p.length
+        case None =>
+          count += 1
+          i += (if (Character.isHighSurrogate(c) && i + 1 < text.length) 2
+                else 1)
+      }
+    }
+    count
+  }
+
+  /** Load a piece vocabulary: one piece per line, blank lines and
+    * #-comments skipped. */
+  def bpeVocabFromFile(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
+  }
+
+  /** Tiny demonstration vocabulary (common English subword pieces) for
+    * tests and the oracle queries; real deployments load their
+    * tokenizer's merged-piece inventory via [[bpeVocabFromFile]]. */
+  val demoBpeVocab: Seq[String] = Seq(
+    "hello", "hell", "he", "world", "wor", "ld", "lo", "ing", "tion",
+    "the", "th", "er", "an", "re", "on", "at", "en", "es", "or", "te",
+    "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng", "se",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "0", "1", "2", "3", "4", "5", "6", "7", "8", "9")
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
     * Callers building multi-stage pipelines must project `tokens(c)` to a
     * named column first and pass that attribute here: Catalyst does not

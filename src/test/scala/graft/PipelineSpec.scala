@@ -236,6 +236,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept2 == Set(0L, 100L, 200L))
   }
 
+  test("bpeCount: greedy longest-match kernel, hand-pinned + parity-fuzzed") {
+    val v = Text.demoBpeVocab
+    // hand-derived counts under the greedy longest-match rule
+    val cases = Seq(
+      ("hello world", 2),   // "hello" + "world"
+      ("helloworld", 2),    // longest-match crosses nothing: hello|world
+      ("heworld xyz", 5),   // he|world + x|y|z (unknown singles)
+      ("The", 2),           // 'T' unknown (case-sensitive) + "he"
+      ("", 0), ("   \t\n", 0),
+      ("héllo", 4),    // h | é(unknown) | l | lo
+      ("ingestion", 3))     // ing|es|tion
+    val df = cases.zipWithIndex
+      .map { case ((t, e), i) => (i.toLong, t, e) }.toDF("id", "t", "exp")
+    val got = df.select($"id", $"exp",
+      Text.bpeCount($"t", v).as("n")).collect()
+    got.foreach(r => assert(r.getInt(2) == r.getInt(1),
+      s"case ${r.getLong(0)}: got ${r.getInt(2)} want ${r.getInt(1)}"))
+    // reference parity on the hand cases AND real fixture text (the trie
+    // kernel must match the naive longest-prefix reference everywhere)
+    cases.foreach { case (t, e) =>
+      assert(Text.bpeCountReference(t, v) == e, s"reference on '$t'") }
+    val real = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(300)
+    val kernel = real.select($"doc_id", Text.bpeCount($"text", v).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = real.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Text.bpeCountReference(r.getString(1), v))
+      .toMap
+    assert(kernel == ref)
+    // vocab file loader round-trips (comments + blanks skipped)
+    val p = java.nio.file.Files.createTempFile("vocab", ".txt")
+    java.nio.file.Files.writeString(p,
+      "# demo vocab\nhello\n\nworld\nhe\n")
+    assert(Text.bpeVocabFromFile(p.toString) == Seq("hello", "world", "he"))
+    // token-budget sampling denominated in BPE tokens: kept set equals
+    // the same rule run over a precomputed count column
+    val docsT = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("src0" -> 300L, "src1" -> 40L)
+    def ids(c: Curate) = c.df.select("doc_id").as[Long].collect().toSet
+    val viaKernel = ids(Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets,
+        tokensOf = Text.bpeCount(col("text"), v)))
+    val pre = docsT.withColumn("__n", Text.bpeCount(col("text"), v))
+    val viaColumn = ids(Curate(pre, "doc_id", "text")
+      .sampleTokenBudget("source", budgets, tokensOf = col("__n")))
+    assert(viaKernel == viaColumn && viaKernel.nonEmpty)
+  }
+
   test("salted two-pass samplers: identical kept sets vs single-window") {
     // the mega-stratum form (rank/prefix-sum within salted sub-groups,
     // then exact global pass over survivors) must keep EXACTLY the same
