@@ -18,10 +18,13 @@ import org.apache.spark.sql.types._
   * candidate volume grows.
   *
   * Semantics mirror the HOF form EXACTLY (pinned by a ScalaCheck parity
-  * property): element products/squares accumulate left-to-right in
-  * double; a length mismatch or any null element yields NULL (zip_with
-  * pads with null, which nulls the whole fold); an all-zero norm on
-  * either side yields 0.0, never a division by zero. */
+  * property whose generator includes whole-NULL arrays): element
+  * products/squares accumulate left-to-right in double; a length
+  * mismatch or any null element yields NULL (zip_with pads with null,
+  * which nulls the whole fold); an all-zero norm on either side yields
+  * 0.0, never a division by zero — INCLUDING against a whole-NULL or
+  * null-element other side, because the HOF's three-valued zero-norm
+  * check (`null || true` = true) precedes the null-poisoned dot. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -49,8 +52,26 @@ case class CosineSim(left: Expression, right: Expression)
   // HOF-faithful corner semantics: the reference form checks the
   // per-side zero norms BEFORE the (null-poisoned) dot product, so a
   // null-free all-zero side forces 0.0 even when the OTHER side has
-  // nulls or the lengths mismatch; otherwise any null element or a
-  // length mismatch yields NULL.
+  // nulls, has a mismatched length — or is WHOLE-NULL: in three-valued
+  // logic `when(na === 0 || nb === 0, 0.0)` fires on `null || true`,
+  // so cosineHof(NULL, all-zero) is 0.0, not NULL. eval/codegen are
+  // overridden (not nullSafe*) to reproduce exactly that.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) {
+      // 0.0 iff the PRESENT side is null-free all-zero (its norm is a
+      // non-null 0 -> the when-condition is `null || true` = true);
+      // otherwise the condition is null/false with a null dot -> NULL
+      val present = if (a == null) b else a
+      if (present != null && CosineSim.nullFreeAllZero(
+          present.asInstanceOf[ArrayData],
+          elemType(if (a == null) right else left) == FloatType))
+        java.lang.Double.valueOf(0.0)
+      else null
+    } else nullSafeEval(a, b)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
@@ -88,8 +109,43 @@ case class CosineSim(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
-      : ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+      : ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val helper = CosineSim.getClass.getName.stripSuffix("$")
+    val aFloatJ = if (elemType(left) == FloatType) "true" else "false"
+    val bFloatJ = if (elemType(right) == FloatType) "true" else "false"
+    val present = ctx.freshName("present")
+    val presFloat = ctx.freshName("presFloat")
+    val body = mainBody(ctx, ev, leftGen.value.toString,
+      rightGen.value.toString)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val code =
+      code"""
+         |${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = false;
+         |double ${ev.value} = 0.0;
+         |if (${leftGen.isNull} || ${rightGen.isNull}) {
+         |  ${ev.isNull} = true;
+         |  if (!${leftGen.isNull} || !${rightGen.isNull}) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $present =
+         |      ${leftGen.isNull} ? ${rightGen.value} : ${leftGen.value};
+         |    boolean $presFloat = ${leftGen.isNull} ? $bFloatJ : $aFloatJ;
+         |    if ($helper.nullFreeAllZero($present, $presFloat)) {
+         |      ${ev.isNull} = false;
+         |      ${ev.value} = 0.0;
+         |    }
+         |  }
+         |} else {
+         |  $body
+         |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  private def mainBody(ctx: CodegenContext, ev: ExprCode,
+      a: String, b: String): String = {
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -137,13 +193,29 @@ case class CosineSim(left: Expression, right: Expression)
          |  ${ev.value} = $dot / ($sa * $sb);
          |}
        """.stripMargin
-    })
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
 }
 
 object CosineSim {
+  /** True iff the array has no null elements and every element is 0 —
+    * the condition under which the HOF reference form's zero-norm check
+    * short-circuits to 0.0 even against a whole-NULL other side. Shared
+    * by eval and generated code (static forwarder). */
+  def nullFreeAllZero(arr: ArrayData, isFloat: Boolean): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return false
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (x != 0.0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Column form: cosineSim(a, b). */
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

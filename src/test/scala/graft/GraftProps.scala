@@ -762,16 +762,27 @@ object GraftProps extends Properties("graft") {
   // and all-zero vectors, float element type. The HOF's corner rules
   // (zero-norm check precedes the null-poisoned dot) must match
   // bit-for-bit in both codegen and interpreted eval.
+  // whole-NULL arrays included: the HOF's three-valued when-condition
+  // makes cosineHof(NULL, null-free all-zero) = 0.0, not NULL — the
+  // kernel must reproduce that corner (and the empty-array case, whose
+  // norm is also a non-null 0) in both codegen and interpreted eval.
+  private val maybeVec: Gen[Option[List[Option[Double]]]] =
+    Gen.frequency(
+      6 -> bucketVec.map(Some(_)),
+      1 -> Gen.const(Option.empty[List[Option[Double]]]),
+      1 -> Gen.choose(0, 4).map(n =>
+        Some(List.fill(n)(Some(0.0)): List[Option[Double]])))
+
   property("cosine_sim kernel == HOF reference (codegen, floats, corners)") =
-    forAll(Gen.listOfN(6, bucketVec), Gen.listOfN(6, bucketVec)) { (as, bs) =>
+    forAll(Gen.listOfN(8, maybeVec), Gen.listOfN(8, maybeVec)) { (as, bs) =>
       import org.apache.spark.sql.functions.col
       val rows = as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
         (i.toLong, a, b) }
       // NaN-free corpus for the equality check (NaN != NaN would flap);
       // NaN propagation itself is identical arithmetic in both forms.
       val clean = rows.map { case (i, a, b) =>
-        (i, a.map(_.map(x => if (x.isNaN) 0.5 else x)),
-            b.map(_.map(x => if (x.isNaN) 0.5 else x))) }
+        (i, a.map(_.map(_.map(x => if (x.isNaN) 0.5 else x))),
+            b.map(_.map(_.map(x => if (x.isNaN) 0.5 else x)))) }
       val df = clean.toDF("id", "a", "b").orderBy("id")
       def run(sel: org.apache.spark.sql.Column): List[Option[Double]] =
         df.select(sel).collect().toList
@@ -786,8 +797,9 @@ object GraftProps extends Properties("graft") {
       val evaled = clean.map { case (_, a, b) =>
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.types.{ArrayType, DoubleType}
-        def l(v: List[Option[Double]]) = Literal.create(
-          v.map(_.map(java.lang.Double.valueOf).orNull), ArrayType(DoubleType))
+        def l(v: Option[List[Option[Double]]]) = Literal.create(
+          v.map(_.map(_.map(java.lang.Double.valueOf).orNull)).orNull,
+          ArrayType(DoubleType))
         Option(graft.functions.CosineSim(l(a), l(b)).eval(null))
           .map(_.asInstanceOf[Double])
       }
