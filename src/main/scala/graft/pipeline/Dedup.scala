@@ -341,19 +341,35 @@ object Dedup {
     * verified pairs. LSH affects recall only, identically to the pair
     * path: exact duplicates share every band by construction.
     *
-    * Convergence: hash-min with pointer jumping over the IMPLICIT graph —
-    *   label(x) ← min(label(x), labels of verified neighbors,
-    *                  label(label(x)))
-    * so rounds = O(log diameter). Rounds after the first skip
-    * verification for same-label candidate pairs (one long compare
-    * before any cosine arithmetic): near-clique dup clusters — the
-    * dominant corpus shape — converge in one verified round plus one
-    * cheap confirmation round. Per-round lineage is truncated via
-    * localCheckpoint (swap in reliable checkpoints on a real cluster). */
+    * Algorithm — EXACTLY TWO banded joins, no data-dependent loop over
+    * the expensive verify (an earlier hash-min-per-round form re-ran the
+    * full join once per propagation round and lost badly on
+    * filament-shaped clusters, whose diameter forces many rounds):
+    *
+    *  1. SPANNING PASS: banded join + verify, aggregated per id to its
+    *     MINIMUM verified partner — n rows, a spanning subgraph of the
+    *     verified graph (every paired id contributes one true edge).
+    *  2. Close that subgraph with [[dupClusters]] — vector-free, O(n)
+    *     edges, pointer-jumping rounds cost megabytes, not the join.
+    *  3. RECONCILIATION PASS: re-run the banded join with the step-2
+    *     labels attached; a label EQUALITY check runs BEFORE the
+    *     hamming/cosine arithmetic, so intra-component candidates (the
+    *     vast majority) cost one long compare; surviving verified
+    *     cross-component pairs aggregate to DISTINCT (label, label)
+    *     edges — a component graph, map-side-collapsed.
+    *  4. Close the component graph (tiny) and compose the labelings.
+    *
+    * Exactness: every verified candidate pair either already shares a
+    * step-2 label (in one component of the spanning subgraph — a
+    * subgraph of the true graph, so sound) or is verified in step 3 and
+    * its components are merged in step 4. Hence the final components
+    * are exactly the connected components of the full verified-candidate
+    * graph: the same answer as `embeddingDupPairsLsh |> dupClusters`,
+    * in two joins instead of one join plus a pair-list-sized shuffle. */
   def embedDupLabels(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 0, bandBits: Int = 0,
                      dim: Int = 0, maxHamming: Int = -1,
-                     maxIter: Int = 20): DataFrame = {
+                     maxIter: Int = 25): DataFrame = {
     val v0 = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = if (dim > 0) Some(dim)
@@ -377,60 +393,62 @@ object Dedup {
     val sigCols = (0 until nb).map(b =>
       Similarity.lshBucket(col("v"), bb, d, b * bb).as(s"s$b"))
     val sig = v0.select(col("id") +: col("v") +: sigCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both banded joins
     val firstMatch = (0 until nb - 1).map { b =>
       col("a.band") <= b || col(s"a.s$b") =!= col(s"b.s$b")
     }.reduceOption(_ && _).getOrElse(lit(true))
     val hamming = (0 until nb)
       .map(b => bit_count(col(s"a.s$b").bitwiseXOR(col(s"b.s$b"))))
       .reduce(_ + _)
-    var labels = sig.select(col("id"), col("id").as("cluster"))
+    def banded(rel: DataFrame): DataFrame = rel
+      .withColumn("band", explode(array((0 until nb).map(lit): _*)))
+      .withColumn("bits", element_at(
+        array((0 until nb).map(b => col(s"s$b")): _*), col("band") + 1))
+    // Pass 1: per-id min verified partner — the pair stream collapses
+    // map-side into the n-row aggregate; pairs never hit the shuffle.
+    val keyed = banded(sig)
+    val e1 = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .filter(firstMatch)
+      .filter(hamming <= hmax)
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(explode(array(
+        struct(col("a.id").as("id"), col("b.id").as("p")),
+        struct(col("b.id").as("id"), col("a.id").as("p")))).as("c"))
+      .select(col("c.id").as("id"), col("c.p").as("p"))
+      .groupBy(col("id")).agg(min(col("p")).as("p"))
+    val l1 = dupClusters(e1.select(col("id").as("id_a"), col("p").as("id_b")),
+      maxIter = maxIter)
+      .withColumnRenamed("cluster", "lbl")
+      .persist(StorageLevel.MEMORY_AND_DISK) // pass 2 + composition
+    // Pass 2: cross-component verified edges; label equality screens
+    // BEFORE the arithmetic, and the output is the distinct component
+    // graph — bounded by component count, not pair count.
+    val keyedL = banded(sig.join(l1, Seq("id"), "left")
+      .withColumn("lbl", coalesce(col("lbl"), col("id"))))
+    val cross = keyedL.as("a").join(keyedL.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .filter(firstMatch)
+      .filter(col("a.lbl") =!= col("b.lbl"))
+      .filter(hamming <= hmax)
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(least(col("a.lbl"), col("b.lbl")).as("id_a"),
+        greatest(col("a.lbl"), col("b.lbl")).as("id_b"))
+      .distinct()
+    val l2 = dupClusters(cross, maxIter = maxIter)
+      .withColumnRenamed("id", "lbl").withColumnRenamed("cluster", "c2")
+    // Compose: final(x) = l2(l1(x)) if its component was merged further,
+    // else l1(x); unpaired ids are their own representative.
+    val labels = sig.select(col("id"))
+      .join(l1, Seq("id"), "left")
+      .withColumn("lbl", coalesce(col("lbl"), col("id")))
+      .join(l2, Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("c2"), col("lbl")).as("cluster"))
       .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val keyed = sig.join(labels, Seq("id"))
-        .withColumn("band", explode(array((0 until nb).map(lit): _*)))
-        .withColumn("bits", element_at(
-          array((0 until nb).map(b => col(s"s$b")): _*), col("band") + 1))
-      // the fused verify+aggregate: same candidate discipline as
-      // embeddingDupPairsLsh, but the select feeds straight into a
-      // min-aggregate — pair rows exist only inside the map task.
-      // Same-label pairs (already one component) skip the cosine: a
-      // long compare guards the arithmetic, which makes confirmation
-      // rounds nearly free on converged clusters.
-      val contrib = keyed.as("a").join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.id") < col("b.id"))
-        .filter(firstMatch)
-        .filter(col("a.cluster") =!= col("b.cluster"))
-        .filter(hamming <= hmax)
-        .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
-        .select(explode(array(
-          struct(col("a.id").as("id"), col("b.cluster").as("nl")),
-          struct(col("b.id").as("id"), col("a.cluster").as("nl")))).as("c"))
-        .select(col("c.id").as("id"), col("c.nl").as("nl"))
-      // pointer jumping: label-of-label shortcuts chain-shaped clusters
-      val pj = labels.as("x").join(labels.as("y"),
-          col("x.cluster") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.cluster").as("nl"))
-      val prop = contrib.unionAll(pj).groupBy(col("id"))
-        .agg(min(col("nl")).as("nmin"))
-      val next = labels.withColumnRenamed("cluster", "old")
-        .join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"),
-          col("old"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("old")).count()
-      labels = next.select("id", "cluster")
-      iter += 1
-    }
     sig.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"embedDupLabels did not converge in $maxIter rounds ($changed " +
-          "labels still moving) — raise maxIter")
+    l1.unpersist()
     labels
   }
 
