@@ -418,6 +418,11 @@ object Dedup {
         struct(col("b.id").as("id"), col("a.id").as("p")))).as("c"))
       .select(col("c.id").as("id"), col("c.p").as("p"))
       .groupBy(col("id")).agg(min(col("p")).as("p"))
+      // materialize ONCE before clustering: dupClusters symmetrizes its
+      // input (two scans of the plan), which would re-run the expensive
+      // banded join twice if left lazy — measured 2x the pass-1 cost
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e1.count()
     val l1 = dupClusters(e1.select(col("id").as("id_a"), col("p").as("id_b")),
       maxIter = maxIter)
       .withColumnRenamed("cluster", "lbl")
@@ -437,6 +442,10 @@ object Dedup {
       .select(least(col("a.lbl"), col("b.lbl")).as("id_a"),
         greatest(col("a.lbl"), col("b.lbl")).as("id_b"))
       .distinct()
+      // same once-only materialization: the reconciliation join must not
+      // re-run inside dupClusters' symmetrize-and-count
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cross.count()
     val l2 = dupClusters(cross, maxIter = maxIter)
       .withColumnRenamed("id", "lbl").withColumnRenamed("cluster", "c2")
     // Compose: final(x) = l2(l1(x)) if its component was merged further,
@@ -449,6 +458,8 @@ object Dedup {
       .localCheckpoint()
     sig.unpersist()
     l1.unpersist()
+    e1.unpersist()
+    cross.unpersist()
     labels
   }
 
