@@ -222,33 +222,67 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     *
     * `tokensOf` overrides the per-document token counter (default: the
     * whitespace `Text.tokenCount`; pass `Text.bpeCount(...)` for
-    * tokenizer-accurate budgets). `salt > 1` selects the two-pass
-    * mega-stratum form: the prefix sum runs first within (stratum,
-    * salted sub-group) — a row's sub-group prefix sum never exceeds its
-    * global prefix sum, so sub-group survivors are a superset of the
-    * kept set — then the exact global prefix sum runs over survivors
-    * only. Identical kept set (property-pinned); use when the budget
-    * covers a small fraction of a dominant stratum. */
+    * tokenizer-accurate budgets). `salt > 1` selects the mega-stratum
+    * form: the exact bucketed two-phase prefix sum (the
+    * [[Pack.packPlan]] scan shape) with ≥ `salt` buckets. The bucket is
+    * the hash key's HIGH BITS — a prefix of the sort key, so bucket
+    * order is consistent with (hash, id) order and the per-bucket
+    * window plus driver-side bucket offsets reproduce the single-window
+    * prefix sum EXACTLY, for every input including zero-token rows (a
+    * salted filter-then-rescan form is NOT exact: dropping a sub-group's
+    * over-budget row discards token mass that globally precedes a
+    * survivor). Driver traffic is one (stratum, bucket) total per
+    * BUDGETED stratum — ≤ budgets.size × buckets rows by construction,
+    * independent of data size. */
   def sampleTokenBudget(strataCol: String, budgets: Map[String, Long],
       seed: Long = 42L, salt: Int = 0, tokensOf: Column = null): Curate = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val m = typedlit(budgets)
     val b = element_at(m, col(strataCol))
     val tk = Option(tokensOf).getOrElse(Text.tokenCount(col(textCol)))
-    val ord = Seq(xxhash64(col(idCol), lit(seed)), col(idCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(ord: _*)
-    val pre =
-      if (salt <= 1) df
-      else {
-        val w1 = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(strataCol), saltOf(salt)).orderBy(ord: _*)
-        df.withColumn("__scum", sum(tk).over(w1))
-          .filter(b.isNull || col("__scum") <= b).drop("__scum")
+    val h = xxhash64(col(idCol), lit(seed))
+    val out =
+      if (salt <= 1) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol)).orderBy(h, col(idCol))
+        df.withColumn("__cum", sum(tk).over(w))
+          .filter(b.isNull || col("__cum") <= b).drop("__cum")
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        // bits = ceil(log2(salt)); arithmetic shiftright of the signed
+        // hash is monotone, so __bk sorts consistently with __h
+        val bits = 32 - Integer.numberOfLeadingZeros(salt - 1)
+        val keyed = df.withColumn("__tk", coalesce(tk.cast("long"), lit(0L)))
+          .withColumn("__h", h)
+          .withColumn("__bk", shiftright(col("__h"), 64 - bits))
+        // Phase 1: per-(stratum, bucket) token totals for budgeted
+        // strata only — bounded driver rows, partial-aggregated.
+        val budgeted = col(strataCol).isin(budgets.keys.toSeq: _*)
+        val totals = keyed.filter(budgeted)
+          .groupBy(col(strataCol).cast("string").as("__s"), col("__bk"))
+          .agg(sum(col("__tk")).as("__t"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val offs = totals.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+          var acc = 0L
+          rs.sortBy(_._2).map { case (_, bk, t) =>
+            val o = acc; acc += t; (s, bk, o)
+          }
+        }
+        val offDf = offs.toDF("__s2", "__bk2", "__boff")
+        // Phase 2: within-(stratum, bucket) cumsum + broadcast offsets —
+        // never one mega-stratum window task.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol), col("__bk"))
+          .orderBy(col("__h"), col(idCol))
+        keyed.join(broadcast(offDf),
+            col(strataCol).cast("string") === col("__s2") &&
+              col("__bk") === col("__bk2"), "left")
+          .withColumn("__cum", col("__boff") + sum(col("__tk")).over(w))
+          .filter(b.isNull || col("__cum") <= b)
+          .drop("__tk", "__h", "__bk", "__s2", "__bk2", "__boff", "__cum")
       }
-    copy(df = pre
-      .withColumn("__cum", sum(tk).over(w))
-      .filter(b.isNull || col("__cum") <= b).drop("__cum"),
+    copy(df = out,
       stages = stages :+ s"token_budget(${budgets.size} strata" +
         (if (salt > 1) s", salt=$salt" else "") + ")")
   }

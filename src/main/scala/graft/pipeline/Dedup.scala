@@ -469,7 +469,7 @@ object Dedup {
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bands: Int = 0, bandBits: Int = 0,
                        dim: Int = 0, maxHamming: Int = -1,
-                       maxIter: Int = 20): DataFrame =
+                       maxIter: Int = 25): DataFrame =
     dedupByClusters(df, idCol,
       embedDupLabels(df, idCol, vecCol, threshold, bands, bandBits, dim,
         maxHamming, maxIter))
@@ -606,9 +606,11 @@ object Dedup {
         s"dupClusters contraction did not converge in $maxIter rounds — " +
           "raise maxIter")
     // fixpoint: every component is a star (member -> root, root = the
-    // component minimum). Compose back onto the ORIGINAL node set: a
-    // node keeps its star root if it has one, else (it became a root or
-    // contracted away early) chase one hop through the star edges.
+    // component minimum). Large-star/small-star never drops a
+    // non-root node from the edge set, so at fixpoint every non-root
+    // appears as src of exactly one star edge; composing back onto the
+    // ORIGINAL node set, coalesce(c1, id) labels non-roots with their
+    // star root and roots (the only nodes absent as src) with themselves.
     val stars = cur
     val labels = nodes
       .join(stars.select(col("src").as("id"), col("dst").as("c1")),

@@ -557,13 +557,16 @@ object GraftProps extends Properties("graft") {
     }
 
   property("sampleTokenBudget == driver greedy prefix in hash order") =
-    forAll(Gen.choose(1, 60), Gen.choose(0L, 200L)) { (n, budget) =>
-      // token count of doc i is 1 + (i % 7); stratum s0 = even ids
+    forAll(Gen.choose(1, 60), Gen.choose(0L, 200L),
+           Gen.oneOf(0, 2, 3, 8)) { (n, budget, salt) =>
+      // token count of doc i is i % 7 (ZERO-token docs included — the
+      // exactness edge a filter-then-rescan salted form gets wrong);
+      // stratum s0 = even ids
       val rows = (1L to n.toLong).map(i =>
-        (i, ("w " * (1 + (i % 7)).toInt).trim, s"s${i % 2}"))
+        (i, ("w " * (i % 7).toInt).trim, s"s${i % 2}"))
       val df = rows.toDF("id", "text", "src")
       val got = graft.pipeline.Curate(df, "id", "text")
-        .sampleTokenBudget("src", Map("s0" -> budget)).df
+        .sampleTokenBudget("src", Map("s0" -> budget), salt = salt).df
         .select("id").as[Long].collect().toSet
       // driver reference: same hash order (read back from Spark so the
       // property tests the greedy window logic, not xxhash64 itself)
@@ -575,7 +578,7 @@ object GraftProps extends Properties("graft") {
       var cum = 0L
       val keep = scala.collection.mutable.Set.empty[Long]
       order.foreach { id =>
-        cum += 1 + (id % 7)
+        cum += id % 7
         if (cum <= budget) keep += id
       }
       val unbudgeted = rows.filter(_._3 == "s1").map(_._1).toSet
