@@ -2333,6 +2333,34 @@ object SparkEntry {
           .as("boundary_docs"),
         sum(col("offset") % 1000003L).as("offset_checksum"),
         sum(col("seq_first")).as("seq_first_sum"))
+    }),
+    "q171_dedup_increment_embed" -> ((s, dir) => {
+      // Incremental EMBEDDING dedup (Dedup.dedupIncrementEmbedding —
+      // daily batch vs corpus index in cosine space): index = a bounded
+      // slice (vec_id < 200); incoming batch = copies of index vectors
+      // (direct hits, dropped), fresh vectors (kept), and twice-planted
+      // fresh vectors (in-batch clusters, min-id representative kept).
+      // The oracle DERIVES the exact kept set from the data: DuckDB
+      // computes the direct-hit set (any cosine >= 0.99 to the index),
+      // then closes the survivor-only pair graph into components with a
+      // recursive CTE — fixture-independent, both semantic steps
+      // restated. The through-a-dropped-row-only chain semantic is
+      // geometry the fixture can't plant with exact copies; it is
+      // pinned with hand vectors in PipelineSpec.
+      val emb = table(s, dir, "embeddings")
+      val existing = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+      val incoming = emb.filter(col("vec_id") < 24)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .unionByName(fresh
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .unionByName(fresh.filter(col("vec_id") < 224)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+      graft.pipeline.Dedup.dedupIncrementEmbedding(existing, incoming,
+          "vec_id", "embedding", threshold = 0.99, dim = 64)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -4071,6 +4099,39 @@ object SparkEntry {
              AS boundary_docs,
            CAST(sum(off % 1000003) AS BIGINT) AS offset_checksum,
            CAST(sum(sf) AS BIGINT) AS seq_first_sum
-         FROM p"""
+         FROM p""",
+    "q171_dedup_increment_embed" ->
+      """WITH RECURSIVE ex AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         fresh AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= 200 AND vec_id < 260),
+         inc AS (
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id < 24
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM fresh
+           UNION ALL
+           SELECT vec_id + 200000, embedding FROM fresh WHERE vec_id < 224),
+         hit AS (
+           SELECT DISTINCT i.vec_id FROM inc i JOIN ex e
+           ON list_cosine_similarity(i.embedding, e.embedding) >= 0.99),
+         surv AS (
+           SELECT * FROM inc
+           WHERE vec_id NOT IN (SELECT vec_id FROM hit)),
+         pairs AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM surv a JOIN surv b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+         edges AS (
+           SELECT ia AS s, ib AS d FROM pairs
+           UNION SELECT ib, ia FROM pairs),
+         reach(id, r) AS (
+           SELECT vec_id, vec_id FROM surv
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS vec_id FROM comp WHERE id = c
+         ORDER BY vec_id"""
   )
 }

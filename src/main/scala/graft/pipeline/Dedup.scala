@@ -690,6 +690,83 @@ object Dedup {
     dedupByClusters(survivors, idCol, clusters)
   }
 
+  /** Incremental EMBEDDING near-dedup: dedup an incoming embedding batch
+    * against an existing corpus index — [[dedupIncrement]]'s semantics
+    * restated in cosine space (the production semantic-dedup flow: daily
+    * embedding batch vs index). Semantics, in order:
+    *   1. an incoming row whose vector has cosine >= `threshold` to ANY
+    *      existing row is dropped (direct index match — similarity is
+    *      not transitive, so an incoming row linked to the index only
+    *      THROUGH another dropped incoming row survives);
+    *   2. survivors are then transitively deduped among themselves
+    *      ([[dedupByEmbedding]] — the fused representative-only path,
+    *      min-id representative per cluster).
+    * Ids must be distinct across the two frames; the existing corpus is
+    * never modified or re-deduped.
+    *
+    * Scale shape: both sides project to the same banded sign-LSH
+    * signatures (identical deterministic hyperplanes by construction),
+    * so the index participates ONLY as the far side of one banded
+    * equi-join — scan-speed signature projection, no persist, never a
+    * cross join — and the per-band first-match screen plus Hamming
+    * prefilter keep verified-cosine work on collided candidates only.
+    * The hit set is bounded by the BATCH size; everything after step 1
+    * (anti-join + in-batch fused dedup) is batch-sized. */
+  def dedupIncrementEmbedding(existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 0, bandBits: Int = 0, dim: Int = 0,
+      maxHamming: Int = -1, maxIter: Int = 25): DataFrame = {
+    val ex = existing.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val inc = incoming.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = if (dim > 0) Some(dim)
+      else inc.select(size(col("v")).as("d")).take(1).headOption
+        .map(_.getInt(0))
+    if (probed.isEmpty) return incoming // vector-less batch: nothing to do
+    val d = probed.get
+    val (nb, bb) =
+      if (bands > 0 && bandBits > 0) (bands, bandBits)
+      else {
+        val plan = lshPlan(ex.count() + inc.count(), threshold)
+        (if (bands > 0) bands else plan._1,
+         if (bandBits > 0) bandBits else plan._2)
+      }
+    val totalBits = nb * bb
+    val hmax =
+      if (maxHamming >= 0) maxHamming
+      else math.min(totalBits,
+        math.ceil(2.0 * totalBits * math.acos(threshold) / math.Pi).toInt
+          .max(1))
+    val sigCols = (0 until nb).map(b =>
+      Similarity.lshBucket(col("v"), bb, d, b * bb).as(s"s$b"))
+    def banded(rel: DataFrame): DataFrame = rel
+      .select(col("id") +: col("v") +: sigCols: _*)
+      .withColumn("band", explode(array((0 until nb).map(lit): _*)))
+      .withColumn("bits", element_at(
+        array((0 until nb).map(b => col(s"s$b")): _*), col("band") + 1))
+    val firstMatch = (0 until nb - 1).map { b =>
+      col("a.band") <= b || col(s"a.s$b") =!= col(s"b.s$b")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val hamming = (0 until nb)
+      .map(b => bit_count(col(s"a.s$b").bitwiseXOR(col(s"b.s$b"))))
+      .reduce(_ + _)
+    // Step 1: direct index hits. Distinct collapses map-side; the hit
+    // ids are checkpointed so the anti-join below never re-drives the
+    // banded join.
+    val hits = banded(inc).as("a").join(banded(ex).as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
+      .filter(firstMatch)
+      .filter(hamming <= hmax)
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as(idCol)).distinct().localCheckpoint()
+    val survivors = incoming.join(hits, Seq(idCol), "left_anti")
+    // Step 2: in-batch transitive dedup over survivors only, with the
+    // same LSH geometry.
+    dedupByEmbedding(survivors, idCol, vecCol, threshold, nb, bb, d,
+      maxHamming, maxIter)
+  }
+
   // ---- line-level corpus dedup ----
 
   /** Corpus-wide exact line deduplication: every line of at least

@@ -651,6 +651,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaTwo == Set(3L, 5L))
   }
 
+  test("dedupIncrementEmbedding: direct-hit drop, chain survival, in-batch") {
+    // Cosine-space restatement of dedupIncrement's two-step semantics,
+    // with the chain geometry exact copies cannot plant: unit vectors at
+    // angles 0/6/12 degrees — adjacent cos ~0.9945 >= 0.99, two-step cos
+    // ~0.978 < 0.99. Index = {1: 0 deg}; incoming = {10: 6 deg, 11:
+    // 12 deg, 20: 90 deg, 21: 96 deg, 22: 102 deg}. Step 1 drops 10 (a
+    // direct index hit); 11 is linked to the index ONLY through dropped
+    // 10, so it survives. Step 2 clusters survivors {20,21,22}
+    // transitively (21 bridges 20~22) and keeps min id 20. Plan 16x4
+    // bits at cos 0.9945 → per-adjacent-pair miss ~1e-14: deterministic
+    // in practice.
+    def at(deg: Double): Array[Float] = {
+      val a = math.toRadians(deg)
+      Array(math.cos(a).toFloat, math.sin(a).toFloat) ++
+        Array.fill(62)(0.0f)
+    }
+    val existing = Seq((1L, at(0))).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, at(6)), (11L, at(12)),
+      (20L, at(90)), (21L, at(96)), (22L, at(102))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.dedupIncrementEmbedding(existing, incoming,
+      "vec_id", "embedding", threshold = 0.99,
+      bands = 16, bandBits = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 20L), s"kept $kept")
+    // empty index → pure in-batch fused dedup: chain {10,11} keeps 10
+    val empty = existing.filter($"vec_id" === -1L)
+    val noIdx = Dedup.dedupIncrementEmbedding(empty, incoming,
+      "vec_id", "embedding", threshold = 0.99,
+      bands = 16, bandBits = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(noIdx == Set(10L, 20L), s"kept $noIdx")
+    // null-vector incoming rows always survive
+    val withNull = incoming.unionByName(Seq((200L,
+      null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val kept2 = Dedup.dedupIncrementEmbedding(existing, withNull,
+      "vec_id", "embedding", threshold = 0.99,
+      bands = 16, bandBits = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(11L, 20L, 200L), s"kept $kept2")
+  }
+
   test("dedupByClusters keeps representatives; nearDedup end-to-end") {
     // docs fixture: 1~2 near-dup, 1=4 exact → one cluster {1,2,4}, rep 1
     val pairs = Dedup.jaccardPairs(docs, "id", "text", 3, 0.5)
