@@ -2361,6 +2361,31 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.99, dim = 64)
         .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+    "q172_bpe_merge_rank" -> ((s, dir) => {
+      // Merge-rank BPE counting (Text.bpeMergeCount — the REAL
+      // lowest-rank-pair-first rule, native kernel): same synthesized
+      // classes as q169, counted under demoBpeMerges, whose rank table
+      // deliberately puts (o,w) above (hell,o) so cls 1 "helloworld"
+      // tokenizes hell|ow|o|r|ld = 5 where greedy longest-match (q169)
+      // finds 2 — the oracle hand-restates the merge-order-sensitive
+      // counts via CASE arithmetic ("hello world" -> hello|world = 2;
+      // "helloworld" -> 5; "heworld xyz" -> he|world + 3 unknown
+      // singles = 5; k+1 repeats of "hello" -> k+1).
+      val m = graft.pipeline.Text.demoBpeMerges
+      val t = table(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_custkey") % 4).cast("int").as("cls"))
+        .withColumn("t",
+          when(col("cls") === 0, lit("hello world"))
+          .when(col("cls") === 1, lit("helloworld"))
+          .when(col("cls") === 2, lit("heworld xyz"))
+          .otherwise(concat_ws(" ", array_repeat(lit("hello"),
+            (col("c_custkey") % 3 + 1).cast("int")))))
+      t.groupBy("cls").agg(
+          count(lit(1)).as("n"),
+          sum(graft.pipeline.Text.bpeMergeCount(col("t"), m)).cast("long")
+            .as("tokens"))
+        .orderBy("cls")
     })
   )
 
@@ -4132,6 +4157,13 @@ object SparkEntry {
            SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
          comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
          SELECT CAST(id AS BIGINT) AS vec_id FROM comp WHERE id = c
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    "q172_bpe_merge_rank" ->
+      """SELECT CAST(c_custkey % 4 AS INT) AS cls,
+           count(*) AS n,
+           CAST(sum(CASE c_custkey % 4
+             WHEN 0 THEN 2 WHEN 1 THEN 5 WHEN 2 THEN 5
+             ELSE 1 + c_custkey % 3 END) AS BIGINT) AS tokens
+         FROM customer GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -333,6 +333,19 @@ object GraftProps extends Properties("graft") {
         native == hof
     }
 
+  property("bpe_merge_count kernel == string-symbol reference") =
+    forAll(Gen.listOf(Gen.frequency(
+      8 -> Gen.oneOf('h', 'e', 'l', 'o', 'w', 'r', 'd'),
+      2 -> Gen.oneOf('x', ' ', 'é', '中'))).map(_.take(40).mkString)) { s =>
+      // dense in the demo table's alphabet so merge cascades and
+      // order-sensitive shapes actually occur, plus unknowns and spaces
+      val m = graft.pipeline.Text.demoBpeMerges
+      val kernel = Seq(Tuple1(s)).toDF("t")
+        .select(graft.pipeline.Text.bpeMergeCount($"t", m).as("n"))
+        .head().getInt(0)
+      kernel == graft.pipeline.Text.bpeMergeCountReference(s, m)
+    }
+
   private val langWordPool: Gen[String] = Gen.frequency(
     6 -> Gen.oneOf("the", "and", "is", "of", "el", "la", "que", "los",
       "le", "les", "des", "der", "und", "die", "das", "de", "en",

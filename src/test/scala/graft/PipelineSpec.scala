@@ -285,6 +285,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaKernel == viaColumn && viaKernel.nonEmpty)
   }
 
+  test("bpeMergeCount: merge-rank kernel, hand-pinned + parity-fuzzed") {
+    val m = Text.demoBpeMerges
+    // hand-derived counts under the lowest-rank-pair-first rule
+    val cases = Seq(
+      ("hello world", 2), // hello + world (full merge chains)
+      ("helloworld", 5),  // hell|ow|o|r|ld — (o,w) outranks (hell,o)
+      ("heworld xyz", 5), // he|world + 3 unknown singles
+      ("The", 2),         // T unknown + he
+      ("", 0), ("   \t\n", 0),
+      ("héllo", 4),       // h|é|ll|o — é unknown blocks the hell chain
+      ("wow", 2),         // (o,w) outranks (w,o): w|ow
+      ("owow", 2),        // all-occurrences left-to-right: ow|ow
+      ("lll", 2),         // leftmost non-overlapping (l,l): ll|l
+      ("dl", 2),          // (d,l) unranked — only (l,d) merges
+      ("ld", 1))
+    val df = cases.zipWithIndex
+      .map { case ((t, e), i) => (i.toLong, t, e) }.toDF("id", "t", "exp")
+    val got = df.select($"id", $"exp",
+      Text.bpeMergeCount($"t", m).as("n")).collect()
+    got.foreach(r => assert(r.getInt(2) == r.getInt(1),
+      s"case ${r.getLong(0)}: got ${r.getInt(2)} want ${r.getInt(1)}"))
+    cases.foreach { case (t, e) =>
+      assert(Text.bpeMergeCountReference(t, m) == e, s"reference on '$t'") }
+    // the rule genuinely differs from greedy longest-match on
+    // merge-order-sensitive strings (q169 vs q172's cls 1)
+    assert(Text.bpeCountReference("helloworld", Text.demoBpeVocab) == 2)
+    // reference parity on real fixture text
+    val real = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(300)
+    val kernel = real.select($"doc_id",
+        Text.bpeMergeCount($"text", m).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = real.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Text.bpeMergeCountReference(r.getString(1), m))
+      .toMap
+    assert(kernel == ref)
+    // merges file loader (GPT-2 merges.txt shape: rank = line order)
+    val p = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(p,
+      "#version: 0.2\nh e\n\nl l\nhe ll\n")
+    assert(Text.bpeMergesFromFile(p.toString) ==
+      Seq(("h", "e"), ("l", "l"), ("he", "ll")))
+    // duplicate pairs keep their first (lowest) rank
+    val dup = Seq(("h", "e"), ("l", "l"), ("h", "e"))
+    assert(Text.bpeMergeCountReference("hell", dup) == 2) // he|ll
+    assert(df.sparkSession.range(1).select(
+      Text.bpeMergeCount(lit("hell"), dup).as("n"))
+      .head().getInt(0) == 2)
+  }
+
   test("salted two-pass samplers: identical kept sets vs single-window") {
     // the mega-stratum form (rank/prefix-sum within salted sub-groups,
     // then exact global pass over survivors) must keep EXACTLY the same
