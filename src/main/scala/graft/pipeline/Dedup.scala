@@ -710,12 +710,21 @@ object Dedup {
     * equi-join — scan-speed signature projection, no persist, never a
     * cross join — and the per-band first-match screen plus Hamming
     * prefilter keep verified-cosine work on collided candidates only.
-    * The hit set is bounded by the BATCH size; everything after step 1
-    * (anti-join + in-batch fused dedup) is batch-sized. */
+    * With `broadcastBatch` (default — the daily-batch-vs-index regime),
+    * the exploded batch signatures broadcast and the CORPUS NEVER
+    * SHUFFLES: candidates are probed, Hamming-screened and
+    * cosine-verified map-side at scan speed, and the only shuffled
+    * relation all job is the batch-bounded hit-id set. Disable it for
+    * batch sizes past driver memory (batch rows × bands × (vector +
+    * signatures) must fit; Spark's 8 GB broadcast cap fails loudly) —
+    * the plan degrades to a shuffled equi-join, still never a cross
+    * join. The hit set is bounded by the BATCH size; everything after
+    * step 1 (anti-join + in-batch fused dedup) is batch-sized. */
   def dedupIncrementEmbedding(existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       bands: Int = 0, bandBits: Int = 0, dim: Int = 0,
-      maxHamming: Int = -1, maxIter: Int = 25): DataFrame = {
+      maxHamming: Int = -1, maxIter: Int = 25,
+      broadcastBatch: Boolean = true): DataFrame = {
     val ex = existing.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val inc = incoming.filter(col(vecCol).isNotNull)
@@ -754,7 +763,9 @@ object Dedup {
     // Step 1: direct index hits. Distinct collapses map-side; the hit
     // ids are checkpointed so the anti-join below never re-drives the
     // banded join.
-    val hits = banded(inc).as("a").join(banded(ex).as("b"),
+    val incKeyed = banded(inc)
+    val hits = (if (broadcastBatch) broadcast(incKeyed) else incKeyed)
+      .as("a").join(banded(ex).as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
       .filter(firstMatch)
       .filter(hamming <= hmax)

@@ -742,6 +742,12 @@ class PipelineSpec extends AnyFunSuite {
       bands = 16, bandBits = 4, dim = 64)
       .select("vec_id").as[Long].collect().toSet
     assert(kept2 == Set(11L, 20L, 200L), s"kept $kept2")
+    // the shuffled (non-broadcast) step-1 plan keeps identical results
+    val shuffled = Dedup.dedupIncrementEmbedding(existing, incoming,
+      "vec_id", "embedding", threshold = 0.99,
+      bands = 16, bandBits = 4, dim = 64, broadcastBatch = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(shuffled == kept, s"kept $shuffled")
   }
 
   test("dedupByClusters keeps representatives; nearDedup end-to-end") {
