@@ -377,6 +377,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(w => w.contains("WindowGroupLimit") &&
       w.contains("source") && w.contains(", _w")),
       s"no salted two-key window group limit in plan:\n$plan")
+    // bucketed token-budget plan shape: the window partitions by
+    // (stratum, bucket) — never the bare mega-stratum — and the driver
+    // bucket offsets ride a broadcast join
+    val tbPlan = Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets, salt = 32).df
+      .queryExecution.executedPlan.toString
+    assert(tbPlan.linesIterator.exists(w => w.contains("Window [") &&
+      w.contains("source") && w.contains("__bk")),
+      s"no (stratum, bucket) window in plan:\n$tbPlan")
+    assert(!tbPlan.linesIterator.exists(w => w.contains("Window [") &&
+      !w.contains("__bk")),
+      s"bare single-stratum window survived in salted plan:\n$tbPlan")
+    assert(tbPlan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$tbPlan")
   }
 
   test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {
