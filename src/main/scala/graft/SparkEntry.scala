@@ -126,10 +126,13 @@ object SparkEntry {
           "4-NOT SPECIFIED", "5-LOW")).as("bad_priority"))
     }),
     "q10_iqr_outliers" -> ((s, dir) => {
-      // two-pass IQR fences (truthound distribution/outlier.py:18 semantics)
+      // two-pass IQR fences (truthound distribution/outlier.py:18 semantics);
+      // size-gated percentiles (exact below ~8M distinct — always at oracle
+      // scale — t-digest above, where exact's buffer is a GiB-scale alloc)
       val df = table(s, dir, "orders")
-      val r = df.agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
-                     expr("percentile(o_totalprice, 0.75)").as("q3")).head()
+      val pct = gatedPct(df, "o_totalprice")
+      val r = df.agg(pct("o_totalprice", 0.25).as("q1"),
+                     pct("o_totalprice", 0.75).as("q3")).head()
       val (q1, q3) = (r.getDouble(0), r.getDouble(1))
       val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
       df.agg(cnt(col("o_totalprice") < lo || col("o_totalprice") > hi)
@@ -251,9 +254,11 @@ object SparkEntry {
 
     // ---- aggregate (§2.7) ----
     "q26_agg_between" -> ((s, dir) => {
-      table(s, dir, "orders").agg(
+      val o = table(s, dir, "orders")
+      val pct = gatedPct(o, "o_totalprice")
+      o.agg(
         round(avg(col("o_totalprice")), 6).as("mean_price"),
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+        round(pct("o_totalprice", 0.5), 6).as("median_price"),
         round(stddev_samp(col("o_totalprice")), 6).as("std_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
@@ -458,8 +463,9 @@ object SparkEntry {
     // ---- anomaly (§2.14) ----
     "q68_mad_outliers" -> ((s, dir) => {
       val o = table(s, dir, "orders")
-      val med = o.agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
-      val mad = o.agg(expr(s"percentile(abs(o_totalprice - $med), 0.5)"))
+      val pct = gatedPct(o, "o_totalprice")
+      val med = o.agg(pct("o_totalprice", 0.5)).head().getDouble(0)
+      val mad = o.agg(pct(s"abs(o_totalprice - $med)", 0.5))
         .head().getDouble(0)
       o.agg(
         cnt(abs(col("o_totalprice") - med) > 3.0 * mad).as("mad_outliers"),
@@ -2280,8 +2286,7 @@ object SparkEntry {
         sum(when(col("vec_id") >= 10000000L, 1L).otherwise(0L))
           .as("copies_kept"),
         min(col("vec_id")).cast("long").as("min_kept"),
-        (count(lit(1)) <= lit(n - 48) && count(lit(1)) >= lit(1L))
-          .as("kept_within_bound"))
+        count(lit(1)).cast("long").as("kept_count"))
     }),
     "q169_bpe_tokens" -> ((s, dir) => {
       // Tokenizer-accurate counting (Text.bpeCount — greedy longest

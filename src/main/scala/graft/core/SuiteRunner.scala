@@ -99,14 +99,26 @@ object SuiteRunner {
       case _ => (df0, 1.0)
     }
 
+    // --- Phase 0: fused probe pass (only if some validator declares
+    // probes — size gates picking exact vs sketch forms). HLL-only
+    // aggregates: one cheap column-pruned scan shared by every prober ---
+    val probeMetrics: Metrics = {
+      val probes = dedup(validators.filterNot(_.schemaOnly)
+        .flatMap(_.probeExprs(schema)))
+      if (probes.isEmpty) Metrics.empty
+      else { scans += 1; collectAgg(df, probes) }
+    }
+
     // --- Phase A: fused stats pass (only if some validator needs it) ---
-    val needsStats = validators.exists(v => !v.schemaOnly && v.statsExprs(schema).nonEmpty)
-    val statsMetrics: Metrics = if (needsStats) {
+    val needsStats = validators.exists(v =>
+      !v.schemaOnly && v.statsExprs(schema, probeMetrics).nonEmpty)
+    val statsMetrics: Metrics = probeMetrics ++ (if (needsStats) {
       scans += 1
       val exprs = dedup(validators.filterNot(_.schemaOnly)
-        .flatMap(_.statsExprs(schema)) :+ (rowCountKey -> count(lit(1))))
+        .flatMap(_.statsExprs(schema, probeMetrics)) :+
+        (rowCountKey -> count(lit(1))))
       collectAgg(df, exprs)
-    } else Metrics.empty
+    } else Metrics.empty)
 
     // --- Phase B: fused metric pass with tier fallback ---
     val (mainMetrics, tier, failedExec, extraScans) =

@@ -43,8 +43,24 @@ trait Validator {
   def name: String
   def category: String
 
+  /** Probe aggregates (scan 0 — runs only when some validator in the
+    * suite declares probes). Cheap sketches (HLL distinct estimates)
+    * whose results feed size gates: validators that pick between an
+    * exact and an approximate form based on data volume declare the
+    * probe here and read it back in `statsExprs`/`metricExprs` via the
+    * merged [[Metrics]]. Fused and key-deduped across validators like
+    * every other stage, so a suite pays one cheap scan total — and
+    * nothing at all when no validator probes. */
+  def probeExprs(schema: StructType): Seq[(MetricKey, Column)] = Nil
+
   /** Pre-pass aggregates (scan 1). Empty for single-pass validators. */
   def statsExprs(schema: StructType): Seq[(MetricKey, Column)] = Nil
+
+  /** Probe-aware stats overload: the runner calls this form, passing the
+    * collected `probeExprs` results. Default delegates to the 1-arg form
+    * (probe-free validators never notice the extra stage). */
+  def statsExprs(schema: StructType, probes: Metrics): Seq[(MetricKey, Column)] =
+    statsExprs(schema)
 
   /** Main aggregates (scan 2, or scan 1 if no validator in the suite has
     * stats). `stats` holds this validator's collected `statsExprs`. */

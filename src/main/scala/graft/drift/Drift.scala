@@ -342,14 +342,21 @@ object Drift {
     andersonDarling(c, r, column)
   }
 
-  /** Mean / variance / quantile drift: relative stat difference. */
+  /** Mean / variance / quantile drift: relative stat difference. The
+    * median form is size-gated like the validator family
+    * ([[graft.core.SizeGate]]): per frame, an HLL probe routes
+    * over-budget columns to `percentile_approx` instead of exact
+    * `percentile`'s O(distinct) buffer. */
   def statDrift(cur: DataFrame, ref: DataFrame, column: String,
-                stat: String): Double = {
+                stat: String,
+                maxExactDistinct: Long =
+                  graft.core.SizeGate.DefaultMaxExactDistinct): Double = {
     def one(df: DataFrame): Double = {
       val c = stat match {
         case "mean"     => avg(col(column))
         case "variance" => var_samp(col(column))
-        case "median"   => expr(s"percentile($column, 0.5)")
+        case "median"   =>
+          graft.ops.Exprs.gatedPct(df, column, maxExactDistinct)(column, 0.5)
       }
       df.agg(c).head().getDouble(0)
     }

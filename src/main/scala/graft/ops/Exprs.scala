@@ -30,6 +30,28 @@ object Exprs {
   def regexMissCount(c: String, pattern: String): Column =
     cnt(col(c).isNotNull && !col(c).rlike(pattern))
 
+  /** Exact-vs-approx percentile routing for direct query bodies — the
+    * same distinct-count gate [[graft.core.SizeGate]] applies inside the
+    * validator family. One cheap HLL probe on `column` decides whether
+    * exact `percentile`'s O(distinct) value buffer is affordable (the
+    * multi-GiB GCLocker allocations observed at sf100 come from exactly
+    * this aggregate); over-budget columns route to the t-digest
+    * `percentile_approx`. Returns a builder taking (sqlExpr, p) so
+    * multi-quantile callers — including derived expressions like
+    * `abs(x - med)`, whose distinct count never exceeds the base
+    * column's — pay the probe once. The gate never trips below ~8M
+    * distinct, so oracle-scale results stay bit-exact. */
+  def gatedPct(df: DataFrame, column: String,
+      budget: Long = graft.core.SizeGate.DefaultMaxExactDistinct)
+      : (String, Double) => Column = {
+    val exact = budget <= 0 ||
+      df.agg(approx_count_distinct(col(column), 0.05)).head()
+        .getLong(0) <= budget
+    (sql, p) =>
+      if (exact) expr(s"percentile($sql, $p)")
+      else expr(s"percentile_approx($sql, $p, 10000)")
+  }
+
   /** Shannon entropy (nats) of a categorical column from its group counts;
     * call on the OUTPUT of df.groupBy(c).count() — shuffle is O(distinct). */
   def entropyFromCounts(countCol: String = "cnt"): Column = {

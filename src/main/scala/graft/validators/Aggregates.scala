@@ -30,9 +30,21 @@ final case class MeanBetweenCheck(c: String, lo: Double, hi: Double)
     extends AggBetweenCheck("mean", c, lo, hi) {
   protected def aggExpr = avg(col(c))
 }
-final case class MedianBetweenCheck(c: String, lo: Double, hi: Double)
+/** Median via exact `percentile` while the distinct count fits
+  * `maxExactDistinct` (fused HLL probe, [[graft.core.SizeGate]]);
+  * over-budget columns auto-route to `percentile_approx`. */
+final case class MedianBetweenCheck(c: String, lo: Double, hi: Double,
+    maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
     extends AggBetweenCheck("median", c, lo, hi) {
   protected def aggExpr = expr(s"percentile($c, 0.5)")
+  override def probeExprs(schema: StructType) =
+    if (maxExactDistinct > 0) Seq(SizeGate.probeExpr(c)) else Nil
+  override def metricExprs(schema: StructType, stats: Metrics) =
+    Seq(k -> (if (SizeGate.exactOk(stats, c, maxExactDistinct)) aggExpr
+              else percentile_approx(col(c), lit(0.5), lit(10000))))
+  override def evaluate(m: Metrics, total: Long) =
+    super.evaluate(m, total).map(i => i.copy(actual = i.actual +
+      SizeGate.note(m, c, maxExactDistinct, exactRequested = true)))
 }
 final case class StdBetweenCheck(c: String, lo: Double, hi: Double)
     extends AggBetweenCheck("stddev", c, lo, hi) {

@@ -16,18 +16,27 @@ import org.apache.spark.sql.types._
 /** MADOutlierValidator: |x - median| > k * MAD (robust z). Three bounded
   * aggregation passes (median -> MAD -> count), each map-side combined. */
 final case class MadOutlierCheck(column: String, k: Double = 3.0,
-    exact: Boolean = true) extends Validator with DedicatedScan {
+    exact: Boolean = true,
+    maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
+    extends Validator with DedicatedScan {
   val name = s"mad_outlier[$column]"
   val category = "anomaly"
   def metricExprs(schema: StructType, stats: Metrics) = Nil
   def evaluate(m: Metrics, total: Long) = Nil
   // exact mode uses interpolating `percentile` (matches SQL quantile_cont);
-  // approximate mode uses the t-digest percentile_approx for huge inputs
-  private def pct(sql: String): Column =
-    if (exact) expr(s"percentile($sql, 0.5)")
-    else expr(s"percentile_approx($sql, 0.5, 10000)")
+  // approximate mode uses the t-digest percentile_approx for huge inputs.
+  // As a DedicatedScan this validator owns its jobs, so the SizeGate
+  // probe runs inline: one cheap HLL agg before the median passes, and
+  // over-budget columns route to approx (distinct(abs(x - med)) never
+  // exceeds distinct(x), so one probe covers both passes).
   def runScan(df: DataFrame, total: Long): Seq[ValidationIssue] = {
     if (total == 0) return Nil
+    val ex = exact && (maxExactDistinct <= 0 ||
+      df.agg(approx_count_distinct(col(column), 0.05)).head().getLong(0)
+        <= maxExactDistinct)
+    def pct(sql: String): Column =
+      if (ex) expr(s"percentile($sql, 0.5)")
+      else expr(s"percentile_approx($sql, 0.5, 10000)")
     val med = df.agg(pct(column)).head().getDouble(0)
     val mad = df.agg(pct(s"abs($column - $med)")).head().getDouble(0)
     if (mad == 0.0) return Nil
@@ -41,15 +50,25 @@ final case class MadOutlierCheck(column: String, k: Double = 3.0,
 /** PercentileAnomalyValidator: values outside [pLow, pHigh] empirical
   * percentiles. Two-pass, fused. */
 final case class PercentileAnomalyCheck(column: String, pLow: Double = 0.01,
-    pHigh: Double = 0.99, maxRatio: Double = 0.0) extends Validator {
+    pHigh: Double = 0.99, maxRatio: Double = 0.0,
+    maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
+    extends Validator {
   val name = s"percentile_anomaly[$column]"
   val category = "anomaly"
-  private val lk = MetricKey("p_low", column, pLow.toString)
-  private val hk = MetricKey("p_high", column, pHigh.toString)
+  private val lk = MetricKey("p_low", column, s"$pLow/$maxExactDistinct")
+  private val hk = MetricKey("p_high", column, s"$pHigh/$maxExactDistinct")
   private val vk = MetricKey("percentile_violations", column, s"$pLow/$pHigh")
-  override def statsExprs(schema: StructType) = Seq(
-    lk -> expr(s"percentile($column, $pLow)"),
-    hk -> expr(s"percentile($column, $pHigh)"))
+  override def probeExprs(schema: StructType) =
+    if (maxExactDistinct > 0) Seq(SizeGate.probeExpr(column)) else Nil
+  override def statsExprs(schema: StructType) =
+    statsExprs(schema, Metrics.empty)
+  override def statsExprs(schema: StructType, probes: Metrics) =
+    if (SizeGate.exactOk(probes, column, maxExactDistinct)) Seq(
+      lk -> expr(s"percentile($column, $pLow)"),
+      hk -> expr(s"percentile($column, $pHigh)"))
+    else Seq(
+      lk -> percentile_approx(col(column), lit(pLow), lit(10000)),
+      hk -> percentile_approx(col(column), lit(pHigh), lit(10000)))
   def metricExprs(schema: StructType, stats: Metrics) = {
     val lo = stats.double(lk).getOrElse(Double.NegativeInfinity)
     val hi = stats.double(hk).getOrElse(Double.PositiveInfinity)

@@ -80,20 +80,32 @@ final case class SetMembershipCheck(column: String, values: Seq[Any],
 }
 
 /** OutlierValidator (IQR fences). Two-pass: quantiles then fence counts.
-  * Uses exact `percentile` (matches a SQL oracle's quantile_cont); swap to
-  * `percentile_approx` at extreme scale — the validator takes `exact`. */
+  * Uses exact `percentile` (matches a SQL oracle's quantile_cont) while
+  * the column's distinct count fits `maxExactDistinct` — the fused HLL
+  * probe ([[graft.core.SizeGate]], scan 0) auto-routes over-budget
+  * columns to t-digest `percentile_approx`, recording the switch in any
+  * emitted issue. `exact = false` forces approx; `maxExactDistinct <= 0`
+  * forces exact (the pre-gate escape hatches, both kept). */
 final case class IqrOutlierCheck(column: String, k: Double = 1.5,
-    exact: Boolean = true, maxOutlierRatio: Double = 0.0) extends Validator {
+    exact: Boolean = true, maxOutlierRatio: Double = 0.0,
+    maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
+    extends Validator {
   val name = s"iqr_outlier[$column]"
   val category = "distribution"
-  private val q1k = MetricKey("q1", column, exact.toString)
-  private val q3k = MetricKey("q3", column, exact.toString)
+  private val q1k = MetricKey("q1", column, s"$exact/$maxExactDistinct")
+  private val q3k = MetricKey("q3", column, s"$exact/$maxExactDistinct")
   private val vk  = MetricKey("iqr_violations", column, s"$k/$exact")
-  private def pct(p: Double): Column =
-    if (exact) expr(s"percentile($column, $p)")
+  private def pct(p: Double, ex: Boolean): Column =
+    if (ex) expr(s"percentile($column, $p)")
     else percentile_approx(col(column), lit(p), lit(10000))
+  override def probeExprs(schema: StructType) =
+    if (exact && maxExactDistinct > 0) Seq(SizeGate.probeExpr(column)) else Nil
   override def statsExprs(schema: StructType) =
-    Seq(q1k -> pct(0.25), q3k -> pct(0.75))
+    statsExprs(schema, Metrics.empty)
+  override def statsExprs(schema: StructType, probes: Metrics) = {
+    val ex = exact && SizeGate.exactOk(probes, column, maxExactDistinct)
+    Seq(q1k -> pct(0.25, ex), q3k -> pct(0.75, ex))
+  }
   def metricExprs(schema: StructType, stats: Metrics) = {
     val (lo, hi) = fences(stats)
     Seq(vk -> count(when(col(column) < lo || col(column) > hi, 1)))
@@ -110,7 +122,8 @@ final case class IqrOutlierCheck(column: String, k: Double = 1.5,
     if (ratio > maxOutlierRatio && n > 0) {
       val (lo, hi) = fences(m)
       Seq(issue(column, "iqr_outliers", n, total, Severity.Medium,
-        expected = f"[$lo%.4f,$hi%.4f]", actual = s"$n outliers"))
+        expected = f"[$lo%.4f,$hi%.4f]", actual = s"$n outliers" +
+          SizeGate.note(m, column, maxExactDistinct, exact)))
     } else Nil
   }
   override def failPredicate(schema: StructType, stats: Metrics) = {
@@ -144,20 +157,29 @@ final case class ZScoreOutlierCheck(column: String, z: Double = 3.0,
   }
 }
 
-/** QuantileValidator: quantile(p) ∈ [lo, hi]. */
+/** QuantileValidator: quantile(p) ∈ [lo, hi]. Exact `percentile` while
+  * the distinct count fits `maxExactDistinct` (fused HLL probe,
+  * [[graft.core.SizeGate]]); over-budget columns auto-route to
+  * `percentile_approx` with the switch recorded in emitted issues. */
 final case class QuantileCheck(column: String, p: Double, lo: Double, hi: Double,
-    exact: Boolean = true) extends Validator {
+    exact: Boolean = true,
+    maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
+    extends Validator {
   val name = s"quantile[$column,$p]"
   val category = "distribution"
-  private val k = MetricKey("quantile", column, s"$p/$exact")
+  private val k = MetricKey("quantile", column, s"$p/$exact/$maxExactDistinct")
+  override def probeExprs(schema: StructType) =
+    if (exact && maxExactDistinct > 0) Seq(SizeGate.probeExpr(column)) else Nil
   def metricExprs(schema: StructType, stats: Metrics) =
-    Seq(k -> (if (exact) expr(s"percentile($column, $p)")
+    Seq(k -> (if (exact && SizeGate.exactOk(stats, column, maxExactDistinct))
+                expr(s"percentile($column, $p)")
               else percentile_approx(col(column), lit(p), lit(10000))))
   def evaluate(m: Metrics, total: Long) =
     m.double(k) match {
       case Some(v) if v < lo || v > hi =>
         Seq(issue(column, "quantile_out_of_bounds", 1, total, Severity.Medium,
-          expected = s"q$p in [$lo,$hi]", actual = f"$v%.6f"))
+          expected = s"q$p in [$lo,$hi]", actual = f"$v%.6f" +
+            SizeGate.note(m, column, maxExactDistinct, exact)))
       case _ => Nil
     }
 }
