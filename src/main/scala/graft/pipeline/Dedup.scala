@@ -23,6 +23,21 @@ import org.apache.spark.storage.StorageLevel
   *    the 100 TB path (buckets via sign bits, join within bucket). */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Contraction rounds taken by the most recent [[dupClusters]] call on
+    * this thread: -1 before any call, 0 when the driver union-find fast
+    * path (or an empty edge set) short-circuited, otherwise the number of
+    * large-star/small-star alternations to fixpoint. Observability only
+    * (production monitors read it after a dedup to watch convergence —
+    * contraction should stay single-digit; see the [[dupClusters]] doc);
+    * thread-local so parallel runners in one JVM don't race. The same
+    * figure is INFO-logged per call. */
+  private val lastRoundsTl = new ThreadLocal[Int] {
+    override def initialValue(): Int = -1
+  }
+  def lastContractionRounds: Int = lastRoundsTl.get()
+
   /** Exact duplicate groups by normalized-content fingerprint:
     * (fingerprint, cnt) with cnt > 1. */
   def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
@@ -538,6 +553,7 @@ object Dedup {
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      lastRoundsTl.set(0)
       return parent.keys.toSeq.map(id => (id, find(id)))
         .toDF("id", "cluster")
     }
@@ -601,6 +617,9 @@ object Dedup {
       iter += 1
     }
     e.unpersist()
+    lastRoundsTl.set(iter)
+    log.info(s"dupClusters contraction converged in $iter rounds " +
+      s"(maxIter=$maxIter)")
     if (!converged && iter >= maxIter)
       throw new IllegalStateException(
         s"dupClusters contraction did not converge in $maxIter rounds — " +

@@ -227,6 +227,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val pairs = blocks.unionAll(chain)
     assert(pairs.count() * 2 > (1L << 20))
     val labels = graft.pipeline.Dedup.dupClusters(pairs)
+    // ... and the contraction path reports its (single-digit-per-log₂-
+    // diameter) round count: 2000-node chain diameter halves per
+    // alternation, so rounds ∈ [1, maxIter), captured before the small
+    // run below overwrites the thread-local.
+    val bigRounds = graft.pipeline.Dedup.lastContractionRounds
+    assert(bigRounds >= 1 && bigRounds < 25, s"rounds=$bigRounds")
     // branch assertion, not just the answer: the driver path materializes
     // a LocalRelation (driver union-find -> toDF); the distributed path
     // ends in a localCheckpoint -> LogicalRDD. Prove the discriminator on
@@ -234,6 +240,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val small = graft.pipeline.Dedup.dupClusters(
       Seq((1L, 2L)).toDF("id_a", "id_b"))
     assert(small.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    // convergence diagnostics: the driver fast path reports 0 rounds ...
+    assert(graft.pipeline.Dedup.lastContractionRounds == 0)
     val plan = labels.queryExecution.optimizedPlan.toString
     assert(plan.contains("LogicalRDD") && !plan.contains("LocalRelation"),
       s"expected distributed branch (checkpointed LogicalRDD), got:\n$plan")
