@@ -233,16 +233,37 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
     * over-budget row discards token mass that globally precedes a
     * survivor). Driver traffic is one (stratum, bucket) total per
     * BUDGETED stratum — ≤ budgets.size × buckets rows by construction,
-    * independent of data size. */
+    * independent of data size.
+    *
+    * The default `salt = -1` is AUTO: one cheap probe (groupBy-count of
+    * the budgeted strata — partial-aggregated, ≤ budgets.size driver
+    * rows) engages the bucketed form when any budgeted stratum exceeds
+    * `autoBucketRows` rows, with buckets sized to ~`autoBucketRows`/2
+    * rows each (clamped to ≤ 1024). The 100 TB contract shouldn't
+    * depend on the caller knowing their stratum histogram; the kept set
+    * is identical either way (the bucketed form is exact), so auto only
+    * changes plan shape. `salt = 0` forces the single window. */
   def sampleTokenBudget(strataCol: String, budgets: Map[String, Long],
-      seed: Long = 42L, salt: Int = 0, tokensOf: Column = null): Curate = {
+      seed: Long = 42L, salt: Int = -1, tokensOf: Column = null,
+      autoBucketRows: Long = Curate.DefaultAutoBucketRows): Curate = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val m = typedlit(budgets)
     val b = element_at(m, col(strataCol))
     val tk = Option(tokensOf).getOrElse(Text.tokenCount(col(textCol)))
     val h = xxhash64(col(idCol), lit(seed))
+    val eff =
+      if (salt >= 0 || budgets.isEmpty) salt
+      else {
+        val maxRows = df
+          .filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+          .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+        if (maxRows <= autoBucketRows) 0
+        else math.min(1024L,
+          (maxRows + autoBucketRows / 2 - 1) / (autoBucketRows / 2)).toInt
+      }
     val out =
-      if (salt <= 1) {
+      if (eff <= 1) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(strataCol)).orderBy(h, col(idCol))
         df.withColumn("__cum", sum(tk).over(w))
@@ -250,9 +271,9 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       } else {
         val spark = df.sparkSession
         import spark.implicits._
-        // bits = ceil(log2(salt)); arithmetic shiftright of the signed
+        // bits = ceil(log2(buckets)); arithmetic shiftright of the signed
         // hash is monotone, so __bk sorts consistently with __h
-        val bits = 32 - Integer.numberOfLeadingZeros(salt - 1)
+        val bits = 32 - Integer.numberOfLeadingZeros(eff - 1)
         val keyed = df.withColumn("__tk", coalesce(tk.cast("long"), lit(0L)))
           .withColumn("__h", h)
           .withColumn("__bk", shiftright(col("__h"), 64 - bits))
@@ -284,7 +305,8 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       }
     copy(df = out,
       stages = stages :+ s"token_budget(${budgets.size} strata" +
-        (if (salt > 1) s", salt=$salt" else "") + ")")
+        (if (eff > 1) s", salt=$eff${if (salt < 0) "(auto)" else ""}"
+         else "") + ")")
   }
 
   /** Summary metrics of the surviving corpus (one aggregate). */
@@ -293,4 +315,14 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       count(lit(1)).as("docs"),
       sum(Text.tokenCount(col(textCol))).cast("long").as("tokens"),
       count_distinct(Text.fingerprint(col(textCol))).as("distinct_fp"))
+}
+
+object Curate {
+  /** Auto-bucketing threshold for [[Curate.sampleTokenBudget]]: a
+    * budgeted stratum above this many rows engages the exact bucketed
+    * two-phase prefix sum (buckets sized to ~half this, so the hot
+    * stratum's window sort splits into ≥2 tasks immediately past the
+    * threshold). 2^22 ≈ 4.2M rows — the regime where the single
+    * mega-stratum sort task was measured at 2.6× the bucketed form. */
+  val DefaultAutoBucketRows: Long = 1L << 22
 }

@@ -393,6 +393,40 @@ class PipelineSpec extends AnyFunSuite {
       s"bucket offsets not broadcast:\n$tbPlan")
   }
 
+  test("sampleTokenBudget auto-engages bucketing past the row threshold") {
+    // the 100 TB contract shouldn't depend on the caller knowing their
+    // stratum histogram: default salt = -1 probes budgeted stratum row
+    // counts and engages the exact bucketed form automatically. Kept set
+    // must be byte-identical to the forced single window in BOTH probe
+    // outcomes.
+    val docsT = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("src0" -> 400L, "src1" -> 5L, "src2" -> 10000000L)
+    def ids(c: Curate) = c.df.select("doc_id").as[Long].collect().toSet
+    val single = Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets, salt = 0)
+    // (1) under threshold: probe resolves to the single window
+    val auto = Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets)
+    assert(!auto.stages.last.contains("auto"))
+    assert(ids(auto) == ids(single))
+    // (2) over threshold (tiny override): probe engages bucketing —
+    // stage marks it, plan partitions the window by (stratum, bucket),
+    // kept set unchanged
+    val tripped = Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets, autoBucketRows = 8L)
+    assert(tripped.stages.last.contains("(auto)"),
+      s"auto did not engage: ${tripped.stages.last}")
+    val plan = tripped.df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(w => w.contains("Window [") &&
+      w.contains("__bk")), s"no bucketed window in auto plan:\n$plan")
+    assert(ids(tripped) == ids(single))
+    // buckets sized ~autoBucketRows/2 rows each: 25-row strata at
+    // autoBucketRows=8 -> ceil(25/4) = 7 buckets
+    assert(tripped.stages.last.contains("salt=7"),
+      s"bucket sizing off: ${tripped.stages.last}")
+  }
+
   test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {
     // bandBits tracks ceil(log2 n), clamped to [8, 63]
     assert(Dedup.lshPlan(100L, 0.99)._2 == 8)
