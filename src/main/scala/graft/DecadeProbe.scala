@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: per-decade scale probes for the heaviest operators, on the
+  * tables a partial scale fixture actually carries.
+  *
+  *   runMain graft.DecadeProbe <sfDir> <op> [more ops...]
+  *
+  * Ops (each prints one `[probe] <op> <seconds>` line, min over
+  * SPARK_GRAFT_PROBE_RUNS timed runs, default 1 — the sf1000 rows are
+  * too expensive for QTime's min-of-2-plus-warm-up protocol):
+  *
+  *   - `dupgroups` — q03's two-col groupBy-count>1 shuffle shape on
+  *     orders (o_custkey, o_orderdate); lineitem does not fit the
+  *     sandbox disk at sf1000 (~110 GB), so the decade ratio is taken
+  *     on the same operator over the 1.5B-row orders table instead.
+  *   - `bloomfk` — q97's bloom-guarded orphan count, substituted as
+  *     orders.o_custkey -> customer.c_custkey (worst-case regime: all
+  *     children pass the bloom, exact anti-join runs on everything —
+  *     the same regime q97's lineitem->orders check exercises).
+  *   - `bucketfk` — q157's pay-once bucketed layout + exchange-free
+  *     anti-join, substituted as fact=orders(o_custkey) vs
+  *     dim=customer(c_custkey % 97 =!= 0), 8 buckets, broadcast off.
+  *   - `learn` / `embdedup` — q60 / q168 run verbatim via SparkEntry
+  *     (their tables ship in the partial fixture).
+  */
+object DecadeProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DecadeProbe <sfDir> <op...>")
+    val sfDir = args(0)
+    val ops = args.drop(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.ops.Exprs.sizedDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")),
+      sfDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.Exprs.quietNoisyLoggers()
+    import graft.ops.Exprs.table
+
+    def probe(name: String)(body: => Unit): Unit = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-12s ${times.min}%10.3f s  (runs=$runs)")
+    }
+
+    ops.foreach {
+      case "dupgroups" => probe("dupgroups") {
+        table(spark, sfDir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("dup_groups"),
+            coalesce(sum(col("c") - 1), lit(0L)).cast("long")
+              .as("excess_rows"))
+          .collect()
+      }
+      case "bloomfk" => probe("bloomfk") {
+        val n = graft.profiler.Sketches.orphanCount(
+          table(spark, sfDir, "orders"), "o_custkey",
+          table(spark, sfDir, "customer"), "c_custkey")
+        println(s"[probe]   bloomfk orphans=$n")
+      }
+      case "bucketfk" => probe("bucketfk") {
+        val fact = table(spark, sfDir, "orders").select(col("o_custkey"))
+        val dim = table(spark, sfDir, "customer").select(col("c_custkey"))
+          .filter(col("c_custkey") % 97 =!= 0)
+        graft.sources.Bucketing.writeBucketed(fact, "probe_fact",
+          Seq("o_custkey"), 8, Seq("o_custkey"))
+        graft.sources.Bucketing.writeBucketed(dim, "probe_dim",
+          Seq("c_custkey"), 8, Seq("c_custkey"))
+        val f = spark.table("probe_fact"); val d = spark.table("probe_dim")
+        val orphans = graft.sources.Bucketing.withoutBroadcast(spark) {
+          f.join(d, f("o_custkey") === d("c_custkey"), "left_anti").count()
+        }
+        println(s"[probe]   bucketfk orphans=$orphans")
+      }
+      case q =>
+        SparkEntry.queries.filter(_._1.startsWith(q)).toSeq.sortBy(_._1)
+          .foreach { case (name, fn) =>
+            probe(name) { fn(spark, sfDir).count(); () }
+          }
+    }
+    spark.stop()
+  }
+}

@@ -28,11 +28,21 @@ import org.apache.spark.sql.functions._
   *     the same reason (identical vectors would make ANN self-top-k
   *     degenerate).
   *
-  * Usage: runMain graft.GenScale <srcDir> <destDir> <factor>
+  * Usage: runMain graft.GenScale <srcDir> <destDir> <factor> [tables]
+  *
+  * The optional 4th arg (comma-separated table names) writes only that
+  * subset — for decade-probe fixtures where the full set won't fit on
+  * disk (sf1000 lineitem alone is ~110 GB). Key bases still come from
+  * reading the referenced parents, so FK shifts stay consistent with
+  * what a full generation would produce.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val Array(src, dest, fStr) = args
+    val (src, dest, fStr) = (args(0), args(1), args(2))
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val factor = fStr.toInt
     require(factor >= 1)
     val spark = graft.ops.Exprs.sessionDefaults(SparkSession.builder()
@@ -48,46 +58,56 @@ object GenScale {
     def keyBase(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1
 
-    Seq("region", "nation").foreach(t => write(read(t), t))
+    Seq("region", "nation").foreach(t => if (wanted(t)) write(read(t), t))
 
-    val cust = read("customer"); val custBase = keyBase(cust, "c_custkey")
-    val supp = read("supplier"); val suppBase = keyBase(supp, "s_suppkey")
-    val part = read("part");     val partBase = keyBase(part, "p_partkey")
-    val ord  = read("orders");   val ordBase  = keyBase(ord, "o_orderkey")
-    val li   = read("lineitem")
-    val ev = graft.ops.Exprs.normalizeTs(read("events"))
-    val evBase = keyBase(ev, "event_id")
-    val usrBase = keyBase(ev, "user_id")
+    lazy val cust = read("customer")
+    lazy val custBase = keyBase(cust, "c_custkey")
+    lazy val supp = read("supplier")
+    lazy val suppBase = keyBase(supp, "s_suppkey")
+    lazy val part = read("part")
+    lazy val partBase = keyBase(part, "p_partkey")
+    lazy val ord  = read("orders")
+    lazy val ordBase  = keyBase(ord, "o_orderkey")
+    lazy val li   = read("lineitem")
+    lazy val ev = graft.ops.Exprs.normalizeTs(read("events"))
+    lazy val evBase = keyBase(ev, "event_id")
+    lazy val usrBase = keyBase(ev, "user_id")
 
     def reps(f: Int => DataFrame): DataFrame =
       (0 until factor).map(f).reduce(_ unionAll _)
 
-    write(reps(i => cust.withColumn("c_custkey",
-      col("c_custkey") + lit(i * custBase))), "customer")
-    write(reps(i => supp.withColumn("s_suppkey",
-      col("s_suppkey") + lit(i * suppBase))), "supplier")
-    write(reps(i => part.withColumn("p_partkey",
-      col("p_partkey") + lit(i * partBase))), "part")
-    write(reps(i => ord
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordBase))
-      .withColumn("o_custkey", col("o_custkey") + lit(i * custBase))),
-      "orders")
-    write(reps(i => li
-      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordBase))
-      .withColumn("l_partkey", col("l_partkey") + lit(i * partBase))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppBase))),
-      "lineitem")
-    write(reps(i => ev
-      .withColumn("event_id", col("event_id") + lit(i * evBase))
-      .withColumn("user_id", col("user_id") + lit(i * usrBase))
-      .withColumn("ts",
-        timestamp_micros(unix_micros(col("ts")) + lit(i.toLong))
-          .cast("timestamp_ntz"))), "events")
+    if (wanted("customer"))
+      write(reps(i => cust.withColumn("c_custkey",
+        col("c_custkey") + lit(i * custBase))), "customer")
+    if (wanted("supplier"))
+      write(reps(i => supp.withColumn("s_suppkey",
+        col("s_suppkey") + lit(i * suppBase))), "supplier")
+    if (wanted("part"))
+      write(reps(i => part.withColumn("p_partkey",
+        col("p_partkey") + lit(i * partBase))), "part")
+    if (wanted("orders"))
+      write(reps(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordBase))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custBase))),
+        "orders")
+    if (wanted("lineitem"))
+      write(reps(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordBase))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partBase))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppBase))),
+        "lineitem")
+    if (wanted("events"))
+      write(reps(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * evBase))
+        .withColumn("user_id", col("user_id") + lit(i * usrBase))
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + lit(i.toLong))
+            .cast("timestamp_ntz"))), "events")
 
-    val docs = read("documents")
-    val nDocs = docs.count()
-    val docBase = keyBase(docs, "doc_id")
-    val partner = docs.select(col("doc_id").as("p_id"),
+    lazy val docs = read("documents")
+    lazy val nDocs = docs.count()
+    lazy val docBase = keyBase(docs, "doc_id")
+    lazy val partner = docs.select(col("doc_id").as("p_id"),
       col("text").as("p_text"))
     def docRep(i: Int): DataFrame =
       if (i == 0) docs
@@ -104,10 +124,10 @@ object GenScale {
         .select((col("doc_id") + lit(i * docBase)).as("doc_id"), col("text"),
           col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
-    write(reps(docRep), "documents")
+    if (wanted("documents")) write(reps(docRep), "documents")
 
-    val emb = read("embeddings")
-    val vecBase = keyBase(emb, "vec_id")
+    lazy val emb = read("embeddings")
+    lazy val vecBase = keyBase(emb, "vec_id")
     def embRep(i: Int): DataFrame =
       if (i == 0) emb
       else emb.select((col("vec_id") + lit(i * vecBase)).as("vec_id"),
@@ -115,10 +135,12 @@ object GenScale {
           |x + CAST(pmod(vec_id * 31 + j * 7 + $i * 13, 997) AS FLOAT)
           |  * CAST(1e-4 AS FLOAT))""".stripMargin).as("embedding"),
         col("label"))
-    write(reps(embRep), "embeddings")
+    if (wanted("embeddings")) write(reps(embRep), "embeddings")
 
-    val rows = spark.read.parquet(s"$dest/lineitem.parquet").count()
+    val counted = if (wanted("lineitem")) "lineitem" else
+      only.map(_.head).getOrElse("lineitem")
+    val rows = spark.read.parquet(s"$dest/$counted.parquet").count()
     spark.stop()
-    println(s"[genscale] wrote $dest factor=$factor lineitem_rows=$rows")
+    println(s"[genscale] wrote $dest factor=$factor ${counted}_rows=$rows")
   }
 }

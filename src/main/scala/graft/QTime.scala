@@ -25,7 +25,9 @@ object QTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.ops.Exprs.quietNoisyLoggers()
-    graft.ops.Exprs.table(spark, sfDir, "lineitem").count()
+    // warm-up read (partial scale dirs may omit lineitem — fall back)
+    scala.util.Try(graft.ops.Exprs.table(spark, sfDir, "lineitem").count())
+      .getOrElse(graft.ops.Exprs.table(spark, sfDir, "orders").count())
     wanted.foreach { w =>
       SparkEntry.queries.filter(_._1.startsWith(w)).toSeq.sortBy(_._1)
         .foreach { case (name, fn) =>

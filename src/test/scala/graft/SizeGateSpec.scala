@@ -83,6 +83,22 @@ class SizeGateSpec extends AnyFunSuite {
     assert(gated.checks.head.issues.head.count == 1)
   }
 
+  test("statDrift median is gated per frame, exact under budget") {
+    import graft.drift.Drift
+    val cur = (1 to 101).map(_.toDouble).toDF("v")     // median 51
+    val ref = (1 to 101).map(_ * 2.0).toDF("v")        // median 102
+    val exact = Drift.statDrift(cur, ref, "v", "median")
+    assert(math.abs(exact - (102.0 - 51.0) / 102.0) < 1e-12)
+    // tiny budget forces percentile_approx on both frames; relative
+    // drift of the t-digest medians stays within a rank of exact
+    val gated = Drift.statDrift(cur, ref, "v", "median",
+      maxExactDistinct = 5)
+    assert(math.abs(gated - exact) < 0.05, s"gated=$gated exact=$exact")
+    // mean/variance paths are unaffected by the gate parameter
+    assert(Drift.statDrift(cur, ref, "v", "mean", maxExactDistinct = 5) ==
+      Drift.statDrift(cur, ref, "v", "mean"))
+  }
+
   test("gatedPct query helper matches exact form under budget") {
     import graft.ops.Exprs._
     val pct = gatedPct(df, "v")
