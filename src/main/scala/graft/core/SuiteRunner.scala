@@ -366,26 +366,60 @@ object SuiteRunner {
       case kv => kv
     })
 
-  /** Fused collection that avoids Spark's Expand blow-up: two or more
-    * DISTINCT aggregates in one Aggregate make the planner EXPAND the
-    * input N-fold (verified on the physical plan), so the scan volume
-    * multiplies by the number of distinct groups. Instead, the first
-    * distinct metric stays fused with all plain metrics (one distinct is
-    * Expand-free) and each EXTRA distinct runs as its own job — which
-    * column-prunes to a single column, far cheaper than an N-fold Expand
-    * of the full row at scale. */
+  /** Fused collection that avoids Spark's two DISTINCT-aggregate plan
+    * traps. (1) Expand blow-up: two or more DISTINCT aggregates in one
+    * Aggregate make the planner EXPAND the input N-fold (verified on
+    * the physical plan), so the scan volume multiplies by the number of
+    * distinct groups — each extra distinct always runs as its own
+    * column-pruned job. (2) Per-group partial buffers: even a SINGLE
+    * distinct fused with plain metrics plans via
+    * planAggregateWithOneDistinct, whose partial stages GROUP BY the
+    * distinct column — every fused IMPERATIVE buffer (percentile,
+    * percentile_approx, HLL, collect_*) is then built and merged per
+    * distinct VALUE, a cliff the sf1000 decade probe measured at >100x
+    * on Learn's stats pass (QuantileSummaries.merge-bound, 150M-distinct
+    * column: >30 min vs ~12 s unfused). Declarative companions
+    * (count/sum/min/max/avg/stddev) are safe to fuse: their per-group
+    * state is a few struct words inside the hash row, and the grouped
+    * partial is the distinct's own cost. So the FIRST distinct fuses
+    * with the plain metrics only when no plain metric carries an
+    * imperative aggregate; otherwise every distinct splits into its own
+    * job. Split jobs run concurrently (wall time = slowest job). */
   private def collectSplitDistinct(df: DataFrame,
       exprs: Seq[(MetricKey, Column)]): (Metrics, Int) = {
     val (distincts, plain) = exprs.partition { case (_, c) =>
       org.apache.spark.sql.graft.ColumnBridge.hasDistinctAgg(c)
     }
-    if (distincts.size <= 1) (collectAgg(df, exprs), 0)
+    if (distincts.isEmpty) (collectAgg(df, exprs), 0)
     else {
-      val first = collectAgg(df, plain ++ distincts.take(1))
-      (distincts.drop(1).foldLeft(first) { (acc, d) =>
-        acc ++ collectAgg(df, Seq(d))
-      }, distincts.size - 1)
+      val fuseFirst =
+        plain.isEmpty || !hasImperativeAgg(df, plain)
+      val groups: Seq[Seq[(MetricKey, Column)]] =
+        if (fuseFirst) (plain ++ distincts.take(1)) +: distincts.drop(1).map(Seq(_))
+        else (if (plain.nonEmpty) Seq(plain) else Nil) ++ distincts.map(Seq(_))
+      if (groups.size == 1) (collectAgg(df, groups.head), 0)
+      else {
+        val collected = graft.core.Par.map(groups)(g => collectAgg(df, g))
+        (collected.reduce(_ ++ _), groups.size - 1)
+      }
     }
+  }
+
+  /** Whether any metric column resolves to an ImperativeAggregate
+    * (non-codegen buffer: percentile family, HLL, collect_*). Checked on
+    * the ANALYZED plan — `expr("percentile(...)")`-built columns carry
+    * opaque node trees that name-based Column inspection misses. */
+  private def hasImperativeAgg(df: DataFrame,
+      exprs: Seq[(MetricKey, Column)]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, ImperativeAggregate}
+    val cols = exprs.zipWithIndex.map { case ((_, c), i) => c.as(s"m$i") }
+    df.agg(cols.head, cols.tail: _*).queryExecution.analyzed.expressions
+      .exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.isInstanceOf[ImperativeAggregate]
+        case _ => false
+      })
   }
 
   /** One wide aggregate: single scan, partial+final agg. */

@@ -71,14 +71,22 @@ object Learn {
     def distinctOf(c: String): Column =
       if (colExact(c)) count_distinct(struct(col(c)))
       else approx_count_distinct(col(c), rsd)
-    // Expand guard (same lesson as SuiteRunner.collectSplitDistinct): 2+
-    // exact DISTINCT aggregates in ONE Aggregate make Spark Expand the
-    // input N-fold. Keep the FIRST exact column's distinct fused (a single
-    // distinct is Expand-free); run each remaining exact column's distinct
-    // as its own column-pruned job. Approx (HLL) columns have no Expand —
-    // all fused.
-    val firstExact = fields.map(_.name).find(colExact)
-    def fuseDistinct(c: String): Boolean = !colExact(c) || firstExact.contains(c)
+    // Distinct-fusion guard (same lesson as SuiteRunner
+    // .collectSplitDistinct): 2+ exact DISTINCT aggregates in ONE
+    // Aggregate make Spark Expand the input N-fold, and even ONE exact
+    // distinct fused with the stats pass is a scale cliff — Spark plans
+    // single-distinct via planAggregateWithOneDistinct, whose partial
+    // stages GROUP BY the distinct column, so every other fused
+    // aggregate (here: the per-column percentile/percentile_approx
+    // buffers) is materialized and merged PER DISTINCT VALUE. The sf1000
+    // decade probe measured learn(customer, 150M rows) at >30 min in
+    // QuantileSummaries.merge under that plan vs ~12 s for the same
+    // percentile as a plain single-group aggregate. So: NO exact
+    // distinct is ever fused with the stats pass — each runs as its own
+    // column-pruned single-aggregate job (concurrently, below). Approx
+    // (HLL) columns are regular fixed-size aggregates, not DISTINCT
+    // plans — all fused.
+    def fuseDistinct(c: String): Boolean = !colExact(c)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = f.name
       val base = Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls")) ++
@@ -115,7 +123,8 @@ object Learn {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // split-off exact distincts: one column-pruned scan per column —
-    // N-1 cheap single-column jobs instead of an N-fold Expand of the row.
+    // N cheap single-column jobs instead of an N-fold Expand (2+ fused)
+    // or a per-distinct-value-buffered stats pass (1 fused).
     // Submitted CONCURRENTLY (same pattern as SuiteRunner's parallel
     // dedicated scans): the jobs are independent, so wall time is the
     // slowest job, not the sum of N-1 scheduler round-trips.

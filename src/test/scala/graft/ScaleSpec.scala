@@ -45,6 +45,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(sec < 60.0)
   }
 
+  test("imperative companion forces the distinct out of the fused pass") {
+    // ONE fused distinct plans via planAggregateWithOneDistinct: partial
+    // stages GROUP BY the distinct column, so imperative companions
+    // (HLL/percentile buffers) would be built and merged per distinct
+    // value — the sf1000 cliff. With an HLL metric in the batch, the
+    // distinct must split into its own scan (2 scans, not 1) and the
+    // results must be identical to the fused path's.
+    val c = graft.ops.Exprs.table(spark, "/root/testdata/sf0.1", "customer")
+    val r = SuiteRunner.run(c, Seq(
+      UniqueCheck(Seq("c_custkey")),
+      ApproxDistinctCheck("c_custkey", min = 14000, max = 16000),
+      RangeCheck("c_acctbal", Some(-1e6), Some(1e6))),
+      SuiteRunner.Config(format = ResultFormat.BooleanOnly))
+    assert(r.scanCount == 2, s"scans=${r.scanCount}")
+    assert(r.passed)
+  }
+
   test("single-pass-only suite is exactly one scan") {
     val c = graft.ops.Exprs.table(spark, "/root/testdata/sf0.1", "customer")
     val r = SuiteRunner.run(c, Seq(
