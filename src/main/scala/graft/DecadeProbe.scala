@@ -62,6 +62,27 @@ object DecadeProbe {
               .as("excess_rows"))
           .collect()
       }
+      case "dupgroups_hashed" => probe("dupgroups_hashed") {
+        // q03's shape via the 8-byte-shuffle path (ops/DupGroups): the
+        // exchange carries (hash, partial count) instead of the key
+        // tuple — the regime argument is in DupGroups' doc comment
+        graft.ops.DupGroups.stats(
+          table(spark, sfDir, "orders"), Seq("o_custkey", "o_orderdate"))
+          .collect()
+      }
+      case "docdup" => probe("docdup_direct") {
+        // q149's wide-key regime: whole-text duplicate groups over
+        // documents, direct groupBy (shuffles the text itself)...
+        table(spark, sfDir, "documents").groupBy(col("text"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("dup_groups")).collect()
+      }
+      case "docdup_hashed" => probe("docdup_hashed") {
+        // ...vs the hashed path (shuffles 16 bytes/row regardless of
+        // text width)
+        graft.ops.DupGroups.stats(
+          table(spark, sfDir, "documents"), Seq("text")).collect()
+      }
       case "bloomfk" => probe("bloomfk") {
         val n = graft.profiler.Sketches.orphanCount(
           table(spark, sfDir, "orders"), "o_custkey",
