@@ -38,6 +38,30 @@ object Dedup {
   }
   def lastContractionRounds: Int = lastRoundsTl.get()
 
+  /** Whether the most recent [[embedDupLabels]] call on this thread ran
+    * its banded joins band-serially (see `bandSerial` there). -1 before
+    * any call / 0 fused / 1 serial; observability only, INFO-logged. */
+  private val lastSerialTl = new ThreadLocal[Int] {
+    override def initialValue(): Int = -1
+  }
+  def lastBandSerial: Int = lastSerialTl.get()
+
+  /** Estimated on-the-wire bytes of the exploded banded self-join input:
+    * n rows × nb bands, each carrying the float vector (4·d + array
+    * header), nb 8-byte signatures, id/band/bits and row overhead. The
+    * `bandSerial = -1` auto mode in [[embedDupLabels]] compares this
+    * against [[SerialBandAutoBytes]]. */
+  private[graft] def explodeBytes(n: Long, nb: Int, d: Int): Long =
+    n * nb * (28L + 4L * d + 8L * nb)
+
+  /** Auto threshold for band-serial execution: past ~16 GiB of exploded
+    * banded-join input the one-job fused form's shuffle footprint is the
+    * dominant cluster resource (and on a single node it is a disk
+    * cliff — the sf1000 probe filled 24 GB of scratch in under two
+    * minutes at 20M×64-dim×7-band); below it the extra per-band job
+    * scheduling is pure overhead. */
+  private[graft] val SerialBandAutoBytes: Long = 16L << 30
+
   /** Exact duplicate groups by normalized-content fingerprint:
     * (fingerprint, cnt) with cnt > 1. */
   def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
@@ -380,11 +404,28 @@ object Dedup {
     * its components are merged in step 4. Hence the final components
     * are exactly the connected components of the full verified-candidate
     * graph: the same answer as `embeddingDupPairsLsh |> dupClusters`,
-    * in two joins instead of one join plus a pair-list-sized shuffle. */
+    * in two joins instead of one join plus a pair-list-sized shuffle.
+    *
+    * `bandSerial` (−1 auto / 0 fused / 1 serial) bounds the PEAK shuffle
+    * footprint: the fused one-job form materializes the full exploded
+    * relation — n·bands rows each carrying the float VECTOR — in the
+    * shuffle store at once, which is O(n·bands·dim) bytes and the
+    * dominant resource at production dims (at 20M×64-dim×7-band it
+    * filled 24 GB of local scratch in under two minutes; at dim 768 it
+    * is ~30× the corpus). Serial mode runs the same self-join ONE BAND
+    * AT A TIME — band b joins on s_b alone, the first-match screen
+    * becomes "every band below b differs", each band's min-partner
+    * (pass 1) / component-edge (pass 2) aggregate is materialized via
+    * localCheckpoint and its shuffle released — so the live footprint is
+    * one band's O(n·dim) and the label output is byte-identical (same
+    * verified pair set, partitioned by first matching band; min and
+    * distinct are associative across the union). Auto engages past
+    * [[SerialBandAutoBytes]] of estimated exploded input; below it the
+    * extra job scheduling is pure overhead and fused wins. */
   def embedDupLabels(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 0, bandBits: Int = 0,
                      dim: Int = 0, maxHamming: Int = -1,
-                     maxIter: Int = 25): DataFrame = {
+                     maxIter: Int = 25, bandSerial: Int = -1): DataFrame = {
     val v0 = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = if (dim > 0) Some(dim)
@@ -392,13 +433,22 @@ object Dedup {
     if (probed.isEmpty)
       return v0.select(col("id"), col("id").as("cluster")).limit(0)
     val d = probed.get
+    lazy val nRows = v0.count()
     val (nb, bb) =
       if (bands > 0 && bandBits > 0) (bands, bandBits)
       else {
-        val plan = lshPlan(v0.count(), threshold)
+        val plan = lshPlan(nRows, threshold)
         (if (bands > 0) bands else plan._1,
          if (bandBits > 0) bandBits else plan._2)
       }
+    val serial = bandSerial match {
+      case 0          => false
+      case x if x > 0 => true
+      case _          => explodeBytes(nRows, nb, d) > SerialBandAutoBytes
+    }
+    lastSerialTl.set(if (serial) 1 else 0)
+    log.info(s"embedDupLabels bands=$nb bandBits=$bb dim=$d " +
+      s"serial=$serial")
     val totalBits = nb * bb
     val hmax =
       if (maxHamming >= 0) maxHamming
@@ -419,20 +469,50 @@ object Dedup {
       .withColumn("band", explode(array((0 until nb).map(lit): _*)))
       .withColumn("bits", element_at(
         array((0 until nb).map(b => col(s"s$b")): _*), col("band") + 1))
+    // Serial building block: self-join of `rel` on band b's signature
+    // alone, restricted to pairs whose FIRST agreeing band is b (every
+    // earlier signature differs) — across b, exactly the fused join's
+    // firstMatch-screened candidate set, each pair exactly once.
+    def bandPairs(rel: DataFrame, b: Int): DataFrame = {
+      val l = rel.withColumn("bits", col(s"s$b"))
+      val first = (0 until b).map(p => col(s"a.s$p") =!= col(s"b.s$p"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      l.as("a").join(l.as("b"),
+          col("a.bits") === col("b.bits") && col("a.id") < col("b.id"))
+        .filter(first)
+    }
+    // Materialize one band's aggregate and let its join shuffle go: the
+    // checkpoint cuts the plan to a LogicalRDD, the band's exchange
+    // becomes unreachable, and the GC nudge lets ContextCleaner reap its
+    // files before the next band writes (driver-side, once per band).
+    def checkpointBand(bandResult: DataFrame): DataFrame = {
+      val r = bandResult.localCheckpoint()
+      System.gc()
+      r
+    }
     // Pass 1: per-id min verified partner — the pair stream collapses
     // map-side into the n-row aggregate; pairs never hit the shuffle.
-    val keyed = banded(sig)
-    val e1 = keyed.as("a").join(keyed.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.id") < col("b.id"))
-      .filter(firstMatch)
-      .filter(hamming <= hmax)
+    def minPartner(pairs: DataFrame): DataFrame = pairs
       .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
       .select(explode(array(
         struct(col("a.id").as("id"), col("b.id").as("p")),
         struct(col("b.id").as("id"), col("a.id").as("p")))).as("c"))
       .select(col("c.id").as("id"), col("c.p").as("p"))
       .groupBy(col("id")).agg(min(col("p")).as("p"))
+    val keyed = banded(sig)
+    val e1 = {
+      if (!serial)
+        minPartner(keyed.as("a").join(keyed.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bits") === col("b.bits") && col("a.id") < col("b.id"))
+          .filter(firstMatch)
+          .filter(hamming <= hmax))
+      else (0 until nb)
+        .map(b => checkpointBand(
+          minPartner(bandPairs(sig, b).filter(hamming <= hmax))))
+        .reduce(_ unionAll _)
+        .groupBy(col("id")).agg(min(col("p")).as("p"))
+    }
       // materialize ONCE before clustering: dupClusters symmetrizes its
       // input (two scans of the plan), which would re-run the expensive
       // banded join twice if left lazy — measured 2x the pass-1 cost
@@ -445,22 +525,36 @@ object Dedup {
     // Pass 2: cross-component verified edges; label equality screens
     // BEFORE the arithmetic, and the output is the distinct component
     // graph — bounded by component count, not pair count.
-    val keyedL = banded(sig.join(l1, Seq("id"), "left")
-      .withColumn("lbl", coalesce(col("lbl"), col("id"))))
-    val cross = keyedL.as("a").join(keyedL.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.id") < col("b.id"))
-      .filter(firstMatch)
+    def componentEdges(pairs: DataFrame): DataFrame = pairs
       .filter(col("a.lbl") =!= col("b.lbl"))
       .filter(hamming <= hmax)
       .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
       .select(least(col("a.lbl"), col("b.lbl")).as("id_a"),
         greatest(col("a.lbl"), col("b.lbl")).as("id_b"))
       .distinct()
+    val labeled0 = sig.join(l1, Seq("id"), "left")
+      .withColumn("lbl", coalesce(col("lbl"), col("id")))
+    // serial mode scans the labeled relation once per band — persist it
+    // there; fused scans it once (exchange reuse covers the self-join)
+    val labeled =
+      if (serial) labeled0.persist(StorageLevel.MEMORY_AND_DISK) else labeled0
+    val keyedL = banded(labeled)
+    val cross = {
+      if (!serial)
+        componentEdges(keyedL.as("a").join(keyedL.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bits") === col("b.bits") && col("a.id") < col("b.id"))
+          .filter(firstMatch))
+      else (0 until nb)
+        .map(b => checkpointBand(componentEdges(bandPairs(labeled, b))))
+        .reduce(_ unionAll _)
+        .distinct()
+    }
       // same once-only materialization: the reconciliation join must not
       // re-run inside dupClusters' symmetrize-and-count
       .persist(StorageLevel.MEMORY_AND_DISK)
     cross.count()
+    if (serial) labeled.unpersist()
     val l2 = dupClusters(cross, maxIter = maxIter)
       .withColumnRenamed("id", "lbl").withColumnRenamed("cluster", "c2")
     // Compose: final(x) = l2(l1(x)) if its component was merged further,
@@ -484,10 +578,10 @@ object Dedup {
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bands: Int = 0, bandBits: Int = 0,
                        dim: Int = 0, maxHamming: Int = -1,
-                       maxIter: Int = 25): DataFrame =
+                       maxIter: Int = 25, bandSerial: Int = -1): DataFrame =
     dedupByClusters(df, idCol,
       embedDupLabels(df, idCol, vecCol, threshold, bands, bandBits, dim,
-        maxHamming, maxIter))
+        maxHamming, maxIter, bandSerial))
 
   // ---- near-duplicate cluster assignment ----
 
@@ -743,7 +837,7 @@ object Dedup {
       idCol: String, vecCol: String, threshold: Double,
       bands: Int = 0, bandBits: Int = 0, dim: Int = 0,
       maxHamming: Int = -1, maxIter: Int = 25,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true, bandSerial: Int = -1): DataFrame = {
     val ex = existing.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val inc = incoming.filter(col(vecCol).isNotNull)
@@ -781,20 +875,67 @@ object Dedup {
       .reduce(_ + _)
     // Step 1: direct index hits. Distinct collapses map-side; the hit
     // ids are checkpointed so the anti-join below never re-drives the
-    // banded join.
-    val incKeyed = banded(inc)
-    val hits = (if (broadcastBatch) broadcast(incKeyed) else incKeyed)
-      .as("a").join(banded(ex).as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
-      .filter(firstMatch)
-      .filter(hamming <= hmax)
-      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
-      .select(col("a.id").as(idCol)).distinct().localCheckpoint()
+    // banded join. In broadcast mode the exploded CORPUS side never
+    // shuffles (it streams map-side against the broadcast batch), so
+    // band-serial never applies there; the shuffled fallback DOES
+    // materialize the exploded corpus — O(n·bands·dim) bytes, the same
+    // cliff [[embedDupLabels]]' bandSerial bounds — so it goes
+    // band-serial under the same auto rule (one corpus-sized band live
+    // at a time, identical hit set: the per-band first-match partition
+    // covers every screened candidate exactly once).
+    val hits = (if (broadcastBatch) {
+      val incKeyed = banded(inc)
+      broadcast(incKeyed).as("a").join(banded(ex).as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
+        .filter(firstMatch)
+        .filter(hamming <= hmax)
+        .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+        .select(col("a.id").as(idCol)).distinct()
+    } else {
+      val serial = bandSerial match {
+        case 0          => false
+        case x if x > 0 => true
+        case _ => explodeBytes(ex.count(), nb, d) > SerialBandAutoBytes
+      }
+      def sigOf(rel: DataFrame): DataFrame =
+        rel.select(col("id") +: col("v") +: sigCols: _*)
+      if (!serial) {
+        val incKeyed = banded(inc)
+        incKeyed.as("a").join(banded(ex).as("b"),
+            col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
+          .filter(firstMatch)
+          .filter(hamming <= hmax)
+          .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+          .select(col("a.id").as(idCol)).distinct()
+      } else {
+        val exSig = sigOf(ex).persist(StorageLevel.MEMORY_AND_DISK)
+        val incSig = sigOf(inc).persist(StorageLevel.MEMORY_AND_DISK)
+        val perBand = (0 until nb).map { b =>
+          val first = (0 until b).map(p => col(s"a.s$p") =!= col(s"b.s$p"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val r = incSig.withColumn("bits", col(s"s$b")).as("a")
+            .join(exSig.withColumn("bits", col(s"s$b")).as("b"),
+              col("a.bits") === col("b.bits"))
+            .filter(first)
+            .filter(hamming <= hmax)
+            .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+            .select(col("a.id").as(idCol)).distinct()
+            .localCheckpoint()
+          System.gc() // let ContextCleaner reap band b's join shuffle
+          r
+        }
+        // the union+distinct reads only the checkpointed band results,
+        // so the sig caches can go before the outer materialization
+        val u = perBand.reduce(_ unionAll _).distinct()
+        exSig.unpersist(); incSig.unpersist()
+        u
+      }
+    }).localCheckpoint()
     val survivors = incoming.join(hits, Seq(idCol), "left_anti")
     // Step 2: in-batch transitive dedup over survivors only, with the
     // same LSH geometry.
     dedupByEmbedding(survivors, idCol, vecCol, threshold, nb, bb, d,
-      maxHamming, maxIter)
+      maxHamming, maxIter, bandSerial)
   }
 
   // ---- line-level corpus dedup ----

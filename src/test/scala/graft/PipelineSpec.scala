@@ -207,6 +207,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(reps.subsetOf(kept))
   }
 
+  test("embedDupLabels: band-serial labels identical to fused") {
+    // Same corpus as the fused-parity test: threshold 0.8 on the real
+    // fixture yields natural near-dup structure with MULTI-band
+    // collisions — the regime where the per-band first-match partition
+    // must cover every screened pair exactly once (no pair doubly
+    // verified, none lost at a band boundary).
+    val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val copies = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+    val fused = Dedup.embedDupLabels(corpus, "vec_id", "embedding",
+      0.8, bands = 4, bandBits = 14, dim = 64, bandSerial = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastBandSerial == 0)
+    val serial = Dedup.embedDupLabels(corpus, "vec_id", "embedding",
+      0.8, bands = 4, bandBits = 14, dim = 64, bandSerial = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastBandSerial == 1)
+    assert(serial == fused)
+    // auto mode stays fused below the byte threshold on a tiny corpus...
+    Dedup.embedDupLabels(corpus, "vec_id", "embedding", 0.8,
+      bands = 4, bandBits = 14, dim = 64).count()
+    assert(Dedup.lastBandSerial == 0)
+    // ...and the estimate separates the measured regimes: 20M×64-dim×
+    // 7-band (the sf1000 probe's 24 GB disk cliff) engages, the sf100
+    // fixture (2M vectors, ran fine fused) does not
+    assert(Dedup.explodeBytes(20000000L, 7, 64) > Dedup.SerialBandAutoBytes)
+    assert(Dedup.explodeBytes(2000000L, 7, 64) < Dedup.SerialBandAutoBytes)
+    // transitive chain through the serial path (labels must still close
+    // across bands, not just within one)
+    val step = math.toRadians(20)
+    val chain = (0 until 5).map { i =>
+      val a = i * step
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat) ++
+        Array.fill(62)(0.0f))
+    }
+    val keptChain = Dedup.dedupByEmbedding(chain.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, bands = 16, bandBits = 4,
+      dim = 64, bandSerial = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptChain == Set(0L), s"kept $keptChain")
+    // incremental shuffled fallback, band-serial: identical kept set to
+    // the broadcast plan (fixture from the dedupIncrementEmbedding test)
+    def at(deg: Double): Array[Float] = {
+      val a = math.toRadians(deg)
+      Array(math.cos(a).toFloat, math.sin(a).toFloat) ++
+        Array.fill(62)(0.0f)
+    }
+    val existing = Seq((1L, at(0))).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, at(6)), (11L, at(12)),
+      (20L, at(90)), (21L, at(96)), (22L, at(102))
+    ).toDF("vec_id", "embedding")
+    val serialInc = Dedup.dedupIncrementEmbedding(existing, incoming,
+      "vec_id", "embedding", threshold = 0.99, bands = 16, bandBits = 4,
+      dim = 64, broadcastBatch = false, bandSerial = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(serialInc == Set(11L, 20L), s"kept $serialInc")
+  }
+
   test("dedupByEmbedding: chain-shaped cluster converges transitively") {
     // A ~ B ~ C with A !~ C (similarity is not transitive): unit vectors
     // rotated in 20-degree steps — adjacent cos ~0.94 >= 0.9, two-step
