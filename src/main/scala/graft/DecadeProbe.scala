@@ -62,6 +62,15 @@ object DecadeProbe {
               .as("excess_rows"))
           .collect()
       }
+      case "dupgroups_sliced" => probe("dupgroups_sliced") {
+        // the scratch-bounded serial-pass form (SPARK_GRAFT_SLICES,
+        // default 4): peak shuffle 1/slices of the one-pass census —
+        // the path that survives the sf1000 rung's 24 GB scratch
+        graft.ops.DupGroups.statsSliced(
+          table(spark, sfDir, "orders"), Seq("o_custkey", "o_orderdate"),
+          sys.env.getOrElse("SPARK_GRAFT_SLICES", "4").toInt)
+          .collect()
+      }
       case "dupgroups_hashed" => probe("dupgroups_hashed") {
         // q03's shape via the 8-byte-shuffle path (ops/DupGroups): the
         // exchange carries (hash, partial count) instead of the key

@@ -2395,6 +2395,75 @@ object SparkEntry {
           sum(graft.pipeline.Text.bpeMergeCount(col("t"), m)).cast("long")
             .as("tokens"))
         .orderBy("cls")
+    }),
+    "q175_dupgroups_sliced" -> ((s, dir) => {
+      // DupGroups.statsSliced: the duplicate census cut into
+      // hash-disjoint serial passes (peak-shuffle bounding for
+      // scratch-constrained nodes — the sf1000 dupgroups DNF in
+      // BASELINE.md). Byte-identical totals to the one-pass q03 shape
+      // by construction; this row pins that across 4 slices on a key
+      // with real duplicates.
+      graft.ops.DupGroups.statsSliced(
+        table(s, dir, "orders"), Seq("o_custkey", "o_orderdate"),
+        slices = 4)
+    }),
+    "q173_repeated_spans" -> ((s, dir) => {
+      // Corpus-wide EXACT substring dedup (Lee et al. 2022 semantics,
+      // distributed as a duplicated-gram census — Dedup.repeatedGramSpans):
+      // maximal repeated-region spans under the keep-one contract (the
+      // lexicographically smallest (id, pos) occurrence is canonical and
+      // never flagged). Planted constructions exercise every regime:
+      // 20-token excerpts of docs 0-3 as high-id docs (pure redundant
+      // copies), excerpt||excerpt doubles for docs 0-1 (within-doc
+      // repeats whose two redundant runs MERGE across the unique
+      // junction grams into one span), and NEGATIVE-id plants of docs
+      // 0-1's excerpt so the canonical occurrence moves OFF the organic
+      // doc and the source's own region flags.
+      val d = table(s, dir, "documents")
+      val ex = concat_ws(" ",
+        slice(graft.pipeline.Text.tokens(col("text")), 11, 20))
+      val organic = d.select(col("doc_id"), col("text"))
+      val exc = d.filter(col("doc_id") < 4)
+        .select((col("doc_id") + 500000L).as("doc_id"), ex.as("text"))
+      val dbl = d.filter(col("doc_id") < 2)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat_ws(" ", ex, ex).as("text"))
+      val neg = d.filter(col("doc_id") < 2)
+        .select((-col("doc_id") - 1).cast("long").as("doc_id"), ex.as("text"))
+      val corpus = organic.unionByName(exc).unionByName(dbl).unionByName(neg)
+      graft.pipeline.Dedup.repeatedGramSpans(corpus, "doc_id", "text", k = 8)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("span_start").cast("int").as("span_start"),
+          col("span_end").cast("int").as("span_end"))
+        .orderBy("doc_id", "span_start")
+    }),
+    "q174_strip_substrings" -> ((s, dir) => {
+      // The cut companion to q173: every repeated span removed, one
+      // canonical copy kept; output is the exact rewritten text (md5)
+      // and surviving token count of every CHANGED document — unchanged
+      // docs pass through byte-identical and are excluded on both sides.
+      val d = table(s, dir, "documents")
+      val ex = concat_ws(" ",
+        slice(graft.pipeline.Text.tokens(col("text")), 11, 20))
+      val organic = d.select(col("doc_id"), col("text"))
+      val exc = d.filter(col("doc_id") < 4)
+        .select((col("doc_id") + 500000L).as("doc_id"), ex.as("text"))
+      val dbl = d.filter(col("doc_id") < 2)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat_ws(" ", ex, ex).as("text"))
+      val neg = d.filter(col("doc_id") < 2)
+        .select((-col("doc_id") - 1).cast("long").as("doc_id"), ex.as("text"))
+      val corpus = organic.unionByName(exc).unionByName(dbl).unionByName(neg)
+      val orig = corpus.select(col("doc_id"), col("text").as("__orig"))
+      graft.pipeline.Dedup
+        .stripRepeatedSubstrings(corpus, "doc_id", "text", k = 8)
+        .join(orig, Seq("doc_id"))
+        .filter(col("text") =!= col("__orig"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("stripped_md5"),
+          graft.pipeline.Text.tokenCount(col("text")).cast("long")
+            .as("kept_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4197,6 +4266,104 @@ object SparkEntry {
            CAST(sum(CASE c_custkey % 4
              WHEN 0 THEN 2 WHEN 1 THEN 5 WHEN 2 THEN 5
              ELSE 1 + c_custkey % 3 END) AS BIGINT) AS tokens
-         FROM customer GROUP BY 1 ORDER BY 1"""
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q175_dupgroups_sliced" ->
+      """SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS excess_rows
+         FROM (SELECT o_custkey, o_orderdate, count(*) AS c
+               FROM orders GROUP BY 1, 2 HAVING count(*) > 1)""",
+    "q173_repeated_spans" ->
+      """WITH base AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         ex AS (SELECT doc_id,
+             array_to_string((string_split(norm, ' '))[11:30], ' ') AS e
+           FROM base),
+         corpus AS (
+           SELECT doc_id, norm AS t FROM base
+           UNION ALL SELECT doc_id + 500000, e FROM ex WHERE doc_id < 4
+           UNION ALL SELECT doc_id + 600000, e || ' ' || e FROM ex
+             WHERE doc_id < 2
+           UNION ALL SELECT -doc_id - 1, e FROM ex WHERE doc_id < 2),
+         tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM corpus),
+         gu AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(toks) - 6, 1)),
+             i -> {'pos': i - 1,
+                   'gram': array_to_string(toks[i:i+7], ' ')})) AS u
+           FROM tk),
+         g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gu),
+         f AS (SELECT gram, min(row(doc_id, pos)) AS canon
+           FROM g GROUP BY gram HAVING count(*) >= 2),
+         red AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+           WHERE row(g.doc_id, g.pos) <> f.canon),
+         mark AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS nw
+           FROM red),
+         isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+           FROM mark)
+         SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 8 AS INT) AS span_end
+         FROM isl GROUP BY doc_id, isl
+         ORDER BY doc_id, span_start""",
+    "q174_strip_substrings" ->
+      """WITH base AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         ex AS (SELECT doc_id,
+             array_to_string((string_split(norm, ' '))[11:30], ' ') AS e
+           FROM base),
+         corpus AS (
+           SELECT doc_id, norm AS t FROM base
+           UNION ALL SELECT doc_id + 500000, e FROM ex WHERE doc_id < 4
+           UNION ALL SELECT doc_id + 600000, e || ' ' || e FROM ex
+             WHERE doc_id < 2
+           UNION ALL SELECT -doc_id - 1, e FROM ex WHERE doc_id < 2),
+         tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM corpus),
+         gu AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(toks) - 6, 1)),
+             i -> {'pos': i - 1,
+                   'gram': array_to_string(toks[i:i+7], ' ')})) AS u
+           FROM tk),
+         g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gu),
+         f AS (SELECT gram, min(row(doc_id, pos)) AS canon
+           FROM g GROUP BY gram HAVING count(*) >= 2),
+         red AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+           WHERE row(g.doc_id, g.pos) <> f.canon),
+         mark AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS nw
+           FROM red),
+         isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+           FROM mark),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           FROM isl GROUP BY doc_id, isl),
+         changed AS (SELECT DISTINCT doc_id FROM spans),
+         pu AS (SELECT tk.doc_id, unnest(list_transform(
+             range(1, len(toks) + 1),
+             i -> {'pp': i - 1, 'tok': toks[i]})) AS u
+           FROM tk JOIN changed USING (doc_id)),
+         p AS (SELECT doc_id, u.tok AS tok, u.pp AS pp FROM pu),
+         keptl AS (SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pp) AS kept,
+             count(*) AS kt
+           FROM p
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+             WHERE s.doc_id = p.doc_id AND p.pp >= s.s AND p.pp < s.e)
+           GROUP BY doc_id)
+         SELECT c.doc_id, md5(coalesce(k.kept, '')) AS stripped_md5,
+           CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens
+         FROM changed c LEFT JOIN keptl k USING (doc_id)
+         ORDER BY c.doc_id"""
   )
 }

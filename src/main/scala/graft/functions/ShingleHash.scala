@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * is part of the LLM-pipeline extension (BASELINE.json north star),
   * GPT-3/LLaMA-style n-gram overlap screening.
   */
-case class ShingleHashes64(child: Expression, n: Int)
+case class ShingleHashes64(child: Expression, n: Int, seed: Long = 42L)
     extends UnaryExpression {
   require(n >= 1, s"shingle width n must be >= 1: $n")
 
@@ -44,8 +44,6 @@ case class ShingleHashes64(child: Expression, n: Int)
           s"shingle_hashes64 requires array<string>, got ${other.simpleString(100)}")
     }
   }
-
-  private val seed = 42L
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -130,4 +128,12 @@ object ShingleHashes64 {
     org.apache.spark.sql.graft.ColumnBridge.column(
       ShingleHashes64(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
+
+  /** Seeded column form — a second independent seed turns two calls into
+    * a 128-bit gram key (collision-proof in practice for exact-match
+    * grouping; used by [[graft.pipeline.Dedup.repeatedGramSpans]]). */
+  def apply(tokens: Column, n: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ShingleHashes64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n, seed))
 }

@@ -42,6 +42,45 @@ object DupGroups {
         coalesce(sum(col("__dup_c") - 1), lit(0L)).cast("long")
           .as("excess_rows"))
 
+  /** [[stats]] with the shuffle cut into `slices` hash-disjoint passes
+    * that run ONE AT A TIME: pass s aggregates only rows whose key
+    * hashes into slice s (every row of a group lands in the same slice,
+    * so per-group counts are complete within their pass and the two
+    * totals are sums across passes — byte-identical to the one-pass
+    * answer), and each pass's one-row aggregate is localCheckpoint'd so
+    * its exchange is released before the next pass writes.
+    *
+    * This bounds PEAK shuffle-store footprint at 1/slices of the
+    * one-pass groupBy in exchange for `slices` scans — the same
+    * live-footprint-vs-rescans trade as `Dedup.embedDupLabels`'
+    * band-serial mode, for the regime where the duplicate census itself
+    * overflows scratch (the sf1000 decade probe: 1.5B-row orders,
+    * ~20+ GB of shuffle+sort spill against 24 GB free — BASELINE.md).
+    * On a healthy cluster the aggregate shuffle store makes slices=1
+    * the right default; this is the knob for scratch-constrained
+    * nodes and for bounding worst-case disk at any cluster size. */
+  def statsSliced(df: DataFrame, cols: Seq[String], slices: Int): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1: $slices")
+    if (slices == 1) stats(df, cols)
+    else {
+      val h = xxhash64(cols.map(col): _*)
+      val per = (0 until slices).map { s =>
+        val r = df.filter(pmod(h, lit(slices.toLong)) === s)
+          .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dup_c"))
+          .filter(col("__dup_c") > 1)
+          .agg(count(lit(1)).as("dup_groups"),
+            coalesce(sum(col("__dup_c") - 1), lit(0L)).cast("long")
+              .as("excess_rows"))
+          .localCheckpoint()
+        System.gc() // let ContextCleaner reap the pass's shuffle files
+        r
+      }
+      per.reduce(_ unionAll _)
+        .agg(sum(col("dup_groups")).cast("long").as("dup_groups"),
+          sum(col("excess_rows")).cast("long").as("excess_rows"))
+    }
+  }
+
   /** The duplicate groups themselves: key columns + `__dup_c` (> 1),
     * exact (hash-collision-proof). */
   def exactGroups(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -1029,4 +1029,119 @@ object Dedup {
     corpus.join(
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n),
       Seq(idCol), "left_anti")
+
+  // ---- corpus-wide exact substring dedup (repeated k-gram spans) ----
+
+  /** Second shingle seed: with the default seed this forms a 128-bit
+    * gram key (pair collision ~2^-128 per gram pair — exact-match
+    * grouping without ever shuffling gram TEXT). Golden-ratio constant,
+    * the standard public mixing seed. */
+  private val GramSeed2 = 0x9E3779B97F4A7C15L
+
+  /** Every non-canonical occurrence of a corpus-duplicated k-token-gram:
+    * (id, pos) where pos is the 0-based token index the gram starts at.
+    * A gram is duplicated when its exact normalized-token text occurs
+    * `minCount`+ times corpus-wide (within- and cross-document alike);
+    * its canonical occurrence — the lexicographically smallest (id, pos)
+    * — is never flagged, so one copy of every repeated region survives
+    * any downstream removal (the keep-one contract of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * Reference scope note: truthound's dedup surface is document-level
+    * (`validators/uniqueness/duplicate.py`); substring-level dedup is
+    * part of the LLM-pipeline extension (BASELINE.json north star).
+    *
+    * Scale shape: the suffix-array construction of the paper is a
+    * single-machine design; the distributed equivalent is this gram
+    * stream. Tokens hash ONCE per doc (native ShingleHashes64 rolling
+    * kernel, two seeds → a 16-byte gram key), so shuffle 1 — the
+    * duplicated-gram census — carries a CONSTANT ~28 bytes per token
+    * position regardless of k, partial-aggregated map-side. Shuffle 2
+    * re-joins the (small by definition: duplicated grams only) flagged
+    * key set back to the stream; AQE sees the aggregate's true size and
+    * broadcasts it in the healthy-corpus regime, so the corpus side is
+    * scanned, never re-shuffled. The output is redundant occurrences
+    * only — a vanishing fraction of a healthy corpus, the whole corpus
+    * in the boilerplate-heavy worst case, either way bounded by the
+    * token count. */
+  def redundantGramStarts(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"gram width k must be >= 1: $k")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+    val g = base.select(col("id"),
+        posexplode(arrays_zip(
+          Text.shingleHashes(col("__t"), k).as("h1"),
+          Text.shingleHashes(col("__t"), k, GramSeed2).as("h2"))))
+      .select(col("id"), col("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    val flagged = g.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__canon"))
+      .filter(col("__c") >= minCount)
+      .select(col("h1"), col("h2"), col("__canon"))
+    g.join(flagged, Seq("h1", "h2"))
+      .filter(col("id") =!= col("__canon.id") ||
+        col("pos") =!= col("__canon.pos"))
+      .select(col("id"), col("pos"))
+  }
+
+  /** Maximal per-document spans [span_start, span_end) of token indexes
+    * covered by redundant duplicated-gram occurrences (see
+    * [[redundantGramStarts]]): overlapping and ADJACENT gram intervals
+    * [pos, pos+k) merge, so each row is one contiguous repeated region.
+    * Classic gaps-and-islands; the window partitions by document, so
+    * per-partition work is bounded by tokens-per-doc and the doc axis
+    * distributes. */
+  def repeatedGramSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    redundantGramStarts(df, idCol, textCol, k, minCount)
+      // equal-length intervals: the running max end IS prev pos + k, so
+      // a new island starts exactly when pos > lag(pos) + k
+      .withColumn("__new",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Cut every repeated span out of the corpus, keeping the canonical
+    * occurrence (see [[redundantGramStarts]]): affected documents are
+    * rewritten as their surviving normalized tokens re-joined with
+    * single spaces; documents with no redundant span pass through
+    * BYTE-IDENTICAL (the rewrite join is left — a healthy corpus is
+    * mostly untouched and never re-serialized). Token j is removed iff
+    * some merged span covers it, i.e. iff some redundant gram occurrence
+    * [pos, pos+k) ∋ j — the same per-token rule the Lee et al. cut
+    * applies; a canonical copy overlapped by a DIFFERENT redundant gram
+    * still loses those overlapped tokens, exactly like the paper's
+    * span-level cut. */
+  def stripRepeatedSubstrings(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minCount: Long = 2L): DataFrame = {
+    val spans = repeatedGramSpans(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = Text.tokens(col(textCol))
+    val kept = array_join(
+      transform(
+        filter(
+          transform(toks, (t, i) => struct(t.as("t"), i.as("i"))),
+          s => !exists(col("__spans"), sp =>
+            s.getField("i") >= sp.getField("span_start") &&
+              s.getField("i") < sp.getField("span_end"))),
+        s => s.getField("t")),
+      " ")
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol)).otherwise(kept))
+      .drop("__spans")
+  }
 }

@@ -924,4 +924,111 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(d, 1000L).count() == 200L && run(d, 0L).count() == 0L)
   }
 
+  // Naive single-machine reference for the exact-substring dedup family:
+  // materialized gram strings, exhaustive occurrence lists, the same
+  // keep-one (lexicographically smallest (id, pos)) and per-token cut
+  // rules the distributed operator documents.
+  private def naiveSubstring(docs: Seq[(Long, String)], k: Int,
+      minCount: Int): (Set[(Long, Int, Int)], Map[Long, String]) = {
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    val toks = docs.map { case (id, t) => id -> norm(t).split(" ").toSeq }
+    val occ = scala.collection.mutable.Map
+      .empty[Seq[String], Vector[(Long, Int)]]
+    for ((id, ts) <- toks; i <- 0 to ts.length - k)
+      occ(ts.slice(i, i + k)) = occ.getOrElse(ts.slice(i, i + k),
+        Vector.empty) :+ (id -> i)
+    val redundant = occ.values.filter(_.size >= minCount).flatMap { os =>
+      val canon = os.minBy(identity)
+      os.filterNot(_ == canon)
+    }.toVector
+    val byDoc = redundant.groupBy(_._1).map { case (id, os) =>
+      id -> os.map(_._2).sorted
+    }
+    val spans = byDoc.flatMap { case (id, starts) =>
+      val islands = starts.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc :+ ((s, e)), p) if p <= e => acc :+ (s -> (p + k))
+        case (acc, p)                       => acc :+ (p -> (p + k))
+      }
+      islands.map { case (s, e) => (id, s, e) }
+    }.toSet
+    val stripped = docs.map { case (id, t) =>
+      val sp = spans.collect { case (i, s, e) if i == id => (s, e) }
+      if (sp.isEmpty) id -> t
+      else id -> toks.collectFirst { case (i, ts) if i == id => ts }.get
+        .zipWithIndex
+        .collect { case (tok, j) if !sp.exists(se => j >= se._1 && j < se._2) => tok }
+        .mkString(" ")
+    }.toMap
+    (spans, stripped)
+  }
+
+  test("repeatedGramSpans/strip: hand-derived spans, keep-one contract") {
+    val fx = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x a b c d e y z w q"),
+      (2L, "a b c d e f k k a b c d e f k k")
+    ).toDF("id", "text")
+    val spans = Dedup.repeatedGramSpans(fx, "id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 0 holds every canonical; doc 1 duplicates "a b c d"/"b c d e"
+    // at starts 1,2 -> merged [1,6); doc 2 repeats its first 6 tokens
+    // (starts 0,1,2 and 8..12 with unique junction grams between) ->
+    // [0,6) and [8,16)
+    assert(spans == Set((1L, 1, 6), (2L, 0, 6), (2L, 8, 16)))
+    val stripped = Dedup.stripRepeatedSubstrings(fx, "id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the canonical "d e f k" occurrence at doc2@3 is inside a removed
+    // span (covered by OTHER redundant grams) and is cut with it — the
+    // documented per-token rule
+    assert(stripped == Map(
+      0L -> "a b c d e f g h i j",
+      1L -> "x y z w q",
+      2L -> "k k"))
+    // minCount=3: only grams occurring 3+ times flag; doc2's tail run
+    // shrinks (the count-2 grams "d e f k"/"e f k k" no longer flag)
+    val spans3 = Dedup.repeatedGramSpans(fx, "id", "text", k = 4,
+        minCount = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans3 == Set((1L, 1, 6), (2L, 0, 6), (2L, 8, 14)))
+    // naive reference agrees on all of the above
+    val fxSeq = Seq(
+      0L -> "a b c d e f g h i j",
+      1L -> "x a b c d e y z w q",
+      2L -> "a b c d e f k k a b c d e f k k")
+    val (nSpans, nStrip) = naiveSubstring(fxSeq, 4, 2)
+    assert(nSpans == spans && nStrip == stripped)
+    assert(naiveSubstring(fxSeq, 4, 3)._1 == spans3)
+  }
+
+  test("repeatedGramSpans/strip: naive parity on real fixture + plants") {
+    val d = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val ex = concat_ws(" ", slice(Text.tokens($"text"), 11, 20))
+    val corpus = d
+      .unionByName(d.filter($"doc_id" < 4)
+        .select(($"doc_id" + 500000L).as("doc_id"), ex.as("text")))
+      .unionByName(d.filter($"doc_id" < 2)
+        .select(($"doc_id" + 600000L).as("doc_id"),
+          concat_ws(" ", ex, ex).as("text")))
+      .unionByName(d.filter($"doc_id" < 2)
+        .select((-$"doc_id" - 1).cast("long").as("doc_id"), ex.as("text")))
+    val spark_ = Dedup.repeatedGramSpans(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val strippedS = Dedup
+      .stripRepeatedSubstrings(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val local = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (nSpans, nStrip) = naiveSubstring(local, 8, 2)
+    assert(spark_ == nSpans)
+    // organic fixture plants whole-doc exact duplicates: redundant
+    // copies must strip to empty, and SOME doc must strip fully
+    assert(strippedS.values.exists(_ == ""))
+    // negative-id plants moved the canonical off docs 0/1: the organic
+    // docs now carry a flagged span over the excerpt region
+    assert(nSpans.exists { case (id, _, _) => id == 0L || id == 1L })
+    val diff = nStrip.keySet.filter(k => nStrip(k) != strippedS(k))
+    assert(diff.isEmpty, s"strip mismatch on ids: ${diff.take(5)}")
+  }
+
 }

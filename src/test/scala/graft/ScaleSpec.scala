@@ -128,6 +128,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "verify phase must be candidate-scoped via a semi join")
   }
 
+  test("DupGroups.statsSliced: identical totals across slice counts") {
+    import spark.implicits._
+    val ev = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001", "events")
+    val key = Seq("user_id", "event_type", "props")
+    val one = graft.ops.DupGroups.stats(ev, key).head()
+    for (s <- Seq(2, 3, 7)) {
+      val sliced = graft.ops.DupGroups.statsSliced(ev, key, s).head()
+      assert(sliced.getLong(0) == one.getLong(0) &&
+        sliced.getLong(1) == one.getLong(1),
+        s"slices=$s diverged: $sliced vs $one")
+    }
+    assert(one.getLong(0) > 0, "fixture must actually contain dup groups")
+    // slices=1 short-circuits to the one-pass hashed form
+    val direct = graft.ops.DupGroups.statsSliced(ev, key, 1).head()
+    assert(direct == one)
+  }
+
   test("embeddingDupPairsLsh plan: no distinct, no post-join exchange") {
     val emb = graft.ops.Exprs.table(spark, "/root/testdata/sf0.001",
       "embeddings")
