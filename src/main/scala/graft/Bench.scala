@@ -40,6 +40,37 @@ object Bench {
     (results, results.filter(_._2.min < 0).map(_._1))
   }
 
+  /** Host-speed calibration: a fixed, deterministic CPU-bound loop whose
+    * wall time depends only on per-core speed under the CURRENT host load.
+    * The `contention` stamp below is the median of each query's max/min
+    * ratio across its own runs — it catches run-to-run VARIANCE but is
+    * blind to a UNIFORM slowdown (a tenant pegging cores through both
+    * runs inflates every min while every ratio stays ~1; the r11 driver
+    * sweep read 81 s against a 48.5 s same-code ladder with an innocent
+    * 1.35 stamp). This loop is the cross-round rescaling anchor: compare
+    * `calib` between two sweeps before comparing their totals.
+    * `threads = 1` measures single-core speed; `threads = n` saturates
+    * the box and exposes whole-machine contention. */
+  def calibrate(threads: Int): Double = {
+    val iters = 400000000L
+    def spin(): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33); i += 1
+      }
+      x
+    }
+    val t0 = System.nanoTime()
+    val ts = (1 until threads).map { _ =>
+      val t = new Thread(() => { val r = spin(); if (r == 42L) print("") })
+      t.start(); t
+    }
+    val r = spin(); if (r == 42L) print("") // defeat dead-code elimination
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,6 +86,14 @@ object Bench {
 
     // warm-up: JVM + codegen + file listing, untimed
     graft.ops.Exprs.table(spark, sfDir, "lineitem").count()
+
+    // host-speed stamps before and after the sweep (see calibrate's doc):
+    // calib1 = single-core, calibN = all-cores saturated. JIT-warm the
+    // loop once untimed so the stamps measure the host, not C2.
+    val nCores = Runtime.getRuntime.availableProcessors()
+    calibrate(1)
+    val calib1Pre = calibrate(1)
+    val calibNPre = calibrate(nCores)
 
     // warm protocol matching the reference harness (benchmark/runner.py:
     // warmup + measured iterations): first execution warms plan/codegen
@@ -72,6 +111,8 @@ object Bench {
         System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
           s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}"))
     val total = results.map(_._2.min).filter(_ >= 0).sum
+    val calib1Post = calibrate(1)
+    val calibNPost = calibrate(nCores)
     // ALL numeric JSON rendering goes through Locale.ROOT: the f""
     // interpolator is default-locale-dependent and would emit comma
     // decimals (invalid JSON) on a comma-decimal locale.
@@ -99,8 +140,9 @@ object Bench {
       "\"" + k + "\":[" + v.map(t => num(t, 4)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = s""""calib1":[${num(calib1Pre, 2)},${num(calib1Post, 2)}],"calibN":[${num(calibNPre, 2)},${num(calibNPost, 2)}]"""
     val fullLine =
-      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":${num(contention, 3)},"sf":"$sfDir"}"""
+      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":${num(contention, 3)},$calibJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -118,7 +160,7 @@ object Bench {
       val qsShort = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + num(v.min, decimals) }
         .mkString("{", ",", "}")
-      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":${num(contention, 3)},"sf":"$sfDir","detail":"BENCH.json"}"""
+      s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":${num(contention, 3)},$calibJson,"sf":"$sfDir","detail":"BENCH.json"}"""
     }
     val line = { val l2 = render(2); if (l2.length <= 1900) l2 else render(1) }
     // last-resort guard: if even the 1-decimal form exceeds the driver's

@@ -2275,6 +2275,17 @@ object SparkEntry {
       // strictly-smaller source id), min_kept (the true global minimum)
       // and the exact kept COUNT, which any over- or under-dropping
       // shifts — closing the r10 verdict's "three constants" gap.
+      // RECALL DEPENDENCY (r11 ADVICE): the oracle closes the RAW cosine
+      // graph while the Spark side generates candidates probabilistically
+      // (banded signatures + a 2x-expected-bits hamming screen). Exact
+      // kept-count parity therefore assumes every >= 0.99 pair in the
+      // fixture collides in some band and passes the screen — true for
+      // the current deterministic fixture, whose organic pairs sit well
+      // above threshold (planted pairs are exact copies, cosine 1.0).
+      // If fixtures regenerate with marginal organic pairs (cosine just
+      // above 0.99) or lshPlan geometry changes, a miss here is the LSH
+      // recall contract, not a dedup bug: re-derive the oracle from the
+      // candidate rule, or raise bands, before touching the operator.
       val emb = table(s, dir, "embeddings")
       val g1 = emb.filter(col("vec_id") < 48)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))

@@ -72,7 +72,8 @@ object DupGroups {
             coalesce(sum(col("__dup_c") - 1), lit(0L)).cast("long")
               .as("excess_rows"))
           .localCheckpoint()
-        System.gc() // let ContextCleaner reap the pass's shuffle files
+        // conf-gated (spark.graft.gcNudge): reap the pass's shuffle files
+        graft.ops.Exprs.gcNudge(df.sparkSession)
         r
       }
       per.reduce(_ unionAll _)

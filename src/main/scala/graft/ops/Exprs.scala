@@ -159,6 +159,20 @@ object Exprs {
       parts.toString)
   }
 
+  /** Driver-side GC nudge used by the band-/slice-serial operators right
+    * after a `localCheckpoint` cuts a pass's plan: the pass's exchange
+    * becomes unreachable and the nudge lets `ContextCleaner` reap its
+    * shuffle files before the next pass writes, which is what bounds peak
+    * scratch disk in those modes. On a shared driver JVM a forced full GC
+    * stalls every concurrent query, and `-XX:+DisableExplicitGC` silently
+    * turns `System.gc()` into a no-op (defeating the reclamation) — so the
+    * nudge is conf-gated via `spark.graft.gcNudge` (default `true`: the
+    * serial modes exist precisely to bound scratch). Set it `false` on
+    * shared drivers and rely on `spark.cleaner.periodicGC.interval`
+    * (default 30 min — lower it when disabling the nudge). */
+  def gcNudge(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.graft.gcNudge", "true").toBoolean) System.gc()
+
   /** Silence known-benign ERROR-level logging that would otherwise land in
     * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a
     * full Derby stack trace at ERROR when an aggregate pushdown attempt is

@@ -259,8 +259,11 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
           .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
           .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
         if (maxRows <= autoBucketRows) 0
-        else math.min(1024L,
-          (maxRows + autoBucketRows / 2 - 1) / (autoBucketRows / 2)).toInt
+        else {
+          // clamp: autoBucketRows = 1 would make the divisor 0 (r11 ADVICE)
+          val per = math.max(1L, autoBucketRows / 2)
+          math.min(1024L, (maxRows + per - 1) / per).toInt
+        }
       }
     val out =
       if (eff <= 1) {

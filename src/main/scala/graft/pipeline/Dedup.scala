@@ -483,11 +483,12 @@ object Dedup {
     }
     // Materialize one band's aggregate and let its join shuffle go: the
     // checkpoint cuts the plan to a LogicalRDD, the band's exchange
-    // becomes unreachable, and the GC nudge lets ContextCleaner reap its
-    // files before the next band writes (driver-side, once per band).
+    // becomes unreachable, and the conf-gated GC nudge (spark.graft.gcNudge,
+    // see Exprs.gcNudge) lets ContextCleaner reap its files before the next
+    // band writes (driver-side, once per band).
     def checkpointBand(bandResult: DataFrame): DataFrame = {
       val r = bandResult.localCheckpoint()
-      System.gc()
+      graft.ops.Exprs.gcNudge(r.sparkSession)
       r
     }
     // Pass 1: per-id min verified partner — the pair stream collapses
@@ -921,7 +922,8 @@ object Dedup {
             .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
             .select(col("a.id").as(idCol)).distinct()
             .localCheckpoint()
-          System.gc() // let ContextCleaner reap band b's join shuffle
+          // conf-gated (spark.graft.gcNudge): reap band b's join shuffle
+          graft.ops.Exprs.gcNudge(incoming.sparkSession)
           r
         }
         // the union+distinct reads only the checkpointed band results,

@@ -36,6 +36,11 @@ final case class MeanBetweenCheck(c: String, lo: Double, hi: Double)
 final case class MedianBetweenCheck(c: String, lo: Double, hi: Double,
     maxExactDistinct: Long = SizeGate.DefaultMaxExactDistinct)
     extends AggBetweenCheck("median", c, lo, hi) {
+  // The key must encode the exact/approx budget: two median checks on the
+  // same column with different maxExactDistinct would otherwise dedup to
+  // one fused expression and the second would silently read a value
+  // computed under the first's gate (r11 ADVICE).
+  override protected val k = MetricKey("median", c, maxExactDistinct.toString)
   protected def aggExpr = expr(s"percentile($c, 0.5)")
   override def probeExprs(schema: StructType) =
     if (maxExactDistinct > 0) Seq(SizeGate.probeExpr(c)) else Nil

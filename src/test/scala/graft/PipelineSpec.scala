@@ -485,6 +485,11 @@ class PipelineSpec extends AnyFunSuite {
     // autoBucketRows=8 -> ceil(25/4) = 7 buckets
     assert(tripped.stages.last.contains("salt=7"),
       s"bucket sizing off: ${tripped.stages.last}")
+    // degenerate autoBucketRows=1: divisor clamps to 1 instead of
+    // dividing by zero (r11 ADVICE), buckets cap at 1024, kept set intact
+    val degenerate = Curate(docsT, "doc_id", "text")
+      .sampleTokenBudget("source", budgets, autoBucketRows = 1L)
+    assert(ids(degenerate) == ids(single))
   }
 
   test("lshPlan: O(1) bucket occupancy sizing and recall-driven band count") {

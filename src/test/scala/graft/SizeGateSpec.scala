@@ -64,6 +64,22 @@ class SizeGateSpec extends AnyFunSuite {
     assert(r2.scanCount == 1)
   }
 
+  test("median checks with different budgets keep distinct metric keys") {
+    // r11 ADVICE: with a shared MetricKey("median", c) the two checks
+    // fused to ONE expression, so the second silently read a value
+    // computed under the first's gate. The key now encodes the budget.
+    val tight = MedianBetweenCheck("v", 0.0, 10.0, maxExactDistinct = 10)
+    val loose = MedianBetweenCheck("v", 0.0, 10.0)
+    assert(tight.metricExprs(df.schema, Metrics.empty).head._1 !=
+      loose.metricExprs(df.schema, Metrics.empty).head._1)
+    val r = SuiteRunner.run(df, Seq(tight, loose))
+    val Seq(t, l) = r.checks
+    // tight budget routed to approx and says so; loose stayed exact
+    assert(t.issues.head.actual.contains("approx quantile"))
+    assert(l.issues.head.actual.startsWith("101.0"))
+    assert(!l.issues.head.actual.contains("approx"))
+  }
+
   test("maxExactDistinct <= 0 disables the gate (always exact, no probe)") {
     val v = QuantileCheck("v", 0.5, 0.0, 10.0, maxExactDistinct = 0)
     assert(v.probeExprs(df.schema).isEmpty)
