@@ -155,14 +155,17 @@ object Bench {
     // As the suite grows even the centisecond form will eventually brush
     // the window, so the precision is adaptive: render at 2 decimals,
     // and if the whole line would exceed the 1900-char budget fall back
-    // to 1 decimal (ms detail is always in BENCH.json either way).
+    // to 1 decimal, then to whole seconds (ms detail is always in
+    // BENCH.json either way — the compact values are a preview, the
+    // driver's per-query analysis reads the full file).
     def render(decimals: Int): String = {
       val qsShort = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + num(v.min, decimals) }
         .mkString("{", ",", "}")
       s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"contention":${num(contention, 3)},$calibJson,"sf":"$sfDir","detail":"BENCH.json"}"""
     }
-    val line = { val l2 = render(2); if (l2.length <= 1900) l2 else render(1) }
+    val line = Iterator(2, 1, 0).map(render)
+      .find(_.length <= 1900).getOrElse(render(0))
     // last-resort guard: if even the 1-decimal form exceeds the driver's
     // ~2000-char stdout tail window, say so loudly on stderr — a silently
     // truncated JSON line cost round 2 its bench parse.

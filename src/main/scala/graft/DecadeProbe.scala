@@ -92,6 +92,35 @@ object DecadeProbe {
         graft.ops.DupGroups.stats(
           table(spark, sfDir, "documents"), Seq("text")).collect()
       }
+      case "incrembed" => probe("incrembed") {
+        // dedupIncrementEmbedding ladder rung (BASELINE.md): corpus =
+        // the full embeddings table as the standing index; batch =
+        // 0.5% exact copies of corpus rows (direct index hits — every
+        // one must drop) + 0.5% negated copies (negation flips the
+        // cosine sign so nothing matches the index, but the in-batch
+        // dup structure mirrors the corpus slice's own near-dup
+        // clusters). kept is printed for cross-scale sanity — it
+        // tracks the CLUSTER count of the negated slice, not the
+        // batch size, so it stays near-constant per decade while the
+        // corpus-side cost is what the rung measures.
+        val emb = table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val slice = math.max(1L, n / 200)
+        val copies = emb.filter(col("vec_id") < slice)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            col("embedding"))
+        val negated = emb
+          .filter(col("vec_id") >= slice && col("vec_id") < 2 * slice)
+          .select((col("vec_id") + 2000000000L).as("vec_id"),
+            expr("transform(embedding, x -> -x)").as("embedding"))
+        val batch = copies.unionByName(negated)
+        val kept = graft.pipeline.Dedup.dedupIncrementEmbedding(
+          emb, batch, "vec_id", "embedding", threshold = 0.99, dim = 64)
+          .count()
+        println(s"[probe]   incrembed corpus=$n batch=${2 * slice} " +
+          s"kept=$kept")
+      }
       case "bloomfk" => probe("bloomfk") {
         val n = graft.profiler.Sketches.orphanCount(
           table(spark, sfDir, "orders"), "o_custkey",

@@ -2475,6 +2475,47 @@ object SparkEntry {
           graft.pipeline.Text.tokenCount(col("text")).cast("long")
             .as("kept_tokens"))
         .orderBy("doc_id")
+    }),
+    "q176_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup (Dedup.semanticDedup): coarse
+      // cells + within-cell min-id pruning at cosine >= 0.99, on a
+      // bounded slice plus planted exact copies (ids +10M, cosine 1.0
+      // with their sources — same cell by construction, always
+      // dropped). Centroids are SEEDED (the vectors of ids 0,50..350
+      // verbatim, zero Lloyd iterations) precisely so the oracle can
+      // restate the assignment: DuckDB recomputes every (vector, seed)
+      // cosine, assigns argmax (ties to the smaller seed — same
+      // first-occurrence rule as Ivf.cellOfCosine), and replays the
+      // drop rule exactly. Organic seed-assignment margins and
+      // near-threshold pairs were checked at all test SFs when this
+      // row landed; like q167/q168, a future fixture regeneration that
+      // plants near-tie geometry tests the FIXTURE, not the operator.
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(base.filter(col("vec_id") < 24)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      graft.pipeline.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.99, seedIds = (0L until 400L by 50L))
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+    "q177_unigram_lm" -> ((s, dir) => {
+      // Corpus-derived unigram LM scoring (Text.unigramLogProbs — the
+      // CCNet perplexity-filter shape with the LM estimated on the
+      // corpus): vocab and token total come from the FULL documents
+      // table (any counting or normalization error anywhere in the
+      // corpus shifts these rows), minCount=2 prunes hapaxes to the
+      // OOV mass, and the output is the bounded per-doc slice with
+      // exact token counts and the mean log-probability at 6 dp.
+      val d = table(s, dir, "documents")
+      graft.pipeline.Text.unigramLogProbs(d, "doc_id", "text",
+          minCount = 2L)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ntok").cast("long").as("ntok"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4375,6 +4416,46 @@ object SparkEntry {
          SELECT c.doc_id, md5(coalesce(k.kept, '')) AS stripped_md5,
            CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens
          FROM changed c LEFT JOIN keptl k USING (doc_id)
-         ORDER BY c.doc_id"""
+         ORDER BY c.doc_id""",
+    "q176_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 400),
+         corpus AS (SELECT vec_id, embedding FROM base
+           UNION ALL SELECT vec_id + 10000000, embedding FROM base
+             WHERE vec_id < 24),
+         seeds AS (SELECT vec_id AS sid, embedding AS sv FROM base
+           WHERE vec_id % 50 = 0),
+         sim AS (SELECT c.vec_id, c.embedding, s.sid,
+             list_cosine_similarity(c.embedding, s.sv) AS cos
+           FROM corpus c CROSS JOIN seeds s),
+         cellx AS (SELECT vec_id, embedding, sid AS cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, sid) AS rn
+           FROM sim),
+         asg AS (SELECT vec_id, embedding, cell FROM cellx WHERE rn = 1),
+         dropped AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+         SELECT c.vec_id AS vec_id FROM corpus c
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
+    "q177_unigram_lm" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+           FROM norm WHERE nt <> ''),
+         vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab),
+         scored AS (SELECT t.doc_id,
+             CASE WHEN v.c >= 2 THEN ln(v.c / (SELECT total FROM tot))
+                  ELSE ln(0.5 / (SELECT total FROM tot)) END AS lp
+           FROM tok t LEFT JOIN vocab v USING (tok)),
+         agg AS (SELECT doc_id, count(*) AS ntok, avg(lp) AS logprob
+           FROM scored GROUP BY doc_id)
+         SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
+           round(a.logprob, 6) AS logprob
+         FROM norm n LEFT JOIN agg a USING (doc_id)
+         WHERE n.doc_id < 40 ORDER BY n.doc_id"""
   )
 }

@@ -584,6 +584,64 @@ object Dedup {
       embedDupLabels(df, idCol, vecCol, threshold, bands, bandBits, dim,
         maxHamming, maxIter, bandSerial))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): a coarse quantizer partitions the embedding
+    * space into cells and near-duplicate pruning runs WITHIN each cell
+    * only — the paper's approximation that replaces the O(n²) global
+    * similarity graph (or [[dedupByEmbedding]]'s banded LSH over it)
+    * with O(Σ|cell|²) local work, |cell| ≈ n/nlist, at the cost of
+    * missing cross-cell pairs. A semantic tier above the reference's
+    * near-dup surface (reference dedup stops at MinHash/SimHash text
+    * similarity); [[dedupByEmbedding]] remains the graph-exact path
+    * when cross-cell recall matters.
+    *
+    * Keep rule (deterministic and restatable by an external SQL
+    * oracle): a row is DROPPED iff some smaller-id row in the SAME
+    * cell has cosine ≥ `threshold`. One pass, no transitive closure —
+    * identical to closure on clique-shaped dup groups (exact/near
+    * copies, the regime SemDeDup targets), intentionally simpler on
+    * chains. The paper keeps the member FARTHEST from the centroid
+    * per group; min-id keep is the deterministic choice that makes
+    * the kept set a pure function of the data.
+    *
+    * Scale shape: centroids are a driver-bounded structure (caller
+    * `seedIds`, whose vectors become centroids verbatim — zero Lloyd
+    * iterations, so an oracle can restate the assignment — or
+    * [[Ivf.fitCentroids]]' bounded-sample Lloyd when seeds are empty);
+    * assignment is a codegen'd constant-size HOF expression
+    * ([[Ivf.cellOfCosine]]); the only shuffle keys (id, vec, cell) by
+    * cell — nlist ≫ partitions spreads cells across the cluster — and
+    * the per-cell self-join's compute is Σ|cell|², so nlist should
+    * track n / (intended cell size). The dropped-id set (bounded by
+    * the duplicate count) flows into one anti-join. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 0, seedIds: Seq[Long] = Nil,
+      iters: Int = 10): DataFrame = {
+    require(seedIds.nonEmpty || nlist > 0,
+      "semanticDedup needs seedIds or nlist > 0")
+    val v0 = df.filter(col(vecCol).isNotNull)
+    val centroids: Array[Array[Double]] =
+      if (seedIds.nonEmpty) {
+        val byId = v0.filter(col(idCol).isin(seedIds: _*))
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v"))
+          .collect() // bounded by seedIds.size
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        seedIds.toArray.map(id => byId.getOrElse(id,
+          sys.error(s"semanticDedup: seed id $id has no vector")))
+      } else Ivf.fitCentroids(v0, vecCol, nlist, iters)
+    val base = v0.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
+      Ivf.cellOfCosine(col(vecCol), centroids).as("__sd_cell"))
+    val dropped = base.as("a").join(base.as("b"),
+        col("a.__sd_cell") === col("b.__sd_cell") &&
+          col("a.__sd_id") < col("b.__sd_id"))
+      .filter(Similarity.cosine(col("a.__sd_v"), col("b.__sd_v"))
+        >= threshold)
+      .select(col("b.__sd_id").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- near-duplicate cluster assignment ----
 
   /** Connected-component cluster labels over a near-duplicate pair

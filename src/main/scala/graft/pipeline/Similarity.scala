@@ -202,6 +202,29 @@ object Ivf {
         (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
   }
 
+  /** Cosine similarity from a vector column to EVERY centroid, as one
+    * array column — same constant-size typedlit/HOF shape as dist2All
+    * (the expression tree does not grow with nlist × dim). */
+  private def cosAll(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    val v = vec.cast("array<double>")
+    val vn = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    transform(cents, c =>
+      aggregate(zip_with(v, c, (x, y) => x * y), lit(0.0), _ + _) /
+        (vn * sqrt(aggregate(c, lit(0.0), (a, x) => a + x * x))))
+  }
+
+  /** Max-cosine cell id (argmax; ties to the lower centroid index via
+    * array_position's first-occurrence semantics). The natural quantizer
+    * when downstream similarity is cosine — L2 argmin (cellOf) only
+    * agrees with cosine argmax after normalizing both sides. */
+  def cellOfCosine(vec: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1) lit(0)
+    else {
+      val cs = cosAll(vec, centroids)
+      (array_position(cs, array_max(cs)) - 1).cast("int")
+    }
+
   /** Nearest-centroid cell id as a pure Column (argmin; ties to the
     * lower id via array_position's first-occurrence semantics). */
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =

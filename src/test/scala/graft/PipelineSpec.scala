@@ -1036,4 +1036,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"strip mismatch on ids: ${diff.take(5)}")
   }
 
+  test("semanticDedup: within-cell min-id pruning, cross-cell pairs kept") {
+    // two well-separated directions: e1-ish (cell of seed 1) and e2-ish
+    // (cell of seed 2). ids 1,10,11 are mutual near-dups in cell A (min
+    // id 1 survives); ids 2,20 near-dups in cell B (2 survives); id 30
+    // sits in cell B but is NOT a near-dup of anything. ids 40/41 are an
+    // exact pair STRADDLING cells is impossible (same vector -> same
+    // cell), so the cross-cell miss is exercised with two vectors at
+    // cosine ~0.995 that quantize to DIFFERENT seeds — both kept: the
+    // documented SemDeDup approximation.
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    def mix(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val rows = Seq(
+      1L -> a, 10L -> mix(1f, 0.01f), 11L -> mix(1f, -0.01f),
+      2L -> b, 20L -> mix(0.01f, 1f),
+      30L -> mix(0.3f, 1f), // cell B, cosine to 2/20 ~0.95 < threshold
+      // straddling pair: ~45 degrees, one leans to a, one to b,
+      // cosine(40,41) ~ 0.9995 but argmax cells differ
+      40L -> mix(1f, 0.98f), 41L -> mix(0.98f, 1f)
+    ).map { case (i, v) => (i, v.toSeq) }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, seedIds = Seq(1L, 2L))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 30L, 40L, 41L),
+      s"got $kept")
+    // and the graph-exact path DOES drop one of the straddling pair —
+    // the contrast that defines the approximation
+    val keptExact = Dedup.dedupByEmbedding(df, "vec_id", "embedding",
+        threshold = 0.99, bands = 8, bandBits = 8, dim = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!keptExact.contains(41L) && keptExact.contains(40L))
+  }
+
+  test("semanticDedup: fitted-centroid mode prunes exact copies") {
+    // no seeds: Ivf.fitCentroids drives assignment; exact copies land in
+    // the same cell whatever the centroids are, so they must drop
+    val base = (0L until 64L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat).toSeq)
+    }
+    val copies = base.take(6).map { case (i, v) => (i + 1000L, v) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.999, nlist = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((1000L until 1006L).forall(!kept.contains(_)))
+    assert((0L until 6L).forall(kept.contains))
+  }
+
+  test("unigramLogProbs: hand-computed corpus LM scores") {
+    val d = Seq((1L, "aa aa bb"), (2L, "bb cc"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    // vocab: aa:2 bb:2 cc:1, total 5; minCount=2 -> cc is OOV (mass 0.5)
+    val got = Text.unigramLogProbs(d, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val lpA = math.log(2.0 / 5); val lpOov = math.log(0.5 / 5)
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2.get - lpA) < 1e-12)
+    assert(got(2L)._1 == 2 &&
+      math.abs(got(2L)._2.get - (lpA + lpOov) / 2) < 1e-12)
+    assert(got(3L) == (0L -> None) && got(4L) == (0L -> None))
+    // topV=1 cuts the count-tied vocab deterministically by token: "aa"
+    // stays, "bb" joins cc in the OOV mass
+    val cut = Text.unigramLogProbs(d, "doc_id", "text", topV = 1)
+      .filter($"doc_id" === 2L).collect()(0)
+    assert(math.abs(cut.getDouble(2) - lpOov) < 1e-12)
+  }
+
 }

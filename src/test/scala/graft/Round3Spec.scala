@@ -19,11 +19,13 @@ class Round3Spec extends AnyFunSuite {
     assert(short.distinct.size == keys.size,
       s"colliding prefixes: ${short.diff(short.distinct).distinct}")
     // and the compact line stays inside the 2000-char capture window:
-    // Bench renders at 2 decimals and adaptively falls back to 1 decimal
-    // when the line would brush the budget, so the invariant to pin is
-    // the FALLBACK form (worst-case "99.9" values) with wrapper overhead
-    val line = short.sorted.map(k => "\"" + k + "\":99.9").mkString(",")
-    assert(line.length + 150 < 1900, s"compact line too long: ${line.length}")
+    // Bench renders at 2 decimals and adaptively falls back to 1 then 0
+    // decimals when the line would brush the budget, so the invariant to
+    // pin is the LAST fallback form (worst-case "999" whole-second
+    // values) with wrapper overhead (metric/value/unit/failed/contention
+    // + the r11 calib stamps + sf/detail ≈ 190 chars; 200 for margin)
+    val line = short.sorted.map(k => "\"" + k + "\":999").mkString(",")
+    assert(line.length + 200 < 1900, s"compact line too long: ${line.length}")
   }
 
   test("pointer-doubled depths matches explicit BFS on a deep chain") {
