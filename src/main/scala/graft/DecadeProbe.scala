@@ -121,6 +121,22 @@ object DecadeProbe {
         println(s"[probe]   incrembed corpus=$n batch=${2 * slice} " +
           s"kept=$kept")
       }
+      case "semdedup" => probe("semdedup") {
+        // semanticDedup ladder rung: fitted centroids, nlist scaled to
+        // ~500-row cells but capped at 2048 — the typedlit quantizer's
+        // practical ceiling (the BASELINE.md envelope note). Past the
+        // cap, cell size grows linearly with the corpus and the
+        // within-cell quadratic term dominates: the rung where the
+        // banded graph-exact path (embdedup) takes over as the dedup
+        // answer and semanticDedup stays the topical-cluster analysis.
+        val emb = table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val nlist = math.max(16L, math.min(2048L, n / 500)).toInt
+        val kept = graft.pipeline.Dedup.semanticDedup(emb, "vec_id",
+          "embedding", threshold = 0.99, nlist = nlist).count()
+        println(s"[probe]   semdedup n=$n nlist=$nlist kept=$kept")
+      }
       case "bloomfk" => probe("bloomfk") {
         val n = graft.profiler.Sketches.orphanCount(
           table(spark, sfDir, "orders"), "o_custkey",

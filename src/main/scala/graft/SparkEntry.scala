@@ -2516,6 +2516,24 @@ object SparkEntry {
           col("ntok").cast("long").as("ntok"),
           round(col("logprob"), 6).as("logprob"))
         .orderBy("doc_id")
+    }),
+    "q178_group_split" -> ((s, dir) => {
+      // Leakage-safe deterministic split (Curate.splitAssign): documents
+      // keyed by source, so every group lands wholly in one split — the
+      // pattern that keys on a dup-cluster label or domain in production
+      // to keep near-duplicates from straddling train and eval. The
+      // md5-hex assignment is engine-portable by construction; the
+      // oracle recomputes it verbatim (same seed, same hex cuts) and the
+      // per-split doc count, group count and id sum must match exactly.
+      val d = table(s, dir, "documents")
+      d.withColumn("split", graft.pipeline.Curate.splitAssign(
+          col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "r12"))
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_groups"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("split")
     })
   )
 
@@ -4456,6 +4474,18 @@ object SparkEntry {
          SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
            round(a.logprob, 6) AS logprob
          FROM norm n LEFT JOIN agg a USING (doc_id)
-         WHERE n.doc_id < 40 ORDER BY n.doc_id"""
+         WHERE n.doc_id < 40 ORDER BY n.doc_id""",
+    "q178_group_split" ->
+      """WITH asg AS (SELECT doc_id, source,
+             CASE WHEN substr(md5(source || 'r12'), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                  WHEN substr(md5(source || 'r12'), 1, 8) < 'e6666666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT source) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM asg GROUP BY split ORDER BY split"""
   )
 }

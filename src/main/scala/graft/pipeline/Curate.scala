@@ -318,9 +318,58 @@ final case class Curate(df: DataFrame, idCol: String, textCol: String,
       count(lit(1)).as("docs"),
       sum(Text.tokenCount(col(textCol))).cast("long").as("tokens"),
       count_distinct(Text.fingerprint(col(textCol))).as("distinct_fp"))
+
+  /** Leakage-safe split assignment: adds a `split` column such that
+    * every row sharing `groupCol` lands in the SAME split — pass a dup
+    * cluster label ([[Dedup.dupClusters]] / [[Dedup.embedDupLabels]]),
+    * a domain, or a URL host as the group so correlated rows (near
+    * duplicates, same-site pages) never straddle train and eval.
+    * Row-local, no shuffle: see [[Curate.splitAssign]]. */
+  def withSplit(groupCol: String, fractions: Seq[(String, Double)],
+      seed: String = ""): Curate =
+    copy(df = df.withColumn("split",
+        Curate.splitAssign(col(groupCol), fractions, seed)),
+      stages = stages :+ s"split(${fractions.map(_._1).mkString("/")})")
 }
 
 object Curate {
+  /** Deterministic hash split assignment: maps a group key to one of
+    * `fractions`' names with the given probabilities, as a PURE column
+    * expression — no shuffle, no RNG state, stable across runs, engines,
+    * partitionings and cluster sizes (`rand()`-based splits are none of
+    * these). The draw is the first 8 hex chars of md5(key || seed)
+    * compared against cumulative cuts rendered as zero-padded hex
+    * strings: lowercase-hex string order equals numeric order, and both
+    * Spark and DuckDB emit lowercase md5 hex, so an external oracle can
+    * restate the assignment verbatim. `seed` re-deals the whole split
+    * (e.g. per experiment) without touching the data. A null key lands
+    * in the LAST split (the residual bucket) deterministically.
+    *
+    * This is the split PRIMITIVE; leakage safety comes from what you
+    * key it with — hash a dup-cluster label or a domain, not the row
+    * id, and the whole correlated unit moves together. */
+  def splitAssign(key: Column, fractions: Seq[(String, Double)],
+      seed: String = ""): Column = {
+    require(fractions.nonEmpty, "splitAssign needs at least one split")
+    require(fractions.forall(_._2 >= 0.0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be >= 0 and sum to 1: $fractions")
+    val h = substring(
+      md5(concat(key.cast("string"), lit(seed)).cast("binary")), 1, 8)
+    if (fractions.size == 1) lit(fractions.head._1)
+    else {
+      var acc = 0.0
+      val cuts = fractions.dropRight(1).map { case (name, f) =>
+        acc += f
+        name -> f"${math.min(4294967295L, (acc * 4294967296.0).toLong)}%08x"
+      }
+      val first = when(h < lit(cuts.head._2), lit(cuts.head._1))
+      cuts.tail.foldLeft(first) { case (c, (n, cut)) =>
+        c.when(h < lit(cut), lit(n))
+      }.otherwise(lit(fractions.last._1))
+    }
+  }
+
   /** Auto-bucketing threshold for [[Curate.sampleTokenBudget]]: a
     * budgeted stratum above this many rows engages the exact bucketed
     * two-phase prefix sum (buckets sized to ~half this, so the hot

@@ -909,7 +909,10 @@ object Dedup {
     val (nb, bb) =
       if (bands > 0 && bandBits > 0) (bands, bandBits)
       else {
-        val plan = lshPlan(ex.count() + inc.count(), threshold)
+        // one fused count job over both sides (same scan work as two
+        // counts, half the job-scheduling latency on small batches)
+        val n = ex.select(col("id")).unionAll(inc.select(col("id"))).count()
+        val plan = lshPlan(n, threshold)
         (if (bands > 0) bands else plan._1,
          if (bandBits > 0) bandBits else plan._2)
       }

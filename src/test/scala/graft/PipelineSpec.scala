@@ -1084,6 +1084,36 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L until 6L).forall(kept.contains))
   }
 
+  test("splitAssign: deterministic, group-atomic, proportional") {
+    val rows = (0L until 10000L).map(i => (i, s"g${i / 5}"))
+      .toDF("id", "grp")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val once = rows.withColumn("split",
+      Curate.splitAssign($"grp", fr, seed = "s1"))
+    // group-atomic: every group maps to exactly one split
+    assert(once.groupBy("grp")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count() == 0)
+    // deterministic: recomputation is byte-identical
+    val again = rows.withColumn("split",
+      Curate.splitAssign($"grp", fr, seed = "s1"))
+    assert(once.exceptAll(again).count() == 0)
+    // proportions near fractions (2000 groups, +-5 pp)
+    val by = once.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(by("train") / 10000.0 - 0.8) < 0.05, by.toString)
+    // a different seed re-deals
+    val re = rows.withColumn("split",
+      Curate.splitAssign($"grp", fr, seed = "s2"))
+    assert(once.exceptAll(re).count() > 0)
+    // null keys land in the LAST split
+    val n = Seq((1L, null: String)).toDF("id", "grp")
+      .select(Curate.splitAssign($"grp", fr)).collect()(0).getString(0)
+    assert(n == "test")
+    intercept[IllegalArgumentException] {
+      Curate.splitAssign($"grp", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("unigramLogProbs: hand-computed corpus LM scores") {
     val d = Seq((1L, "aa aa bb"), (2L, "bb cc"), (3L, ""), (4L, "  "))
       .toDF("doc_id", "text")
