@@ -1069,6 +1069,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!keptExact.contains(41L) && keptExact.contains(40L))
   }
 
+  test("semanticDedup: plan is an equi-join on cell, never cartesian") {
+    val df = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("semanticDedup: fitted-centroid mode prunes exact copies") {
     // no seeds: Ivf.fitCentroids drives assignment; exact copies land in
     // the same cell whatever the centroids are, so they must drop
