@@ -214,20 +214,33 @@ object Ivf {
         (vn * sqrt(aggregate(c, lit(0.0), (a, x) => a + x * x))))
   }
 
-  /** Max-cosine cell id (argmax; ties to the lower centroid index via
-    * array_position's first-occurrence semantics). The natural quantizer
-    * when downstream similarity is cosine — L2 argmin (cellOf) only
-    * agrees with cosine argmax after normalizing both sides. */
+  /** Max-cosine cell id (argmax; ties to the lower centroid index,
+    * matching array_position's first-occurrence semantics). The natural
+    * quantizer when downstream similarity is cosine — L2 argmin (cellOf)
+    * only agrees with cosine argmax after normalizing both sides.
+    * Native kernel ([[graft.functions.NearestCell]]): the HOF form paid
+    * nlist × dim boxed lambda calls per row and dominated the semantic
+    * dedup probe; parity with [[cellOfCosineHof]] is spec-pinned. */
   def cellOfCosine(vec: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1) lit(0)
+    else graft.functions.NearestCell(vec, centroids, cosine = true)
+
+  /** Reference HOF form of [[cellOfCosine]] (parity spec only). */
+  def cellOfCosineHof(vec: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.length == 1) lit(0)
     else {
       val cs = cosAll(vec, centroids)
       (array_position(cs, array_max(cs)) - 1).cast("int")
     }
 
-  /** Nearest-centroid cell id as a pure Column (argmin; ties to the
-    * lower id via array_position's first-occurrence semantics). */
+  /** Nearest-centroid cell id (argmin squared L2; ties to the lower
+    * index). Same native kernel as [[cellOfCosine]]. */
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1) lit(0)
+    else graft.functions.NearestCell(vec, centroids, cosine = false)
+
+  /** Reference HOF form of [[cellOf]] (parity spec only). */
+  def cellOfHof(vec: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.length == 1) lit(0)
     else {
       val d = dist2All(vec, centroids)
