@@ -64,6 +64,13 @@ object DupGroups {
     if (slices == 1) stats(df, cols)
     else {
       val h = xxhash64(cols.map(col): _*)
+      // disk-pressure estimate for the auto gcNudge mode: the census'
+      // shuffle scales with the scanned input, so a multi-GiB source is
+      // the regime where reaping each pass's shuffle files matters; a
+      // small forced-slices run (correctness pin, unit test) stays
+      // GC-free. Plan stats come from file sizes — no job is run.
+      val pressure = df.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(8L << 30)
       val per = (0 until slices).map { s =>
         val r = df.filter(pmod(h, lit(slices.toLong)) === s)
           .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dup_c"))
@@ -73,7 +80,7 @@ object DupGroups {
               .as("excess_rows"))
           .localCheckpoint()
         // conf-gated (spark.graft.gcNudge): reap the pass's shuffle files
-        graft.ops.Exprs.gcNudge(df.sparkSession)
+        graft.ops.Exprs.gcNudge(df.sparkSession, pressure)
         r
       }
       per.reduce(_ unionAll _)

@@ -166,12 +166,23 @@ object Exprs {
     * scratch disk in those modes. On a shared driver JVM a forced full GC
     * stalls every concurrent query, and `-XX:+DisableExplicitGC` silently
     * turns `System.gc()` into a no-op (defeating the reclamation) — so the
-    * nudge is conf-gated via `spark.graft.gcNudge` (default `true`: the
-    * serial modes exist precisely to bound scratch). Set it `false` on
-    * shared drivers and rely on `spark.cleaner.periodicGC.interval`
-    * (default 30 min — lower it when disabling the nudge). */
-  def gcNudge(spark: SparkSession): Unit =
-    if (spark.conf.get("spark.graft.gcNudge", "true").toBoolean) System.gc()
+    * nudge is conf-gated via `spark.graft.gcNudge`:
+    *
+    *   - `auto` (default): fire only when the CALLER is in the
+    *     disk-pressure regime the nudge exists for (`pressure = true` —
+    *     the serial operators pass their own exceeds-scratch-threshold
+    *     estimate). A serial pass forced at small scale (a correctness
+    *     pin, a unit test) pays zero forced GCs.
+    *   - `true`: fire on every serial pass regardless of the estimate
+    *     (the r11/r12 behavior — the conservative choice on a dedicated
+    *     driver whose scratch is tighter than the estimator assumes).
+    *   - `false`: never; rely on `spark.cleaner.periodicGC.interval`
+    *     (default 30 min — lower it when disabling the nudge). */
+  def gcNudge(spark: SparkSession, pressure: Boolean = true): Unit =
+    spark.conf.get("spark.graft.gcNudge", "auto") match {
+      case "auto" => if (pressure) System.gc()
+      case other  => if (other.toBoolean) System.gc()
+    }
 
   /** Silence known-benign ERROR-level logging that would otherwise land in
     * the process stdout the bench driver tail-parses. JDBCScanBuilder logs a

@@ -441,10 +441,11 @@ object Dedup {
         (if (bands > 0) bands else plan._1,
          if (bandBits > 0) bandBits else plan._2)
       }
+    val scratchPressure = explodeBytes(nRows, nb, d) > SerialBandAutoBytes
     val serial = bandSerial match {
       case 0          => false
       case x if x > 0 => true
-      case _          => explodeBytes(nRows, nb, d) > SerialBandAutoBytes
+      case _          => scratchPressure
     }
     lastSerialTl.set(if (serial) 1 else 0)
     log.info(s"embedDupLabels bands=$nb bandBits=$bb dim=$d " +
@@ -488,7 +489,7 @@ object Dedup {
     // band writes (driver-side, once per band).
     def checkpointBand(bandResult: DataFrame): DataFrame = {
       val r = bandResult.localCheckpoint()
-      graft.ops.Exprs.gcNudge(r.sparkSession)
+      graft.ops.Exprs.gcNudge(r.sparkSession, scratchPressure)
       r
     }
     // Pass 1: per-id min verified partner — the pair stream collapses
@@ -608,8 +609,10 @@ object Dedup {
     * `seedIds`, whose vectors become centroids verbatim — zero Lloyd
     * iterations, so an oracle can restate the assignment — or
     * [[Ivf.fitCentroids]]' bounded-sample Lloyd when seeds are empty);
-    * assignment is a codegen'd constant-size HOF expression
-    * ([[Ivf.cellOfCosine]]); the only shuffle keys (id, vec, cell) by
+    * assignment is the native [[graft.functions.NearestCell]] codegen
+    * kernel via [[Ivf.cellOfCosine]] (the HOF form is retained as its
+    * parity reference, pinned in GraftProps); the only shuffle keys
+    * (id, vec, cell) by
     * cell — nlist ≫ partitions spreads cells across the cluster — and
     * the per-cell self-join's compute is Σ|cell|², so nlist should
     * track n / (intended cell size). The dropped-id set (bounded by
@@ -954,10 +957,12 @@ object Dedup {
         .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
         .select(col("a.id").as(idCol)).distinct()
     } else {
+      lazy val scratchPressure =
+        explodeBytes(ex.count(), nb, d) > SerialBandAutoBytes
       val serial = bandSerial match {
         case 0          => false
         case x if x > 0 => true
-        case _ => explodeBytes(ex.count(), nb, d) > SerialBandAutoBytes
+        case _          => scratchPressure
       }
       def sigOf(rel: DataFrame): DataFrame =
         rel.select(col("id") +: col("v") +: sigCols: _*)
@@ -984,7 +989,7 @@ object Dedup {
             .select(col("a.id").as(idCol)).distinct()
             .localCheckpoint()
           // conf-gated (spark.graft.gcNudge): reap band b's join shuffle
-          graft.ops.Exprs.gcNudge(incoming.sparkSession)
+          graft.ops.Exprs.gcNudge(incoming.sparkSession, scratchPressure)
           r
         }
         // the union+distinct reads only the checkpointed band results,

@@ -220,7 +220,10 @@ object Ivf {
     * only agrees with cosine argmax after normalizing both sides.
     * Native kernel ([[graft.functions.NearestCell]]): the HOF form paid
     * nlist × dim boxed lambda calls per row and dominated the semantic
-    * dedup probe; parity with [[cellOfCosineHof]] is spec-pinned. */
+    * dedup probe; parity with [[cellOfCosineHof]] is spec-pinned by the
+    * GraftProps `nearest_cell` properties (random vectors × centroids ×
+    * {cosine, L2} × {float, double} with planted score ties, codegen +
+    * interpreted eval, plus explicit zero-norm/null/dim corner rows). */
   def cellOfCosine(vec: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.length == 1) lit(0)
     else graft.functions.NearestCell(vec, centroids, cosine = true)

@@ -823,4 +823,107 @@ object GraftProps extends Properties("graft") {
         s"kernel=$kernel hof=$hof kernelF=$kernelF hofF=$hofF eval=$evaled"
     }
 
+  // ---- nearest_cell kernel vs the retained HOF quantizer forms
+  // (Ivf.cellOfCosineHof / cellOfHof) — the parity spec the kernel's
+  // doc points at. Random vectors × random centroid matrices, cosine
+  // and L2 modes, double and float element types, with an exact score
+  // tie planted by construction (a duplicated centroid row plus a
+  // vector equal to one centroid): argmax/argmin must keep the LOWEST
+  // index in both forms (array_position first-occurrence rule). Both
+  // execution paths are exercised: whole-stage codegen via a DataFrame
+  // projection and interpreted eval via a Literal child. Zero-norm /
+  // null / dim-mismatch corners are deliberate kernel DIVERGENCES from
+  // the HOF's NaN-ordering behavior and are pinned separately below.
+
+  private val cellDim = 4
+  private val cellVecGen: Gen[List[Double]] =
+    Gen.listOfN(cellDim, Gen.choose(-8.0, 8.0))
+  private val centroidsGen: Gen[Array[Array[Double]]] =
+    for {
+      k <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(k, cellVecGen)
+      dupAt <- Gen.choose(0, k - 1)
+    } yield (rows :+ rows(dupAt)).map(_.toArray).toArray
+
+  property("nearest_cell == HOF quantizer (cos+l2, float+double, ties)") =
+    forAll(Gen.listOfN(8, cellVecGen), centroidsGen) { (vecs0, cents) =>
+      import org.apache.spark.sql.functions.col
+      import graft.pipeline.Ivf
+      // zero-norm inputs are the kernel's documented divergence — keep
+      // them out of the parity corpus (pinned in the corner property)
+      val vecs = vecs0.map(v =>
+        if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v)
+      // plant a vector EQUAL to the duplicated centroid: its score
+      // ties exactly across the duplicate rows by construction
+      val all = cents.last.toList :: vecs
+      val df = all.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").orderBy("id")
+      def run(c: org.apache.spark.sql.Column): List[Option[Int]] =
+        df.select(c.cast("int")).collect().toList
+          .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      val cosK  = run(Ivf.cellOfCosine(col("v"), cents))
+      val cosH  = run(Ivf.cellOfCosineHof(col("v"), cents))
+      val l2K   = run(Ivf.cellOf(col("v"), cents))
+      val l2H   = run(Ivf.cellOfHof(col("v"), cents))
+      val f     = col("v").cast("array<float>")
+      val cosKF = run(Ivf.cellOfCosine(f, cents))
+      val cosHF = run(Ivf.cellOfCosineHof(f, cents))
+      val l2KF  = run(Ivf.cellOf(f, cents))
+      val l2HF  = run(Ivf.cellOfHof(f, cents))
+      // interpreted eval path matches codegen
+      def evalAll(cosine: Boolean): List[Option[Int]] = all.map { v =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        Option(graft.functions.NearestCell(
+            Literal.create(v, ArrayType(DoubleType)), cents, cosine)
+          .eval(null)).map(_.asInstanceOf[Int])
+      }
+      Prop(cosK == cosH && l2K == l2H && cosKF == cosHF && l2KF == l2HF &&
+        evalAll(true) == cosK && evalAll(false) == l2K) :|
+        s"cosK=$cosK cosH=$cosH l2K=$l2K l2H=$l2H " +
+          s"cosKF=$cosKF cosHF=$cosHF l2KF=$l2KF l2HF=$l2HF"
+    }
+
+  property("nearest_cell corner semantics (zero-norm, nulls, dim)") = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 2.0))
+    val zeroCents = Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0))
+    val rows: List[(Long, List[java.lang.Double], String)] = List(
+      (0L, List[java.lang.Double](0.0, 0.0, 0.0), "zero-norm"),
+      (1L, List[java.lang.Double](2.0, 4.0, 4.0), "clean"),
+      (2L, List[java.lang.Double](1.0, 2.0), "dim-mismatch"),
+      (3L, List[java.lang.Double](1.0, null, 2.0), "null-elem"),
+      (4L, null, "whole-null"))
+    val df = rows.map { case (i, v, _) =>
+        (i, Option(v).map(_.map(x => Option(x).map(_.doubleValue))))
+      }.toDF("id", "v").orderBy("id")
+    def run(c: org.apache.spark.sql.Column): List[Option[Int]] =
+      df.select(c).collect().toList
+        .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val cos = run(graft.functions.NearestCell(col("v"), cents, cosine = true))
+    val l2 = run(graft.functions.NearestCell(col("v"), cents, cosine = false))
+    val cosZ = run(graft.functions.NearestCell(col("v"), zeroCents,
+      cosine = true))
+    def ev(v: List[java.lang.Double], cs: Array[Array[Double]],
+        cosine: Boolean): Option[Int] =
+      Option(graft.functions.NearestCell(
+          Literal.create(v, ArrayType(DoubleType)), cs, cosine)
+        .eval(null)).map(_.asInstanceOf[Int])
+    val evCos = rows.map { case (_, v, _) => ev(v, cents, cosine = true) }
+    val evL2 = rows.map { case (_, v, _) => ev(v, cents, cosine = false) }
+    // cosine: zero-norm input unassignable; zero-norm centroid (idx 0)
+    // never selected, so the clean row lands on 1; dim/null -> NULL.
+    // L2: zero-norm is a perfectly good point — row 0 sits ON centroid
+    // 0 and row 1 is closer to centroid 1; dim/null corners identical.
+    // All-zero-centroid cosine: nothing selectable -> NULL everywhere
+    // except the structurally-NULL rows (also NULL).
+    Prop(cos == List(None, Some(1), None, None, None) &&
+      l2 == List(Some(0), Some(1), None, None, None) &&
+      cosZ == List(None, None, None, None, None) &&
+      evCos == cos && evL2 == l2) :|
+      s"cos=$cos l2=$l2 cosZ=$cosZ evCos=$evCos evL2=$evL2"
+  }
+
 }
