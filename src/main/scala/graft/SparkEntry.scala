@@ -2534,6 +2534,31 @@ object SparkEntry {
           count_distinct(col("source")).as("n_groups"),
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy("split")
+    }),
+    "q179_semantic_dedup_2l" -> ((s, dir) => {
+      // TWO-LEVEL SemDeDup (Dedup.semanticDedupTwoLevel): coarse cells
+      // (seeds 0,100,200,300) each refined by 4 sub-seeds
+      // (i*100 + {0,25,50,75}), within-SUB-cell min-id pruning at
+      // cosine >= 0.99, on the same corpus-plus-planted-copies slice
+      // as q176. Fully seeded at BOTH levels so the oracle restates
+      // the entire assignment: DuckDB replays coarse argmax, then sub
+      // argmax among the winning cell's seeds (ties to the smaller
+      // seed at each level — the NearestCell/NearestSubCell
+      // first-index rule), then the drop rule. The fitted mode of the
+      // same operator (Lloyd at both levels) is the 100 TB scale path,
+      // exercised by the DecadeProbe semdedup rung and PipelineSpec.
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(base.filter(col("vec_id") < 24)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      graft.pipeline.Dedup.semanticDedupTwoLevel(corpus, "vec_id",
+          "embedding", threshold = 0.99,
+          seedIds = Seq(0L, 100L, 200L, 300L),
+          subSeedIds = (0 until 4).map(i =>
+            Seq(0L, 25L, 50L, 75L).map(_ + i * 100L)))
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy("vec_id")
     })
   )
 
@@ -4486,6 +4511,35 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            count(DISTINCT source) AS n_groups,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM asg GROUP BY split ORDER BY split"""
+         FROM asg GROUP BY split ORDER BY split""",
+    "q179_semantic_dedup_2l" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 400),
+         corpus AS (SELECT vec_id, embedding FROM base
+           UNION ALL SELECT vec_id + 10000000, embedding FROM base
+             WHERE vec_id < 24),
+         cseeds AS (SELECT vec_id AS sid, embedding AS sv FROM base
+           WHERE vec_id % 100 = 0),
+         sseeds AS (SELECT vec_id AS sid2, (vec_id // 100) * 100 AS grp,
+             embedding AS sv2 FROM base WHERE vec_id % 25 = 0),
+         coarse AS (SELECT vec_id, embedding, sid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_cosine_similarity(embedding, sv) DESC, sid) AS rn
+           FROM corpus CROSS JOIN cseeds),
+         casg AS (SELECT vec_id, embedding, sid AS ccell FROM coarse
+           WHERE rn = 1),
+         subx AS (SELECT a.vec_id, a.embedding, t.sid2,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               list_cosine_similarity(a.embedding, t.sv2) DESC, t.sid2)
+               AS rn
+           FROM casg a JOIN sseeds t ON t.grp = a.ccell),
+         asg AS (SELECT vec_id, embedding, sid2 AS cell FROM subx
+           WHERE rn = 1),
+         dropped AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+         SELECT c.vec_id AS vec_id FROM corpus c
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id"""
   )
 }

@@ -101,7 +101,18 @@ object NearestCell {
     * winning centroid index, or -1 for the NULL cases documented on the
     * expression. */
   def assign(arr: ArrayData, isFloat: Boolean, flat: Array[Double],
-      norms: Array[Double], dim: Int, k: Int, cosine: Boolean): Int = {
+      norms: Array[Double], dim: Int, k: Int, cosine: Boolean): Int =
+    assignRange(arr, isFloat, flat, norms, dim, 0, k, cosine)
+
+  /** [[assign]] restricted to centroid rows [from, to) of the flat
+    * matrix — the ragged-dispatch primitive [[NearestSubCell]] rides on.
+    * Returns the winning row's ABSOLUTE index in the flat matrix (so
+    * two-level cell ids are globally unique without a per-cell stride),
+    * or -1 for the NULL corners. Same arithmetic, same tie rule (first
+    * row in range wins) as the single-matrix form. */
+  def assignRange(arr: ArrayData, isFloat: Boolean, flat: Array[Double],
+      norms: Array[Double], dim: Int, from: Int, to: Int,
+      cosine: Boolean): Int = {
     val n = arr.numElements()
     if (n != dim) return -1
     val v = new Array[Double](dim)
@@ -118,8 +129,8 @@ object NearestCell {
     if (cosine && sv == 0.0) return -1
     var best = -1
     var bestScore = 0.0
-    var c = 0
-    while (c < k) {
+    var c = from
+    while (c < to) {
       val off = c * dim
       var acc = 0.0
       var j = 0

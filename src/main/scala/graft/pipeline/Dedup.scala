@@ -635,6 +635,17 @@ object Dedup {
       } else Ivf.fitCentroids(v0, vecCol, nlist, iters)
     val base = v0.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
       Ivf.cellOfCosine(col(vecCol), centroids).as("__sd_cell"))
+    semanticDropJoin(df, idCol, base, threshold)
+  }
+
+  /** Shared core of the SemDeDup family: within-cell min-id prune over
+    * any cell assignment. `base` carries (__sd_id, __sd_v, __sd_cell);
+    * a row is dropped iff a smaller-id row in the SAME cell has cosine
+    * ≥ threshold. The join is an equi-join on the cell id (plan-shape
+    * pinned: never cartesian); null cells join nothing by SQL
+    * three-valued semantics, so unassignable rows are always kept. */
+  private def semanticDropJoin(df: DataFrame, idCol: String,
+      base: DataFrame, threshold: Double): DataFrame = {
     val dropped = base.as("a").join(base.as("b"),
         col("a.__sd_cell") === col("b.__sd_cell") &&
           col("a.__sd_id") < col("b.__sd_id"))
@@ -643,6 +654,72 @@ object Dedup {
       .select(col("b.__sd_id").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] with a TWO-LEVEL quantizer — the form whose
+    * fitted mode scales past the flat quantizer's practical ceiling.
+    * The flat form's per-row assignment costs nlist × dim flops, so
+    * holding SemDeDup's |cell| ≈ 500 as n grows (nlist ≈ n/500) turns
+    * assignment into a compute wall around nlist ≈ 2048; past it the
+    * cells grow linearly instead and the within-cell Σ|cell|² join
+    * dominates quadratically. Two levels break the trade: coarse cells
+    * (≤ ~2048, [[Ivf.fitCentroids]]) each get `subPerCell`
+    * sub-centroids fit from a bounded per-cell sample
+    * ([[Ivf.fitSubCentroids]]), for effective nlist = coarse ×
+    * subPerCell at (coarse + subPerCell) × dim flops per row — both
+    * levels inside one whole-stage-codegen projection
+    * ([[Ivf.cellOfCosineTwoLevel]]). The min-id keep rule, the
+    * equi-join-on-cell plan shape, and the one anti-join are identical
+    * to the flat form (shared [[semanticDropJoin]] core).
+    *
+    * Seeded mode (`seedIds` + `subSeedIds`) makes the whole assignment
+    * restatable by an external SQL oracle, exactly like the flat form's
+    * seeded mode: coarse centroids are `seedIds`' vectors verbatim and
+    * cell i's sub-centroids are `subSeedIds(i)`'s vectors verbatim —
+    * zero Lloyd anywhere. Fitted mode (`coarseNlist` + `subPerCell`)
+    * is the scale path; its driver work is bounded by the two sample
+    * collects, never by the corpus. */
+  def semanticDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, coarseNlist: Int = 0, subPerCell: Int = 0,
+      iters: Int = 10, samplePerCell: Int = 256,
+      seedIds: Seq[Long] = Nil,
+      subSeedIds: Seq[Seq[Long]] = Nil): DataFrame = {
+    val seeded = seedIds.nonEmpty
+    require(seeded == subSeedIds.nonEmpty,
+      "seeded two-level dedup needs BOTH seedIds and subSeedIds")
+    require(seeded || (coarseNlist > 0 && subPerCell > 0),
+      "fitted two-level dedup needs coarseNlist > 0 and subPerCell > 0")
+    require(!seeded || subSeedIds.length == seedIds.length,
+      "subSeedIds must carry one seed list per coarse seed")
+    val v0 = df.filter(col(vecCol).isNotNull)
+    val (coarse, subs): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+      if (seeded) {
+        val byId = seedVectors(v0, idCol, vecCol,
+          (seedIds ++ subSeedIds.flatten).distinct)
+        (seedIds.toArray.map(byId),
+         subSeedIds.toArray.map(_.toArray.map(byId)))
+      } else {
+        val c = Ivf.fitCentroids(v0, vecCol, coarseNlist, iters)
+        (c, Ivf.fitSubCentroids(v0, vecCol, c, subPerCell, iters,
+          samplePerCell))
+      }
+    val base = v0.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
+      Ivf.cellOfCosineTwoLevel(col(vecCol), coarse, subs).as("__sd_cell"))
+    semanticDropJoin(df, idCol, base, threshold)
+  }
+
+  /** Bounded driver lookup of seed vectors by id (collect is bounded by
+    * the seed count). */
+  private def seedVectors(v0: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Map[Long, Array[Double]] = {
+    val byId = v0.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .collect() // bounded by ids.size
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    ids.foreach(id => require(byId.contains(id),
+      s"seed id $id has no vector"))
+    byId
   }
 
   // ---- near-duplicate cluster assignment ----

@@ -161,15 +161,23 @@ object Ivf {
       .limit(4 * sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
-    var centroids = Array.tabulate(nlist)(i =>
-      sample((i * sample.length) / nlist).clone())
+    lloyd(sample, nlist, iters)
+  }
+
+  /** Driver Lloyd core shared by [[fitCentroids]] and
+    * [[fitSubCentroids]]: deterministic given the sample order (init =
+    * every (n/k)-th point; empty clusters keep their previous mean). */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = Array.tabulate(k)(i =>
+      sample((i * sample.length) / k).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](nlist)
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
       sample.foreach { p =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nlist) {
+        while (c < k) {
           var d = 0.0; var i = 0
           while (i < p.length) {
             val t = p(i) - centroids(c)(i); d += t * t; i += 1
@@ -181,11 +189,71 @@ object Ivf {
         var i = 0
         while (i < p.length) { sums(best)(i) += p(i); i += 1 }
       }
-      centroids = Array.tabulate(nlist)(c =>
+      centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c)))
     }
     centroids
+  }
+
+  /** Per-coarse-cell sub-centroids for the TWO-LEVEL quantizer: for
+    * each cell of an already-fit `coarse` matrix, Lloyd on a bounded
+    * per-cell sample of the rows that cell actually receives (cosine
+    * assignment — the mode the semantic-dedup callers use), giving
+    * `subK` sub-centroids per cell (fewer when a cell's sample is
+    * smaller; an empty cell keeps its coarse centroid as the lone sub).
+    *
+    * Scale contract: the corpus is pre-thinned by a hash filter to
+    * ~4 × coarse × samplePerCell rows IN EXPECTATION before the
+    * per-cell window caps each cell at samplePerCell — so the one
+    * shuffle here moves a bounded sample, not the corpus, and the
+    * driver allocation is hard-bounded at coarse × samplePerCell × dim
+    * doubles regardless of skew (256 cells × 256 rows × 64 dims
+    * ≈ 34 MB). Per-cell point order is (hash, values) — fully
+    * deterministic, same discipline as [[fitCentroids]]. */
+  def fitSubCentroids(df: DataFrame, vecCol: String,
+      coarse: Array[Array[Double]], subK: Int, iters: Int = 10,
+      samplePerCell: Int = 256): Array[Array[Array[Double]]] = {
+    require(subK >= 1, s"subK must be >= 1: $subK")
+    val target = coarse.length.toLong * samplePerCell
+    val nn = df.filter(col(vecCol).isNotNull).count()
+    val m = math.max(1L, nn / math.max(1L, 4L * target))
+    val w = Window.partitionBy(col("__c"))
+      .orderBy(col("__h"), col("__v").cast("array<string>"))
+    val sample = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"),
+        xxhash64(col(vecCol).cast("array<string>")).as("__h"))
+      .filter(pmod(col("__h"), lit(m)) === 0)
+      .withColumn("__c", cellOfCosine(col("__v"), coarse))
+      .filter(col("__c").isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= samplePerCell)
+      .select(col("__c"), col("__v"), col("__h"))
+      .collect() // hard-bounded: coarse.length * samplePerCell rows
+    val byCell = sample.groupBy(_.getInt(0)).map { case (c, rows) =>
+      c -> rows.sortBy(r => (r.getLong(2), r.getSeq[Double](1).mkString(",")))
+        .map(_.getSeq[Double](1).toArray)
+    }
+    Array.tabulate(coarse.length) { c =>
+      val pts = byCell.getOrElse(c, Array.empty[Array[Double]])
+      if (pts.isEmpty) Array(coarse(c).clone())
+      else lloyd(pts, math.min(subK, pts.length), iters)
+    }
+  }
+
+  /** Two-level cosine cell id: coarse assignment via [[cellOfCosine]],
+    * then the winning cell's sub-centroids via the ragged
+    * [[graft.functions.NearestSubCell]] kernel. The returned id is the
+    * GLOBAL flat sub-centroid index — unique across cells, directly
+    * usable as an equi-join key. Per-row cost is
+    * (coarse + subK) × dim flops vs (coarse × subK) × dim for a flat
+    * quantizer of the same resolution. */
+  def cellOfCosineTwoLevel(vec: Column, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): Column = {
+    require(subs.length == coarse.length,
+      s"subs.length ${subs.length} != coarse.length ${coarse.length}")
+    graft.functions.NearestSubCell(
+      cellOfCosine(vec, coarse), vec, subs, cosine = true)
   }
 
   /** Squared distances from a vector column to EVERY centroid, as one

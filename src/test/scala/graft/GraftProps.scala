@@ -884,6 +884,78 @@ object GraftProps extends Properties("graft") {
           s"cosKF=$cosKF cosHF=$cosHF l2KF=$l2KF l2HF=$l2HF"
     }
 
+  // ---- nearest_sub_cell (two-level quantizer dispatch) vs composing
+  // the already-pinned NearestCell kernel per cell on the driver: the
+  // global flat id must equal offsets(coarseCell) + the local winner
+  // inside that cell's sub-matrix, for cosine and L2, codegen and
+  // interpreted eval, double and float. Out-of-range / null coarse ids
+  // must yield NULL (the join-nothing contract).
+  property("nearest_sub_cell == per-cell NearestCell dispatch") =
+    forAll(Gen.listOfN(6, cellVecGen), Gen.choose(2, 4),
+           Gen.listOfN(16, cellVecGen)) { (vecs0, nc, pool) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val vecs = vecs0.map(v =>
+        if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v)
+      val coarse = pool.take(nc).map(_.toArray).toArray
+      // ragged subs: cell c gets 1 + (c % 3) sub-centroids from the pool
+      var at = nc
+      val subs = Array.tabulate(nc) { c =>
+        val k = 1 + (c % 3)
+        val s = pool.slice(at, at + k)
+        at += k
+        // pool may run short for nc=4; pad by reusing the coarse row
+        (if (s.length == k) s else List.fill(k)(coarse(c).toList))
+          .map(_.toArray).toArray
+      }
+      val offsets = subs.scanLeft(0)(_ + _.length)
+      def cellEval(v: List[Double], cs: Array[Array[Double]],
+          cosine: Boolean): Option[Int] =
+        Option(graft.functions.NearestCell(
+            Literal.create(v, ArrayType(DoubleType)), cs, cosine)
+          .eval(null)).map(_.asInstanceOf[Int])
+      def want(cosine: Boolean): List[Option[Int]] = vecs.map { v =>
+        cellEval(v, coarse, cosine).flatMap(c =>
+          cellEval(v, subs(c), cosine).map(offsets(c) + _))
+      }
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").orderBy("id")
+      def run(c: org.apache.spark.sql.Column): List[Option[Int]] =
+        df.select(c).collect().toList
+          .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      val cosDf = run(graft.pipeline.Ivf.cellOfCosineTwoLevel(
+        col("v"), coarse, subs))
+      val cosDfF = run(graft.pipeline.Ivf.cellOfCosineTwoLevel(
+        col("v").cast("array<float>"), coarse, subs))
+      val l2Df = run(graft.functions.NearestSubCell(
+        graft.functions.NearestCell(col("v"), coarse, cosine = false),
+        col("v"), subs, cosine = false))
+      def wantF(cosine: Boolean): List[Option[Int]] = vecs.map { v0 =>
+        val v = v0.map(x => x.toFloat.toDouble)
+        cellEval(v, coarse, cosine).flatMap(c =>
+          cellEval(v, subs(c), cosine).map(offsets(c) + _))
+      }
+      // eval path + out-of-range / null coarse ids
+      val evCos = vecs.map { v =>
+        Option(graft.functions.NearestSubCell(
+            graft.functions.NearestCell(
+              Literal.create(v, ArrayType(DoubleType)), coarse,
+              cosine = true),
+            Literal.create(v, ArrayType(DoubleType)), subs, cosine = true)
+          .eval(null)).map(_.asInstanceOf[Int])
+      }
+      val oob = run(graft.functions.NearestSubCell(lit(nc + 3), col("v"),
+        subs, cosine = true))
+      val nullCell = run(graft.functions.NearestSubCell(
+        lit(null).cast("int"), col("v"), subs, cosine = true))
+      Prop(cosDf == want(true) && l2Df == want(false) &&
+        cosDfF == wantF(true) && evCos == want(true) &&
+        oob.forall(_.isEmpty) && nullCell.forall(_.isEmpty)) :|
+        s"cosDf=$cosDf want=${want(true)} l2Df=$l2Df wantL2=${want(false)} " +
+          s"oob=$oob"
+    }
+
   property("nearest_cell corner semantics (zero-norm, nulls, dim)") = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.catalyst.expressions.Literal

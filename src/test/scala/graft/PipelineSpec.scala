@@ -1095,6 +1095,74 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L until 6L).forall(kept.contains))
   }
 
+  test("semanticDedupTwoLevel: seeded kept set == driver restatement") {
+    // 4 base directions -> 2 coarse cells (seeds 0, 2) with 2 sub-seeds
+    // each; near-dup plants inside sub-cells must collapse to min id,
+    // pairs split across SUB cells of the same coarse cell must both
+    // survive (the two-level refinement is coarser-than-flat semantics,
+    // restated by the driver reference below from cosine arithmetic).
+    def v(xs: Double*) = xs.toArray
+    val rows: Seq[(Long, Array[Double])] = Seq(
+      0L -> v(1, 0, 0, 0), 1L -> v(0.95, 0.3, 0, 0), // coarse A subs
+      2L -> v(0, 0, 1, 0), 3L -> v(0, 0, 0.95, 0.3), // coarse B subs
+      10L -> v(1, 0.005, 0, 0), 11L -> v(1, -0.005, 0, 0), // dups of 0
+      12L -> v(0.96, 0.29, 0, 0),                     // near 1
+      20L -> v(0.001, 0, 1, 0),                       // dup of 2
+      30L -> v(0.4, 0.4, 0.1, 0)) // lone row, no near-dup
+    val df = rows.map { case (i, a) => (i, a.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupTwoLevel(df, "vec_id", "embedding",
+        threshold = 0.99, seedIds = Seq(0L, 2L),
+        subSeedIds = Seq(Seq(0L, 1L), Seq(2L, 3L)))
+      .collect().map(_.getLong(0)).toSet
+    // driver restatement: coarse argmax over seeds {0,2}, then argmax
+    // over that cell's sub-seeds; drop iff smaller-id same-(coarse,sub)
+    // row has cosine >= 0.99
+    val byId = rows.toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val coarseSeeds = Seq(0L, 2L).map(byId)
+    val subSeeds = Seq(Seq(0L, 1L).map(byId), Seq(2L, 3L).map(byId))
+    def cell(a: Array[Double]): (Int, Int) = {
+      val c = coarseSeeds.indices.maxBy(i => (cos(a, coarseSeeds(i)), -i))
+      (c, subSeeds(c).indices.maxBy(i => (cos(a, subSeeds(c)(i)), -i)))
+    }
+    val want = rows.filter { case (id, a) =>
+      !rows.exists { case (j, b) =>
+        j < id && cell(b) == cell(a) && cos(a, b) >= 0.99 }
+    }.map(_._1).toSet
+    assert(got == want, s"got $got want $want")
+    // the semantics this mode exists for: 10/11 collapse onto 0; the
+    // exact copy 20 collapses onto 2; sub-cell split rows 1/12 survive
+    // alongside 0's cluster; 30 untouched
+    assert(got.contains(0L) && !got.contains(10L) && !got.contains(11L))
+    assert(!got.contains(20L) && got.contains(2L))
+    assert(got.contains(1L) || got.contains(12L))
+  }
+
+  test("semanticDedupTwoLevel: fitted mode prunes copies; equi-join plan") {
+    val base = (0L until 96L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat).toSeq)
+    }
+    val copies = base.take(6).map { case (i, v) => (i + 1000L, v) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val result = Dedup.semanticDedupTwoLevel(df, "vec_id", "embedding",
+      threshold = 0.999, coarseNlist = 4, subPerCell = 3,
+      samplePerCell = 16)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val kept = result.collect().map(_.getLong(0)).toSet
+    // exact copies share both quantizer levels whatever Lloyd fit, so
+    // they must drop; the copied originals survive (copies have larger
+    // ids and nothing else sits at cosine >= 0.999)
+    assert((1000L until 1006L).forall(!kept.contains(_)))
+    assert((0L until 6L).forall(kept.contains))
+  }
+
   test("splitAssign: deterministic, group-atomic, proportional") {
     val rows = (0L until 10000L).map(i => (i, s"g${i / 5}"))
       .toDF("id", "grp")
