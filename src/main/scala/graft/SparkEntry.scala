@@ -2559,6 +2559,62 @@ object SparkEntry {
             Seq(0L, 25L, 50L, 75L).map(_ + i * 100L)))
         .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy("vec_id")
+    }),
+    "q180_bigram_lm" -> ((s, dir) => {
+      // Bigram stupid-backoff LM scoring (Text.bigramLogProbs — one
+      // order up from q177 toward the CCNet 5-gram recipe): bigram and
+      // unigram counts from the FULL corpus, minCount=2 pruning on
+      // both tables, S(w|prev) = bigram/unigram(prev) with backoff to
+      // 0.4 * unigram(w) (OOV mass for pruned words); each document's
+      // first token scores by its unigram. The oracle restates the
+      // shifted-token join (lag over position) and the CASE backoff
+      // arithmetic verbatim on the bounded output slice.
+      val d = table(s, dir, "documents")
+      graft.pipeline.Text.bigramLogProbs(d, "doc_id", "text",
+          minCount = 2L)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ntok").cast("long").as("ntok"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("doc_id")
+    }),
+    "q181_incr_band_probe" -> ((s, dir) => {
+      // Adversarial band-geometry probe for dedupIncrementEmbedding's
+      // first-agreeing-band logic: three incoming rows are single-
+      // coordinate perturbations of index vectors (ids 0/4/6, coords
+      // 26/23/11 1-based, +0.1) CHOSEN so that at this corpus size's
+      // LSH geometry (n=263 -> 3 bands x 9 bits) the perturbed
+      // signature DISAGREES with its source on band 0 (and collides
+      // with no index row there) but agrees on a band >= 1, within the
+      // Hamming gate, at cosine ~0.995 >= 0.99. The oracle drops them
+      // by pure cosine, so a first-match predicate bug that only
+      // surfaces band-0 candidates would KEEP these rows and fail the
+      // hash compare — the cross-generation complement to q171's
+      // direct-hit rows (candidate validity re-searched and confirmed
+      // against all three test fixtures when this row landed). The 60
+      // fresh rows keep the survivor/in-batch path exercised.
+      val emb = table(s, dir, "embeddings")
+      val existing = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      def planted(k: Long, pos1: Int): org.apache.spark.sql.DataFrame =
+        emb.filter(col("vec_id") === k)
+          .select((col("vec_id") + 400000L).as("vec_id"),
+            concat(
+              slice(col("embedding"), 1, pos1 - 1),
+              array((element_at(col("embedding"), pos1) + lit(0.1))
+                .cast("float")),
+              slice(col("embedding"), pos1 + 1, 64 - pos1))
+              .as("embedding"))
+      val incoming = fresh
+        .unionByName(planted(0L, 26))
+        .unionByName(planted(4L, 23))
+        .unionByName(planted(6L, 11))
+      graft.pipeline.Dedup.dedupIncrementEmbedding(existing, incoming,
+          "vec_id", "embedding", threshold = 0.99, dim = 64)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -4540,6 +4596,85 @@ object SparkEntry {
            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
          SELECT c.vec_id AS vec_id FROM corpus c
          WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
+    "q180_bigram_lm" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(string_split(nt, ' ')) AS tok,
+             unnest(range(1, len(string_split(nt, ' ')) + 1)) AS pos
+           FROM norm WHERE nt <> ''),
+         vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab),
+         seq AS (SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM tok),
+         big AS (SELECT prev, tok, count(*) AS bc FROM seq
+           WHERE prev IS NOT NULL GROUP BY prev, tok),
+         scored AS (SELECT s.doc_id,
+             CASE
+               WHEN s.prev IS NULL THEN
+                 CASE WHEN vc.c >= 2
+                        THEN ln(vc.c / (SELECT total FROM tot))
+                      ELSE ln(0.5 / (SELECT total FROM tot)) END
+               WHEN b.bc >= 2 THEN ln(b.bc / CAST(vp.c AS DOUBLE))
+               ELSE ln(0.4) +
+                 CASE WHEN vc.c >= 2
+                        THEN ln(vc.c / (SELECT total FROM tot))
+                      ELSE ln(0.5 / (SELECT total FROM tot)) END
+             END AS lp
+           FROM seq s
+           LEFT JOIN vocab vc ON vc.tok = s.tok
+           LEFT JOIN vocab vp ON vp.tok = s.prev
+           LEFT JOIN big b ON b.prev = s.prev AND b.tok = s.tok),
+         agg AS (SELECT doc_id, count(*) AS ntok, avg(lp) AS logprob
+           FROM scored GROUP BY doc_id)
+         SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
+           round(a.logprob, 6) AS logprob
+         FROM norm n LEFT JOIN agg a USING (doc_id)
+         WHERE n.doc_id < 40 ORDER BY n.doc_id""",
+    "q181_incr_band_probe" ->
+      """WITH RECURSIVE ex AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         fresh AS (
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id >= 200 AND vec_id < 260),
+         planted AS (
+           SELECT vec_id + 400000 AS vec_id,
+             embedding[1:25] || [CAST(embedding[26] + 0.1 AS FLOAT)]
+               || embedding[27:] AS embedding
+           FROM embeddings WHERE vec_id = 0
+           UNION ALL
+           SELECT vec_id + 400000,
+             embedding[1:22] || [CAST(embedding[23] + 0.1 AS FLOAT)]
+               || embedding[24:]
+           FROM embeddings WHERE vec_id = 4
+           UNION ALL
+           SELECT vec_id + 400000,
+             embedding[1:10] || [CAST(embedding[11] + 0.1 AS FLOAT)]
+               || embedding[12:]
+           FROM embeddings WHERE vec_id = 6),
+         inc AS (SELECT * FROM fresh UNION ALL SELECT * FROM planted),
+         hit AS (
+           SELECT DISTINCT i.vec_id FROM inc i JOIN ex e
+           ON list_cosine_similarity(i.embedding, e.embedding) >= 0.99),
+         surv AS (
+           SELECT * FROM inc
+           WHERE vec_id NOT IN (SELECT vec_id FROM hit)),
+         pairs AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM surv a JOIN surv b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+         edges AS (
+           SELECT ia AS s, ib AS d FROM pairs
+           UNION SELECT ib, ia FROM pairs),
+         reach(id, r) AS (
+           SELECT vec_id, vec_id FROM surv
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS vec_id FROM comp WHERE id = c
          ORDER BY vec_id"""
   )
 }

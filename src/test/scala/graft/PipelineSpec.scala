@@ -1212,4 +1212,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(cut.getDouble(2) - lpOov) < 1e-12)
   }
 
+  test("bigramLogProbs: hand-computed stupid-backoff scores") {
+    // corpus unigrams: aa:4 bb:3 cc:1, total 8
+    // bigrams: (aa,bb):2 (bb,aa):2 (aa,cc):1
+    val d = Seq((1L, "aa bb aa bb"), (2L, "aa cc"), (3L, "bb aa"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    def fetch(minCount: Long) =
+      Text.bigramLogProbs(d, "doc_id", "text", minCount = minCount)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+    val got = fetch(1L)
+    val lnAa = math.log(4.0 / 8); val lnBb = math.log(3.0 / 8)
+    // doc1: aa | aa->bb | bb->aa | aa->bb = ln.5, ln(2/4), ln(2/3), ln(2/4)
+    val d1 = (lnAa + math.log(2.0 / 4) * 2 + math.log(2.0 / 3)) / 4
+    assert(got(1L)._1 == 4 && math.abs(got(1L)._2.get - d1) < 1e-12)
+    // doc2: aa | aa->cc(count 1) = (ln.5 + ln(1/4)) / 2
+    val d2 = (lnAa + math.log(1.0 / 4)) / 2
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2.get - d2) < 1e-12)
+    // doc3: bb | bb->aa = (ln(3/8) + ln(2/3)) / 2
+    val d3 = (lnBb + math.log(2.0 / 3)) / 2
+    assert(got(3L)._1 == 2 && math.abs(got(3L)._2.get - d3) < 1e-12)
+    assert(got(4L) == (0L -> None))
+    // minCount=2 prunes (aa,cc) and the cc unigram: doc2's second token
+    // BACKS OFF to alpha * OOV — the stupid-backoff branch
+    val got2 = fetch(2L)
+    val d2b = (lnAa + (math.log(0.4) + math.log(0.5 / 8))) / 2
+    assert(math.abs(got2(2L)._2.get - d2b) < 1e-12)
+    // surviving bigrams are untouched by the pruning
+    assert(math.abs(got2(1L)._2.get - d1) < 1e-12)
+  }
+
 }
