@@ -140,7 +140,15 @@ object Bench {
       "\"" + k + "\":[" + v.map(t => num(t, 4)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibJson = s""""calib1":[${num(calib1Pre, 2)},${num(calib1Post, 2)}],"calibN":[${num(calibNPre, 2)},${num(calibNPost, 2)}]"""
+    // Calib-normalized total (BASELINE.md "calib-anchored comparison
+    // protocol"): suite seconds rescaled to the r12 driver host's
+    // single-core speed (calib1 = 0.76 s), so cross-round totals
+    // compare on one axis. A slower/loaded host has a larger calib1
+    // and its total scales DOWN proportionally.
+    val calib1Anchor = 0.76
+    val calibNorm =
+      total * (calib1Anchor / ((calib1Pre + calib1Post) / 2))
+    val calibJson = s""""calib1":[${num(calib1Pre, 2)},${num(calib1Post, 2)}],"calibN":[${num(calibNPre, 2)},${num(calibNPost, 2)}],"calib_norm":${num(calibNorm, 1)}"""
     val fullLine =
       s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":${num(contention, 3)},$calibJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")

@@ -122,20 +122,74 @@ object DecadeProbe {
           s"kept=$kept")
       }
       case "semdedup" => probe("semdedup") {
-        // semanticDedup ladder rung: fitted centroids, nlist scaled to
-        // ~500-row cells but capped at 2048 — the typedlit quantizer's
-        // practical ceiling (the BASELINE.md envelope note). Past the
-        // cap, cell size grows linearly with the corpus and the
-        // within-cell quadratic term dominates: the rung where the
-        // banded graph-exact path (embdedup) takes over as the dedup
-        // answer and semanticDedup stays the topical-cluster analysis.
+        // semanticDedup ladder rung: cell count tracks ~500-row cells
+        // (SemDeDup's regime) at every scale. Up to 2048 cells the FLAT
+        // quantizer serves — its ceiling is per-row assignment flops
+        // (nlist × dim per vector) plus the driver Lloyd fit, not
+        // expression-tree size (the NearestCell kernel attaches the
+        // centroid matrix as one codegen reference object). Past 2048
+        // the rung switches to the TWO-LEVEL form
+        // (semanticDedupTwoLevel): coarse × sub ≈ n/500 effective
+        // cells at (coarse + sub) × dim flops per row, which is what
+        // keeps |cell| ~constant as n grows instead of letting the
+        // within-cell Σ|cell|² join go quadratic.
         val emb = table(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val n = emb.count()
-        val nlist = math.max(16L, math.min(2048L, n / 500)).toInt
-        val kept = graft.pipeline.Dedup.semanticDedup(emb, "vec_id",
-          "embedding", threshold = 0.99, nlist = nlist).count()
-        println(s"[probe]   semdedup n=$n nlist=$nlist kept=$kept")
+        val target = math.max(16L, n / 500)
+        val kept =
+          if (target <= 2048)
+            graft.pipeline.Dedup.semanticDedup(emb, "vec_id",
+              "embedding", threshold = 0.99, nlist = target.toInt).count()
+          else {
+            val coarse = math.min(2048L,
+              math.ceil(math.sqrt(target.toDouble)).toLong).toInt
+            val sub = math.ceil(target.toDouble / coarse).toInt
+            graft.pipeline.Dedup.semanticDedupTwoLevel(emb, "vec_id",
+              "embedding", threshold = 0.99, coarseNlist = coarse,
+              subPerCell = sub).count()
+          }
+        println(s"[probe]   semdedup n=$n target=$target kept=$kept")
+      }
+      case "semassign" => probe("semassign") {
+        // Quantizer-side HALF of the semdedup rung, isolated: fit +
+        // full-corpus cell assignment + cell-size census, WITHOUT the
+        // within-cell join. The replica-scaled fixtures plant 100-
+        // (sf100) / 1000-deep (sf1000) near-identical replica stacks,
+        // so the join term there measures the fixture's duplicate MASS
+        // (irreducible for any cell partitioner — same hot-bucket
+        // regime the banded q168 path hits; see BASELINE.md r13
+        // notes), while the quantizer claims — assignment stays
+        // scan-speed, cell count tracks target, fit stays bounded —
+        // are exactly what this probe measures per decade.
+        val emb = table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val target = math.max(16L, n / 500)
+        val cellCol =
+          if (target <= 2048) {
+            val c = graft.pipeline.Ivf.fitCentroids(emb, "embedding",
+              target.toInt)
+            graft.pipeline.Ivf.cellOfCosine(col("embedding"), c)
+          } else {
+            val coarseK = math.min(2048L,
+              math.ceil(math.sqrt(target.toDouble)).toLong).toInt
+            val subK = math.ceil(target.toDouble / coarseK).toInt
+            val c = graft.pipeline.Ivf.fitCentroids(emb, "embedding",
+              coarseK)
+            val s = graft.pipeline.Ivf.fitSubCentroids(emb, "embedding",
+              c, subK)
+            graft.pipeline.Ivf.cellOfCosineTwoLevel(col("embedding"), c, s)
+          }
+        val stats = emb.select(cellCol.as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("cells"), max(col("m")).as("maxm"),
+            avg(col("m")).as("avgm"),
+            expr("percentile_approx(m, 0.99)").as("p99m"))
+          .head()
+        println(s"[probe]   semassign n=$n target=$target " +
+          s"cells=${stats.getLong(0)} max=${stats.getLong(1)} " +
+          f"avg=${stats.getDouble(2)}%.1f p99=${stats.getLong(3)}")
       }
       case "bloomfk" => probe("bloomfk") {
         val n = graft.profiler.Sketches.orphanCount(
