@@ -2615,6 +2615,24 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.99, dim = 64)
         .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+    "q182_trigram_lm" -> ((s, dir) => {
+      // General-order stupid-backoff LM at order 3 (Text.ngramLogProbs
+      // — the CCNet-recipe shape; order 5 is the production setting,
+      // order 3 keeps the oracle restatement tractable): trigram /
+      // bigram / unigram counts from the FULL corpus at minCount=2,
+      // each token scored by the longest surviving k-gram with one
+      // 0.4 factor per backed-off level. The oracle rebuilds all
+      // three count tables from two window lags and restates the
+      // cascade + alpha-step arithmetic verbatim.
+      val d = table(s, dir, "documents")
+      graft.pipeline.Text.ngramLogProbs(d, "doc_id", "text",
+          order = 3, minCount = 2L)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ntok").cast("long").as("ntok"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4675,6 +4693,51 @@ object SparkEntry {
            SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
          comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
          SELECT CAST(id AS BIGINT) AS vec_id FROM comp WHERE id = c
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    "q182_trigram_lm" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(string_split(nt, ' ')) AS tok,
+             unnest(range(1, len(string_split(nt, ' ')) + 1)) AS pos
+           FROM norm WHERE nt <> ''),
+         seq AS (SELECT doc_id, pos, tok,
+             lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+             lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+           FROM tok),
+         uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+         big AS (SELECT p1, tok, count(*) AS c FROM seq
+           WHERE p1 IS NOT NULL GROUP BY p1, tok),
+         tri AS (SELECT p2, p1, tok, count(*) AS c FROM seq
+           WHERE p2 IS NOT NULL GROUP BY p2, p1, tok),
+         scored AS (SELECT s.doc_id,
+             CASE
+               WHEN s.p2 IS NOT NULL AND t.c >= 2
+                 THEN ln(t.c / CAST(bx.c AS DOUBLE))
+               WHEN s.p1 IS NOT NULL AND b.c >= 2
+                 THEN ln(b.c / CAST(u1.c AS DOUBLE)) +
+                   CASE WHEN s.p2 IS NOT NULL THEN ln(0.4) ELSE 0 END
+               ELSE (CASE WHEN s.p2 IS NOT NULL THEN 2
+                          WHEN s.p1 IS NOT NULL THEN 1 ELSE 0 END)
+                      * ln(0.4) +
+                 CASE WHEN uc.c >= 2
+                        THEN ln(uc.c / (SELECT total FROM tot))
+                      ELSE ln(0.5 / (SELECT total FROM tot)) END
+             END AS lp
+           FROM seq s
+           LEFT JOIN uni uc ON uc.tok = s.tok
+           LEFT JOIN uni u1 ON u1.tok = s.p1
+           LEFT JOIN big b ON b.p1 = s.p1 AND b.tok = s.tok
+           LEFT JOIN big bx ON bx.p1 = s.p2 AND bx.tok = s.p1
+           LEFT JOIN tri t ON t.p2 = s.p2 AND t.p1 = s.p1
+             AND t.tok = s.tok),
+         agg AS (SELECT doc_id, count(*) AS ntok, avg(lp) AS logprob
+           FROM scored GROUP BY doc_id)
+         SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
+           round(a.logprob, 6) AS logprob
+         FROM norm n LEFT JOIN agg a USING (doc_id)
+         WHERE n.doc_id < 40 ORDER BY n.doc_id"""
   )
 }

@@ -956,6 +956,32 @@ object GraftProps extends Properties("graft") {
           s"oob=$oob"
     }
 
+  // ---- the general-order stupid-backoff LM must degenerate EXACTLY to
+  // the oracle-pinned order-2 implementation: random tiny corpora over
+  // a 4-token alphabet (dense n-gram collisions), both minCount regimes.
+  property("ngramLogProbs(order=2) == bigramLogProbs on random corpora") =
+    forAll(Gen.listOfN(6,
+        Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(8))),
+        Gen.oneOf(1L, 2L)) { (docs, mc) =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("id", "text")
+      def fetch(r: org.apache.spark.sql.DataFrame) =
+        r.collect().map(row => row.getLong(0) ->
+          (row.getLong(1),
+           Option(row.get(2)).map(_.asInstanceOf[Double]))).toMap
+      val bi = fetch(graft.pipeline.Text.bigramLogProbs(
+        df, "id", "text", minCount = mc))
+      val ng = fetch(graft.pipeline.Text.ngramLogProbs(
+        df, "id", "text", order = 2, minCount = mc))
+      Prop(bi.keySet == ng.keySet && bi.forall { case (k, (n, lp)) =>
+        ng(k)._1 == n && ((lp, ng(k)._2) match {
+          case (Some(x), Some(y)) => math.abs(x - y) < 1e-12
+          case (x, y) => x == y
+        })
+      }) :| s"bi=$bi ng=$ng"
+    }
+
   property("nearest_cell corner semantics (zero-norm, nulls, dim)") = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.catalyst.expressions.Literal

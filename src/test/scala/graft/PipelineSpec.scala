@@ -1244,4 +1244,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got2(1L)._2.get - d1) < 1e-12)
   }
 
+  test("ngramLogProbs: hand-computed trigram scores + order-2 parity") {
+    // corpus unigrams: a:5 b:5 c:1, total 11; bigrams ab:4 ba:3 bc:1;
+    // trigrams aba:2 bab:2 abc:1
+    val d = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "b a b"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Text.ngramLogProbs(d, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    // doc2 "a b c": uni a | bigram ab | trigram abc/ctx ab
+    val d2 = (math.log(5.0 / 11) + math.log(4.0 / 5) +
+      math.log(1.0 / 4)) / 3
+    assert(got(2L)._1 == 3 && math.abs(got(2L)._2.get - d2) < 1e-12)
+    // doc3 "b a b": uni b | bigram ba | trigram bab/ctx ba
+    val d3 = (math.log(5.0 / 11) + math.log(3.0 / 5) +
+      math.log(2.0 / 3)) / 3
+    assert(got(3L)._1 == 3 && math.abs(got(3L)._2.get - d3) < 1e-12)
+    assert(got(4L) == (0L -> None))
+    // minCount=2: trigram abc, bigram bc AND unigram c all pruned ->
+    // doc2's 3rd token pays TWO alpha steps down to the OOV floor
+    val got2 = Text.ngramLogProbs(d, "doc_id", "text", order = 3,
+        minCount = 2L)
+      .filter($"doc_id" === 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val d2b = (math.log(5.0 / 11) + math.log(4.0 / 5) +
+      (2 * math.log(0.4) + math.log(0.5 / 11))) / 3
+    assert(math.abs(got2(2L) - d2b) < 1e-12)
+    // order=2 must agree with the oracle-pinned bigramLogProbs exactly
+    val bi = Seq((1L, "aa bb aa bb"), (2L, "aa cc"), (3L, "bb aa"),
+      (4L, "")).toDF("doc_id", "text")
+    for (mc <- Seq(1L, 2L)) {
+      val a = Text.bigramLogProbs(bi, "doc_id", "text", minCount = mc)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      val b = Text.ngramLogProbs(bi, "doc_id", "text", order = 2,
+          minCount = mc)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      assert(a.keySet == b.keySet)
+      a.foreach { case (k, (n, lp)) =>
+        assert(b(k)._1 == n)
+        (lp, b(k)._2) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-12)
+          case (x, y) => assert(x == y)
+        }
+      }
+    }
+  }
+
 }
