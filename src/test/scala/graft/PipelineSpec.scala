@@ -1143,6 +1143,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.contains(1L) || got.contains(12L))
   }
 
+  test("fitSubCentroids: deterministic across partition layouts") {
+    // the sub-quantizer fit claims full determinism (hash-ordered,
+    // value-tie-broken per-cell samples): the same data in a different
+    // physical layout must produce bit-identical sub-centroid matrices
+    val rows = (0L until 256L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = graft.pipeline.Ivf.fitCentroids(df, "embedding", 4)
+    val s1 = graft.pipeline.Ivf.fitSubCentroids(df, "embedding", coarse,
+      subK = 3, samplePerCell = 16)
+    val s2 = graft.pipeline.Ivf.fitSubCentroids(
+      df.repartition(7).sortWithinPartitions("embedding"), "embedding",
+      coarse, subK = 3, samplePerCell = 16)
+    assert(s1.length == s2.length)
+    s1.indices.foreach { c =>
+      assert(s1(c).length == s2(c).length, s"cell $c sub count")
+      s1(c).indices.foreach(i =>
+        assert(s1(c)(i).sameElements(s2(c)(i)), s"cell $c sub $i"))
+    }
+  }
+
   test("semanticDedupTwoLevel: fitted mode prunes copies; equi-join plan") {
     val base = (0L until 96L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat).toSeq)
