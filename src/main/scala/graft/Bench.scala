@@ -10,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * warm runs — `benchmark/runner.py` warmup+measured iterations), then
   * each query timed once end-to-end (plan + execute + consume via count). */
 object Bench {
+  /** The r12 driver host's single-core `calibrate(1)` seconds — the
+    * reference point of BASELINE.md's "calib-anchored comparison
+    * protocol" section: `calib_norm = total * (anchor / calib1)` maps
+    * any sweep's total onto that host's speed axis so cross-round
+    * totals compare on one scale. */
+  val Calib1AnchorSec = 0.76
+
   /** Timed min-of-N sweep over a query catalog. A query that throws maps
     * to `Seq(-1.0)` and its name lands in the second return slot —
     * extracted from main() so the broken-query-turns-the-sweep-red
@@ -145,10 +152,13 @@ object Bench {
     // single-core speed (calib1 = 0.76 s), so cross-round totals
     // compare on one axis. A slower/loaded host has a larger calib1
     // and its total scales DOWN proportionally.
-    val calib1Anchor = 0.76
-    val calibNorm =
-      total * (calib1Anchor / ((calib1Pre + calib1Post) / 2))
-    val calibJson = s""""calib1":[${num(calib1Pre, 2)},${num(calib1Post, 2)}],"calibN":[${num(calibNPre, 2)},${num(calibNPost, 2)}],"calib_norm":${num(calibNorm, 1)}"""
+    val calibNorm = {
+      val mean = (calib1Pre + calib1Post) / 2
+      // guard: a stubbed/clock-glitched calibration recording 0.0 would
+      // otherwise emit Infinity, which is not valid JSON
+      if (mean > 0) Some(total * (Calib1AnchorSec / mean)) else None
+    }
+    val calibJson = s""""calib1":[${num(calib1Pre, 2)},${num(calib1Post, 2)}],"calibN":[${num(calibNPre, 2)},${num(calibNPost, 2)}],"calib_norm":${calibNorm.map(num(_, 1)).getOrElse("null")}"""
     val fullLine =
       s"""{"metric":"suite_total","value":${num(total, 4)},"unit":"sec","queries":$qsFull,"runs":$spreadFull,"failed":$failedJson,"contention_median_ratio":${num(contention, 3)},$calibJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")

@@ -441,7 +441,11 @@ object Dedup {
         (if (bands > 0) bands else plan._1,
          if (bandBits > 0) bandBits else plan._2)
       }
-    val scratchPressure = explodeBytes(nRows, nb, d) > SerialBandAutoBytes
+    // lazy: with explicit (bands, bandBits) and forced/disabled serial
+    // mode nothing else needs nRows, so the estimate must not force the
+    // count; checkpointBand short-circuits it when serial was forced.
+    lazy val scratchPressure =
+      explodeBytes(nRows, nb, d) > SerialBandAutoBytes
     val serial = bandSerial match {
       case 0          => false
       case x if x > 0 => true
@@ -489,7 +493,8 @@ object Dedup {
     // band writes (driver-side, once per band).
     def checkpointBand(bandResult: DataFrame): DataFrame = {
       val r = bandResult.localCheckpoint()
-      graft.ops.Exprs.gcNudge(r.sparkSession, scratchPressure)
+      graft.ops.Exprs.gcNudge(r.sparkSession,
+        bandSerial > 0 || scratchPressure)
       r
     }
     // Pass 1: per-id min verified partner — the pair stream collapses
@@ -1065,8 +1070,13 @@ object Dedup {
             .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
             .select(col("a.id").as(idCol)).distinct()
             .localCheckpoint()
-          // conf-gated (spark.graft.gcNudge): reap band b's join shuffle
-          graft.ops.Exprs.gcNudge(incoming.sparkSession, scratchPressure)
+          // conf-gated (spark.graft.gcNudge): reap band b's join shuffle.
+          // Forced serial (bandSerial > 0) short-circuits the pressure
+          // estimate — evaluating the lazy here would run an ex.count()
+          // job the forced path otherwise never needs; a user forcing
+          // serial is asking for the pressure regime's behavior anyway.
+          graft.ops.Exprs.gcNudge(incoming.sparkSession,
+            bandSerial > 0 || scratchPressure)
           r
         }
         // the union+distinct reads only the checkpointed band results,

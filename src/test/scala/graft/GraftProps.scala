@@ -982,6 +982,36 @@ object GraftProps extends Properties("graft") {
       }) :| s"bi=$bi ng=$ng"
     }
 
+  // ---- the xxhash64 gram-fingerprint join keys (the default — 8-byte
+  // shuffle keys once the top-order table stops broadcasting) must be
+  // value-identical to the exact string-key form: random tiny corpora
+  // over a 4-token alphabet (dense gram collisions ACROSS levels — the
+  // same token string is a level-1 gram and a substring of level-3
+  // grams), orders spanning the backoff cascade, both minCount regimes.
+  property("ngramLogProbs fingerprint keys == string keys") =
+    forAll(Gen.listOfN(6,
+        Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(10))),
+        Gen.chooseNum(1, 5), Gen.oneOf(1L, 2L)) { (docs, order, mc) =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("id", "text")
+      def fetch(fp: Boolean) =
+        graft.pipeline.Text.ngramLogProbs(df, "id", "text", order = order,
+            minCount = mc, fingerprintKeys = fp)
+          .collect().map(row => row.getLong(0) ->
+            (row.getLong(1),
+             Option(row.get(2)).map(_.asInstanceOf[Double]))).toMap
+      val hashed = fetch(true)
+      val exact = fetch(false)
+      Prop(hashed.keySet == exact.keySet &&
+        exact.forall { case (k, (n, lp)) =>
+          hashed(k)._1 == n && ((lp, hashed(k)._2) match {
+            case (Some(x), Some(y)) => math.abs(x - y) < 1e-12
+            case (x, y) => x == y
+          })
+        }) :| s"order=$order mc=$mc hashed=$hashed exact=$exact"
+    }
+
   property("nearest_cell corner semantics (zero-norm, nulls, dim)") = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.catalyst.expressions.Literal
