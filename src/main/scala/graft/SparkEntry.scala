@@ -2633,6 +2633,24 @@ object SparkEntry {
           col("ntok").cast("long").as("ntok"),
           round(col("logprob"), 6).as("logprob"))
         .orderBy("doc_id")
+    }),
+    "q183_order5_lm" -> ((s, dir) => {
+      // Stupid-backoff LM at order 5 — the production CCNet setting
+      // (Wenzek et al. 2020 score with a 5-gram KenLM; q182 pins the
+      // same cascade at order 3). This row exercises what order 3
+      // cannot: two more backoff levels (alpha exponents up to 4) and
+      // the 4-gram/5-gram denominator joins, each restated verbatim by
+      // the oracle from four window lags. Default fingerprint join
+      // keys — the oracle compare is also the end-to-end evidence that
+      // 64-bit gram fingerprints are score-invariant on real text.
+      val d = table(s, dir, "documents")
+      graft.pipeline.Text.ngramLogProbs(d, "doc_id", "text",
+          order = 5, minCount = 2L)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ntok").cast("long").as("ntok"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4733,6 +4751,72 @@ object SparkEntry {
            LEFT JOIN big bx ON bx.p1 = s.p2 AND bx.tok = s.p1
            LEFT JOIN tri t ON t.p2 = s.p2 AND t.p1 = s.p1
              AND t.tok = s.tok),
+         agg AS (SELECT doc_id, count(*) AS ntok, avg(lp) AS logprob
+           FROM scored GROUP BY doc_id)
+         SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
+           round(a.logprob, 6) AS logprob
+         FROM norm n LEFT JOIN agg a USING (doc_id)
+         WHERE n.doc_id < 40 ORDER BY n.doc_id""",
+    "q183_order5_lm" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(string_split(nt, ' ')) AS tok,
+             unnest(range(1, len(string_split(nt, ' ')) + 1)) AS pos
+           FROM norm WHERE nt <> ''),
+         seq0 AS (SELECT doc_id, pos, tok,
+             lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2,
+             lag(tok, 3) OVER w AS p3, lag(tok, 4) OVER w AS p4
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         seq AS (SELECT *,
+             CASE WHEN p4 IS NOT NULL THEN 4 WHEN p3 IS NOT NULL THEN 3
+                  WHEN p2 IS NOT NULL THEN 2 WHEN p1 IS NOT NULL THEN 1
+                  ELSE 0 END AS avail
+           FROM seq0),
+         uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+         big AS (SELECT p1, tok, count(*) AS c FROM seq
+           WHERE p1 IS NOT NULL GROUP BY p1, tok),
+         tri AS (SELECT p2, p1, tok, count(*) AS c FROM seq
+           WHERE p2 IS NOT NULL GROUP BY p2, p1, tok),
+         fou AS (SELECT p3, p2, p1, tok, count(*) AS c FROM seq
+           WHERE p3 IS NOT NULL GROUP BY p3, p2, p1, tok),
+         fiv AS (SELECT p4, p3, p2, p1, tok, count(*) AS c FROM seq
+           WHERE p4 IS NOT NULL GROUP BY p4, p3, p2, p1, tok),
+         scored AS (SELECT s.doc_id,
+             CASE
+               WHEN s.p4 IS NOT NULL AND v.c >= 2
+                 THEN ln(v.c / CAST(fd.c AS DOUBLE))
+               WHEN s.p3 IS NOT NULL AND f.c >= 2
+                 THEN ln(f.c / CAST(td.c AS DOUBLE))
+                   + (s.avail - 3) * ln(0.4)
+               WHEN s.p2 IS NOT NULL AND t.c >= 2
+                 THEN ln(t.c / CAST(bd.c AS DOUBLE))
+                   + (s.avail - 2) * ln(0.4)
+               WHEN s.p1 IS NOT NULL AND b.c >= 2
+                 THEN ln(b.c / CAST(u1.c AS DOUBLE))
+                   + (s.avail - 1) * ln(0.4)
+               ELSE s.avail * ln(0.4) +
+                 CASE WHEN uc.c >= 2
+                        THEN ln(uc.c / (SELECT total FROM tot))
+                      ELSE ln(0.5 / (SELECT total FROM tot)) END
+             END AS lp
+           FROM seq s
+           LEFT JOIN uni uc ON uc.tok = s.tok
+           LEFT JOIN uni u1 ON u1.tok = s.p1
+           LEFT JOIN big b ON b.p1 = s.p1 AND b.tok = s.tok
+           LEFT JOIN big bd ON bd.p1 = s.p2 AND bd.tok = s.p1
+           LEFT JOIN tri t ON t.p2 = s.p2 AND t.p1 = s.p1
+             AND t.tok = s.tok
+           LEFT JOIN tri td ON td.p2 = s.p3 AND td.p1 = s.p2
+             AND td.tok = s.p1
+           LEFT JOIN fou f ON f.p3 = s.p3 AND f.p2 = s.p2
+             AND f.p1 = s.p1 AND f.tok = s.tok
+           LEFT JOIN fou fd ON fd.p3 = s.p4 AND fd.p2 = s.p3
+             AND fd.p1 = s.p2 AND fd.tok = s.p1
+           LEFT JOIN fiv v ON v.p4 = s.p4 AND v.p3 = s.p3
+             AND v.p2 = s.p2 AND v.p1 = s.p1 AND v.tok = s.tok),
          agg AS (SELECT doc_id, count(*) AS ntok, avg(lp) AS logprob
            FROM scored GROUP BY doc_id)
          SELECT n.doc_id, CAST(coalesce(a.ntok, 0) AS BIGINT) AS ntok,
