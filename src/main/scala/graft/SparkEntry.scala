@@ -2580,24 +2580,74 @@ object SparkEntry {
     }),
     "q181_incr_band_probe" -> ((s, dir) => {
       // Adversarial band-geometry probe for dedupIncrementEmbedding's
-      // first-agreeing-band logic: three incoming rows are single-
-      // coordinate perturbations of index vectors (ids 0/4/6, coords
-      // 26/23/11 1-based, +0.1) CHOSEN so that at this corpus size's
-      // LSH geometry (n=263 -> 3 bands x 9 bits) the perturbed
-      // signature DISAGREES with its source on band 0 (and collides
-      // with no index row there) but agrees on a band >= 1, within the
-      // Hamming gate, at cosine ~0.995 >= 0.99. The oracle drops them
-      // by pure cosine, so a first-match predicate bug that only
-      // surfaces band-0 candidates would KEEP these rows and fail the
-      // hash compare — the cross-generation complement to q171's
-      // direct-hit rows (candidate validity re-searched and confirmed
-      // against all three test fixtures when this row landed). The 60
-      // fresh rows keep the survivor/in-batch path exercised.
+      // first-agreeing-band logic: up to three incoming rows are
+      // single-coordinate +0.1 perturbations of index vectors whose
+      // signature at this corpus's LSH geometry (263 rows at 0.99 ->
+      // lshPlan = 3 bands x 9 bits, pinned explicitly below so probe
+      // and operator can never drift) collides with NO index row on
+      // band 0 but agrees with its source on a band >= 1, inside the
+      // Hamming gate, at cosine ~0.995 >= 0.99. The probe rows are
+      // DERIVED IN-QUERY by a bounded deterministic search (8 source
+      // vectors x 64 coordinates, two tiny collects, first qualifying
+      // coordinate per source in (src, pos) order) instead of
+      // hard-coded fixture-specific coordinates, so a driver fixture
+      // regeneration re-derives valid probes instead of silently
+      // losing the adversarial geometry or failing as an opaque hash
+      // mismatch. The oracle needs no knowledge of which rows were
+      // planted: it drops ANY incoming row by exact cosine, and a
+      // one-coordinate +0.1 bump of a unit vector is always a true
+      // dup of its source (cos >= 1/sqrt(1.01) ~ 0.99504 > 0.99), on
+      // this or any regenerated unit-norm fixture — while an engine
+      // with a first-match bug that only surfaces band-0 candidates
+      // KEEPS the planted rows and fails the compare. The 60 fresh
+      // rows keep the survivor/in-batch path exercised.
+      import graft.pipeline.Similarity
       val emb = table(s, dir, "embeddings")
       val existing = emb.filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
       val fresh = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val (nb, bb, d, thr) = (3, 9, 64, 0.99)
+      val totalBits = nb * bb
+      val hmax = math.min(totalBits, math.max(1,
+        math.ceil(2.0 * totalBits * math.acos(thr) / math.Pi).toInt))
+      def sigCols(v: Column) = (0 until nb).map(b =>
+        Similarity.lshBucket(v, bb, d, b * bb).as(s"s$b"))
+      val exSig = existing.select(
+        col("vec_id").cast("long").as("id") +: sigCols(col("embedding")): _*)
+      val exB0 = exSig.select(col("s0")).collect().map(_.getLong(0)).toSet
+      val srcSig = exSig.filter(col("id") < 8).collect()
+        .map(r => r.getLong(0) -> (1 to nb).map(r.getLong).toArray).toMap
+      val cand = existing.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("src"), col("embedding"))
+        .withColumn("pos", explode(sequence(lit(1), lit(d))))
+        .withColumn("pv", concat(
+          slice(col("embedding"), lit(1), col("pos") - 1),
+          array((element_at(col("embedding"), col("pos")) + lit(0.1))
+            .cast("float")),
+          slice(col("embedding"), col("pos") + 1, lit(d) - col("pos"))))
+        .select(col("src") +: col("pos") +:
+          Similarity.cosine(col("pv"), col("embedding")).as("cos") +:
+          sigCols(col("pv")): _*)
+        .collect()
+      val chosen = cand.toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          (0 until nb).map(i => r.getLong(3 + i)).toArray))
+        .filter { case (src, _, cos, sg) =>
+          val ss = srcSig(src)
+          !exB0.contains(sg(0)) &&
+            (1 until nb).exists(b => sg(b) == ss(b)) &&
+            (0 until nb).map(b =>
+              java.lang.Long.bitCount(sg(b) ^ ss(b))).sum <= hmax &&
+            cos >= thr
+        }
+        .sortBy(c => (c._1, c._2))
+        .groupBy(_._1).map(_._2.head)
+        .toSeq.sortBy(_._1).take(3)
+      require(chosen.nonEmpty,
+        "q181 band-probe search found no qualifying perturbation on " +
+          "this fixture (needs: no band-0 index collision, band>=1 " +
+          "source agreement, Hamming<=" + hmax + ", cos>=" + thr + ")")
       def planted(k: Long, pos1: Int): org.apache.spark.sql.DataFrame =
         emb.filter(col("vec_id") === k)
           .select((col("vec_id") + 400000L).as("vec_id"),
@@ -2605,14 +2655,13 @@ object SparkEntry {
               slice(col("embedding"), 1, pos1 - 1),
               array((element_at(col("embedding"), pos1) + lit(0.1))
                 .cast("float")),
-              slice(col("embedding"), pos1 + 1, 64 - pos1))
+              slice(col("embedding"), pos1 + 1, d - pos1))
               .as("embedding"))
-      val incoming = fresh
-        .unionByName(planted(0L, 26))
-        .unionByName(planted(4L, 23))
-        .unionByName(planted(6L, 11))
+      val incoming = chosen.foldLeft(fresh) { case (acc, (src, pos, _, _)) =>
+        acc.unionByName(planted(src, pos)) }
       graft.pipeline.Dedup.dedupIncrementEmbedding(existing, incoming,
-          "vec_id", "embedding", threshold = 0.99, dim = 64)
+          "vec_id", "embedding", threshold = thr,
+          bands = nb, bandBits = bb, dim = d)
         .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy(col("vec_id"))
     }),
