@@ -151,6 +151,28 @@ object DecadeProbe {
           }
         println(s"[probe]   semdedup n=$n target=$target kept=$kept")
       }
+      case "semdedup2l" => probe("semdedup2l") {
+        // semanticDedupTwoLevel END-TO-END, forced at any corpus size
+        // (the auto rung above picks flat below 2048 cells, which
+        // would compare two different code paths across a decade).
+        // Run on the GenClusters moderate-density fixtures
+        // (testdata-scale/modden*) to measure the operator's OWN
+        // full-pass scaling — cluster sizes 2..100, so the within-cell
+        // join term is bounded by 100·n instead of the replica-stacked
+        // fixtures' quadratic duplicate mass.
+        val emb = table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val target = math.max(16L, n / 500)
+        val coarse = math.min(2048L,
+          math.ceil(math.sqrt(target.toDouble)).toLong).toInt
+        val sub = math.ceil(target.toDouble / coarse).toInt
+        val kept = graft.pipeline.Dedup.semanticDedupTwoLevel(emb,
+          "vec_id", "embedding", threshold = 0.99,
+          coarseNlist = coarse, subPerCell = sub).count()
+        println(s"[probe]   semdedup2l n=$n target=$target " +
+          s"coarse=$coarse sub=$sub kept=$kept")
+      }
       case "semassign" => probe("semassign") {
         // Quantizer-side HALF of the semdedup rung, isolated: fit +
         // full-corpus cell assignment + cell-size census, WITHOUT the
