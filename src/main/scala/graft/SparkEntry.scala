@@ -324,16 +324,19 @@ object SparkEntry {
     }),
     "q41_order_coverage" -> ((s, dir) => {
       val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
-      val childless = o.join(li.select(col("l_orderkey")).distinct(),
-        o("o_orderkey") === col("l_orderkey"), "left_anti").count()
-      val fat = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 7).count()
+      // r15: two independent counts — submit concurrently (guide §2.6)
+      val Seq(childless, fat) = graft.core.Par.map(Seq[() => Long](
+        () => o.join(li.select(col("l_orderkey")).distinct(),
+          o("o_orderkey") === col("l_orderkey"), "left_anti").count(),
+        () => li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 7).count()))(_.apply())
       import s.implicits._
       Seq((childless, fat)).toDF("orders_without_lineitems", "orders_gt7_lineitems")
     }),
     "q42_rowcount_ratio" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem").count()
-      val o = table(s, dir, "orders").count()
+      // r15: two independent counts — submit concurrently (guide §2.6)
+      val Seq(li, o) = graft.core.Par.map(Seq("lineitem", "orders"))(
+        t => table(s, dir, t).count())
       import s.implicits._
       Seq((li, o, li.toDouble / o))
         .toDF("lineitem_rows", "order_rows", "ratio")
@@ -341,10 +344,13 @@ object SparkEntry {
     }),
     "q43_agg_compare" -> ((s, dir) => {
       val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
-      val a = o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(28,2)").as("sum_orders")).head().getDecimal(0)
-      val b = li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(28,2)").as("sum_lineitem")).head().getDecimal(0)
+      // r15: two independent aggregates — submit concurrently (guide §2.6)
+      val Seq(a, b) = graft.core.Par.map(Seq[() => java.math.BigDecimal](
+        () => o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("sum_orders")).head().getDecimal(0),
+        () => li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("sum_lineitem")).head().getDecimal(0)))(
+        _.apply())
       import s.implicits._
       Seq((a.toString, b.toString)).toDF("sum_orders", "sum_lineitem")
     }),
@@ -455,9 +461,12 @@ object SparkEntry {
       // Auto forms: exact per-distinct-value CDF at oracle cardinality
       // (customer acctbal stays far under the 65536 threshold at sf0.01),
       // bin-midpoint rewrite above it — the 100 TB dispatch
-      Seq((r6(graft.drift.Drift.ksAuto(cur, ref, "c_acctbal")),
-           r6(graft.drift.Drift.wassersteinAuto(cur, ref, "c_acctbal"))))
-        .toDF("ks", "w1")
+      // r15: the two statistics are independent job chains — concurrent
+      val Seq(ks, w1) = graft.core.Par.map(Seq[() => Double](
+        () => graft.drift.Drift.ksAuto(cur, ref, "c_acctbal"),
+        () => graft.drift.Drift.wassersteinAuto(cur, ref, "c_acctbal")))(
+        _.apply())
+      Seq((r6(ks), r6(w1))).toDF("ks", "w1")
     }),
 
     // ---- anomaly (§2.14) ----
@@ -1266,16 +1275,23 @@ object SparkEntry {
       import s.implicits._
       val cust = table(s, dir, "customer")
       val tmp = graft.ops.Exprs.scratchDir("graft_rt")
-      cust.write.mode("overwrite").option("header", "true")
-        .csv(tmp + "/csv")
-      cust.write.mode("overwrite").json(tmp + "/json")
+      // r15: the two format round-trips are independent end to end —
+      // write CSV ∥ write JSON, then read+aggregate CSV ∥ JSON
+      // (guide §2.6); distinct output dirs, so the writes can't race.
+      graft.core.Par.map(Seq("csv", "json")) {
+        case "csv" => cust.write.mode("overwrite").option("header", "true")
+          .csv(tmp + "/csv")
+        case _ => cust.write.mode("overwrite").json(tmp + "/json")
+      }
       def metrics(df: org.apache.spark.sql.DataFrame) = df.agg(
         count(lit(1)).as("rows"),
         cnt(col("c_acctbal").isNull).as("nulls"),
         round(sum(col("c_acctbal")), 4).as("bal"),
         count_distinct(col("c_mktsegment")).as("segs")).head()
-      val c = metrics(graft.sources.Readers.csv(s, tmp + "/csv"))
-      val j = metrics(graft.sources.Readers.ndjson(s, tmp + "/json"))
+      val Seq(c, j) = graft.core.Par.map(Seq("csv", "json")) {
+        case "csv" => metrics(graft.sources.Readers.csv(s, tmp + "/csv"))
+        case _ => metrics(graft.sources.Readers.ndjson(s, tmp + "/json"))
+      }
       Seq((c.getLong(0), j.getLong(0), c.getLong(1), j.getLong(1),
           c.getDouble(2), j.getDouble(2), c.getLong(3)))
         .toDF("rows_csv", "rows_json", "nulls_csv", "nulls_json",
@@ -1490,16 +1506,24 @@ object SparkEntry {
       val ws = java.nio.file.Files.createTempDirectory("graft_q142").toString
       val store = graft.stores.ResultStore(ws)
       val cust = table(s, dir, "customer")
-      Seq(("r1", 211L), ("r2", 101L), ("r3", 53L), ("r4", 29L), ("r5", 17L))
-        .zipWithIndex.foreach { case ((rid, k), i) =>
-          val mutated = cust.withColumn("c_name_m",
-            when(col("c_custkey") % k === 0, lit(null))
-              .otherwise(col("c_name")))
-          val r = graft.core.SuiteRunner.run(mutated,
-            Seq(graft.validators.NullCheck(Seq("c_name_m"))),
-            graft.core.SuiteRunner.Config(datasetName = "cust_retention"))
-          store.save(s, r, rid, 1700000000000L + i * 3600000L)
-        }
+      // r15: the five validation runs are independent Spark jobs —
+      // compute them concurrently (guide §2.6 back-fill; wall = slowest
+      // run, not the sum) and keep only the SAVES sequential (append
+      // writes into one store root share a _temporary dir and must not
+      // race).
+      val results = graft.core.Par.map(Seq(
+          ("r1", 211L, 0), ("r2", 101L, 1), ("r3", 53L, 2),
+          ("r4", 29L, 3), ("r5", 17L, 4))) { case (rid, k, i) =>
+        val mutated = cust.withColumn("c_name_m",
+          when(col("c_custkey") % k === 0, lit(null))
+            .otherwise(col("c_name")))
+        (rid, i, graft.core.SuiteRunner.run(mutated,
+          Seq(graft.validators.NullCheck(Seq("c_name_m"))),
+          graft.core.SuiteRunner.Config(datasetName = "cust_retention")))
+      }
+      results.foreach { case (rid, i, r) =>
+        store.save(s, r, rid, 1700000000000L + i * 3600000L)
+      }
       val removed = store.prune(s, keepLastRuns = Some(2))
       store.metricTrend(s, "cust_retention")
         .select(col("runId").as("run_id"), col("violations"),
@@ -1587,16 +1611,18 @@ object SparkEntry {
       val cust = table(s, dir, "customer")
       def mutated(k: Long) = cust.withColumn("c_name_m",
         when(col("c_custkey") % k === 0, lit(null)).otherwise(col("c_name")))
-      val runA = graft.core.SuiteRunner.run(mutated(101L),
-        Seq(graft.validators.NullCheck(Seq("c_name_m")),
-          graft.validators.RangeCheck("c_custkey", Some(0), Some(1e9))),
-        graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
+      // r15: run the two independent validation suites concurrently
+      // (guide §2.6); saves stay sequential (shared store root).
+      val Seq(runA, runB) = graft.core.Par.map(Seq(
+          (101L, Seq(graft.validators.NullCheck(Seq("c_name_m")),
+            graft.validators.RangeCheck("c_custkey", Some(0), Some(1e9)))),
+          (53L, Seq(graft.validators.NullCheck(Seq("c_name_m")),
+            graft.validators.RangeCheck("c_custkey", Some(0), Some(100)),
+            graft.validators.SignCheck("c_acctbal"))))) { case (k, vs) =>
+        graft.core.SuiteRunner.run(mutated(k), vs,
+          graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
+      }
       store.save(s, runA, "a", 1000L)
-      val runB = graft.core.SuiteRunner.run(mutated(53L),
-        Seq(graft.validators.NullCheck(Seq("c_name_m")),
-          graft.validators.RangeCheck("c_custkey", Some(0), Some(100)),
-          graft.validators.SignCheck("c_acctbal")),
-        graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
       store.save(s, runB, "b", 2000L)
       store.diffRuns(s, "a", "b")
         .select(col("validator"), col("change"),
@@ -1613,15 +1639,18 @@ object SparkEntry {
       val ws = java.nio.file.Files.createTempDirectory("graft_store").toString
       val store = graft.stores.ResultStore(ws)
       val cust = table(s, dir, "customer")
-      Seq(("r1", 211L), ("r2", 101L), ("r3", 53L)).zipWithIndex.foreach {
-        case ((rid, k), i) =>
-          val mutated = cust.withColumn("c_name_m",
-            when(col("c_custkey") % k === 0, lit(null))
-              .otherwise(col("c_name")))
-          val r = graft.core.SuiteRunner.run(mutated,
-            Seq(graft.validators.NullCheck(Seq("c_name_m"))),
-            graft.core.SuiteRunner.Config(datasetName = "cust_history"))
-          store.save(s, r, rid, 1700000000000L + i * 3600000L)
+      // r15: compute the three independent runs concurrently (guide
+      // §2.6), save sequentially (appends share one store root).
+      graft.core.Par.map(Seq(("r1", 211L, 0), ("r2", 101L, 1),
+          ("r3", 53L, 2))) { case (rid, k, i) =>
+        val mutated = cust.withColumn("c_name_m",
+          when(col("c_custkey") % k === 0, lit(null))
+            .otherwise(col("c_name")))
+        (rid, i, graft.core.SuiteRunner.run(mutated,
+          Seq(graft.validators.NullCheck(Seq("c_name_m"))),
+          graft.core.SuiteRunner.Config(datasetName = "cust_history")))
+      }.foreach { case (rid, i, r) =>
+        store.save(s, r, rid, 1700000000000L + i * 3600000L)
       }
       store.metricTrend(s, "cust_history")
         .select(col("runId").as("run_id"), col("rowCount").as("row_count"),
@@ -1849,6 +1878,7 @@ object SparkEntry {
       val tk = docs.select(col("doc_id"), col("source"),
         graft.pipeline.Text.tokenCount(col("text")).cast("long").as("tk"))
       val s1 = run().persist() // reused by join + two except arms
+      s1.count() // materialize ONCE before the concurrent consumers
       val kept = s1.join(tk, Seq("doc_id", "source"))
       val bySrc = kept.groupBy("source")
         .agg(sum("tk").as("kt"), count(lit(1)).as("kc"))
@@ -1856,22 +1886,26 @@ object SparkEntry {
         .join(bySrc, Seq("source"), "left")
         .na.fill(0L, Seq("kt", "kc"))
         .withColumn("b", element_at(bm, col("source")))
-      val exceeded =
-        j.filter(col("b").isNotNull && col("kt") > col("b")).count()
-      val unmappedBad =
-        j.filter(col("b").isNull && col("kc") =!= col("tc")).count()
       // maximality: the first dropped doc (rank kc+1 in hash order)
       // must overflow the budget
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
         .orderBy(xxhash64(col("doc_id"), lit(42L)), col("doc_id"))
       val ranked = tk.withColumn("rk", row_number().over(w))
-      val notMaximal = j.filter(col("b").isNotNull && col("kc") < col("tc"))
-        .join(ranked, Seq("source"))
-        .filter(col("rk") === col("kc") + 1)
-        .filter(col("kt") + col("tk") <= col("b")).count()
-      val deterministic = run().exceptAll(s1).count() == 0 &&
-        s1.exceptAll(run()).count() == 0
+      // r15: the five contract checks are independent counts over the
+      // materialized sample — submit them concurrently (guide §2.6);
+      // was five sequential scheduler round-trips.
+      val Seq(exceeded, unmappedBad, notMaximal, dA, dB) =
+        graft.core.Par.map(Seq[() => Long](
+          () => j.filter(col("b").isNotNull && col("kt") > col("b")).count(),
+          () => j.filter(col("b").isNull && col("kc") =!= col("tc")).count(),
+          () => j.filter(col("b").isNotNull && col("kc") < col("tc"))
+            .join(ranked, Seq("source"))
+            .filter(col("rk") === col("kc") + 1)
+            .filter(col("kt") + col("tk") <= col("b")).count(),
+          () => run().exceptAll(s1).count(),
+          () => s1.exceptAll(run()).count()))(_.apply())
+      val deterministic = dA == 0 && dB == 0
       s1.unpersist() // result below is driver scalars only
       Seq((exceeded == 0, unmappedBad == 0, notMaximal == 0, deterministic))
         .toDF("no_budget_exceeded", "unmapped_kept_all", "maximal",
@@ -1890,19 +1924,26 @@ object SparkEntry {
         graft.pipeline.Curate(docs, "doc_id", "text")
           .sampleQuota("source", q).df.select(col("doc_id"), col("source"))
       val s1 = sample(big).persist() // reused by count/groupBy/except/join
-      val keptTotal = s1.count()
+      val keptTotal = s1.count() // also materializes before the Par fan-out
       val qm = typedlit(big)
-      val mismatch = s1.groupBy("source").agg(count(lit(1)).as("kept"))
-        .join(docs.groupBy("source").agg(count(lit(1)).as("total")),
-          Seq("source"), "right")
-        .withColumn("kept0", coalesce(col("kept"), lit(0L)))
-        .withColumn("exp", least(
-          coalesce(element_at(qm, col("source")), col("total")), col("total")))
-        .filter(col("kept0") =!= col("exp")).count()
-      val deterministic = sample(big).exceptAll(s1).count() == 0 &&
-        s1.exceptAll(sample(big)).count() == 0
-      val superset =
-        sample(small).join(s1, Seq("doc_id"), "left_anti").count() == 0
+      // r15: the four contract checks are independent jobs over the
+      // materialized sample — submit them concurrently (guide §2.6).
+      val Seq(mismatch, dA, dB, supersetMiss) =
+        graft.core.Par.map(Seq[() => Long](
+          () => s1.groupBy("source").agg(count(lit(1)).as("kept"))
+            .join(docs.groupBy("source").agg(count(lit(1)).as("total")),
+              Seq("source"), "right")
+            .withColumn("kept0", coalesce(col("kept"), lit(0L)))
+            .withColumn("exp", least(
+              coalesce(element_at(qm, col("source")), col("total")),
+              col("total")))
+            .filter(col("kept0") =!= col("exp")).count(),
+          () => sample(big).exceptAll(s1).count(),
+          () => s1.exceptAll(sample(big)).count(),
+          () => sample(small).join(s1, Seq("doc_id"), "left_anti").count()))(
+          _.apply())
+      val deterministic = dA == 0 && dB == 0
+      val superset = supersetMiss == 0
       s1.unpersist() // result below is driver scalars only
       Seq((keptTotal, mismatch, deterministic, superset))
         .toDF("kept_total", "strata_mismatch", "deterministic", "superset")
@@ -1960,20 +2001,27 @@ object SparkEntry {
       val ord = table(s, dir, "orders")
       val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
       val tmp = graft.ops.Exprs.scratchDir("graft_rt2")
-      ord.write.mode("overwrite").orc(tmp + "/orc")
-      docs.select(explode(split(col("text"), "\n")).as("value"))
-        .write.mode("overwrite").text(tmp + "/txt")
-      val o = graft.sources.Readers.orc(s, tmp + "/orc").agg(
-        count(lit(1)).as("rows"),
-        // exact integer cents: floor(double*100) is bit-deterministic,
-        // unlike a rounded double sum whose value depends on add order
-        // (explicit floor — Spark's double→long cast truncates where
-        // DuckDB's rounds, so a bare cast diverges between engines)
-        sum(floor(col("o_totalprice") * 100)).as("price"),
-        count_distinct(col("o_orderstatus")).as("stat")).head()
-      val t = graft.sources.Readers.textLines(s, tmp + "/txt").agg(
-        count(lit(1)).as("lines"),
-        sum(length(col("value"))).cast("long").as("chars")).head()
+      // r15: ORC and text round-trips are independent end to end —
+      // write ∥ write, then read+aggregate ∥ (guide §2.6); distinct dirs.
+      graft.core.Par.map(Seq("orc", "txt")) {
+        case "orc" => ord.write.mode("overwrite").orc(tmp + "/orc")
+        case _ => docs.select(explode(split(col("text"), "\n")).as("value"))
+          .write.mode("overwrite").text(tmp + "/txt")
+      }
+      val Seq(o, t) = graft.core.Par.map(
+          Seq[() => org.apache.spark.sql.Row](
+        () => graft.sources.Readers.orc(s, tmp + "/orc").agg(
+          count(lit(1)).as("rows"),
+          // exact integer cents: floor(double*100) is bit-deterministic,
+          // unlike a rounded double sum whose value depends on add order
+          // (explicit floor — Spark's double→long cast truncates where
+          // DuckDB's rounds, so a bare cast diverges between engines)
+          sum(floor(col("o_totalprice") * 100)).as("price"),
+          count_distinct(col("o_orderstatus")).as("stat")).head(),
+        () => graft.sources.Readers.textLines(s, tmp + "/txt").agg(
+          count(lit(1)).as("lines"),
+          sum(length(col("value"))).cast("long").as("chars")).head()))(
+        _.apply())
       Seq((o.getLong(0), o.getLong(1), o.getLong(2),
           t.getLong(0), t.getLong(1)))
         .toDF("rows_orc", "price_orc", "status_orc", "lines_txt", "chars_txt")
@@ -2019,10 +2067,14 @@ object SparkEntry {
       val li = table(s, dir, "lineitem").select(col("l_orderkey"))
       val ord = table(s, dir, "orders").select(col("o_orderkey"))
         .filter(col("o_orderkey") % 97 =!= 0)
-      graft.sources.Bucketing.writeBucketed(li, "g_fact_li",
-        Seq("l_orderkey"), 8, Seq("l_orderkey"))
-      graft.sources.Bucketing.writeBucketed(ord, "g_dim_ord",
-        Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      // r15: the two bucketed persists land in different tables
+      // (different directories) — write them concurrently (guide §2.6).
+      graft.core.Par.map(Seq(
+          (li, "g_fact_li", "l_orderkey"), (ord, "g_dim_ord", "o_orderkey"))) {
+        case (df, name, key) =>
+          graft.sources.Bucketing.writeBucketed(df, name, Seq(key), 8,
+            Seq(key))
+      }
       val fact = s.table("g_fact_li"); val dim = s.table("g_dim_ord")
       graft.sources.Bucketing.withoutBroadcast(s) {
         // the orphan count is taken from the SAME anti-join whose plan
@@ -2034,7 +2086,11 @@ object SparkEntry {
         val anti = fact.join(dim,
           fact("l_orderkey") === dim("o_orderkey"), "left_anti")
         val free = graft.sources.Bucketing.exchangeFree(anti)
-        Seq((fact.count(), anti.count(), free))
+        // r15: the fact count and the orphan count are independent jobs
+        // over the same bucketed layout — submit them concurrently.
+        val Seq(factRows, orphans) =
+          graft.core.Par.map(Seq(fact, anti))(_.count())
+        Seq((factRows, orphans, free))
           .toDF("fact_rows", "orphans", "exchange_free")
       }
     }),
@@ -2172,13 +2228,13 @@ object SparkEntry {
       // aggregate fixes the rule; the oracle restates the identical
       // arithmetic.
       val docs = table(s, dir, "documents")
-      val tot = docs.agg(sum(coalesce(
-        graft.pipeline.Text.tokenCount(col("text")).cast("long"), lit(0L))))
-        .head().getLong(0)
+      // r15: the corpus token total is the pack plan's own phase-1
+      // aggregate (sum of bucket totals — identical long arithmetic),
+      // so the separate sizing scan is gone: one corpus pass, not two.
+      val (plan, tot) = graft.pipeline.Pack.packPlanWithTotal(docs,
+        "doc_id", graft.pipeline.Text.tokenCount(col("text")), seqLen = 512)
       val nSeq = (tot + 511L) / 512L
       val sps = math.max(8L, (nSeq + 63L) / 64L)
-      val plan = graft.pipeline.Pack.packPlan(docs, "doc_id",
-        graft.pipeline.Text.tokenCount(col("text")), seqLen = 512)
       val tmp = graft.ops.Exprs.scratchDir("graft_shards")
       graft.pipeline.Pack.writeShards(plan, "doc_id", sps, tmp)
       s.read.parquet(tmp)
@@ -2295,8 +2351,11 @@ object SparkEntry {
         .unionByName(g1).unionByName(g2)
       val n = emb.count() + 72
       val (nb, bb) = graft.pipeline.Dedup.lshPlan(n, threshold = 0.99)
+      // r15: n is already counted for lshPlan — pass it down so the
+      // operator's auto band-serial estimate doesn't re-count the corpus
       val kept = graft.pipeline.Dedup.dedupByEmbedding(corpus, "vec_id",
-        "embedding", threshold = 0.99, bands = nb, bandBits = bb, dim = 64)
+        "embedding", threshold = 0.99, bands = nb, bandBits = bb, dim = 64,
+        knownRows = n)
       kept.agg(
         sum(when(col("vec_id") >= 10000000L, 1L).otherwise(0L))
           .as("copies_kept"),
@@ -2613,10 +2672,14 @@ object SparkEntry {
         math.ceil(2.0 * totalBits * math.acos(thr) / math.Pi).toInt))
       def sigCols(v: Column) = (0 until nb).map(b =>
         Similarity.lshBucket(v, bb, d, b * bb).as(s"s$b"))
-      val exSig = existing.select(
+      // r15: ONE bounded collect (200 index rows) feeds both the band-0
+      // collision set and the source signatures — was two separate jobs
+      // re-scanning the index.
+      val exRows = existing.select(
         col("vec_id").cast("long").as("id") +: sigCols(col("embedding")): _*)
-      val exB0 = exSig.select(col("s0")).collect().map(_.getLong(0)).toSet
-      val srcSig = exSig.filter(col("id") < 8).collect()
+        .collect()
+      val exB0 = exRows.map(_.getLong(1)).toSet
+      val srcSig = exRows.filter(_.getLong(0) < 8)
         .map(r => r.getLong(0) -> (1 to nb).map(r.getLong).toArray).toMap
       val cand = existing.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("long").as("src"), col("embedding"))

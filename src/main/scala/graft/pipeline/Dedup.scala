@@ -425,7 +425,8 @@ object Dedup {
   def embedDupLabels(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 0, bandBits: Int = 0,
                      dim: Int = 0, maxHamming: Int = -1,
-                     maxIter: Int = 25, bandSerial: Int = -1): DataFrame = {
+                     maxIter: Int = 25, bandSerial: Int = -1,
+                     knownRows: Long = -1L): DataFrame = {
     val v0 = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = if (dim > 0) Some(dim)
@@ -433,7 +434,11 @@ object Dedup {
     if (probed.isEmpty)
       return v0.select(col("id"), col("id").as("cluster")).limit(0)
     val d = probed.get
-    lazy val nRows = v0.count()
+    // knownRows: callers that already counted the corpus (for their own
+    // lshPlan call, say) pass it here so the auto band-serial estimate
+    // never re-scans the corpus just to re-learn the row count (r15 —
+    // one full pass saved per call at any scale).
+    lazy val nRows = if (knownRows >= 0) knownRows else v0.count()
     val (nb, bb) =
       if (bands > 0 && bandBits > 0) (bands, bandBits)
       else {
@@ -585,10 +590,11 @@ object Dedup {
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bands: Int = 0, bandBits: Int = 0,
                        dim: Int = 0, maxHamming: Int = -1,
-                       maxIter: Int = 25, bandSerial: Int = -1): DataFrame =
+                       maxIter: Int = 25, bandSerial: Int = -1,
+                       knownRows: Long = -1L): DataFrame =
     dedupByClusters(df, idCol,
       embedDupLabels(df, idCol, vecCol, threshold, bands, bandBits, dim,
-        maxHamming, maxIter, bandSerial))
+        maxHamming, maxIter, bandSerial, knownRows))
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): a coarse quantizer partitions the embedding
@@ -1086,11 +1092,23 @@ object Dedup {
         u
       }
     }).localCheckpoint()
-    val survivors = incoming.join(hits, Seq(idCol), "left_anti")
+    // The hit-id set is bounded by the BATCH size by construction, so the
+    // anti-join broadcasts it — without the hint the checkpointed RDD has
+    // no size statistics and the planner falls back to a sort-merge
+    // anti-join that EXCHANGES the incoming side (r15 plan audit: one
+    // Exchange + Sort per incoming union arm at any scale, for a
+    // relation the driver already bounded).
+    val survivors = incoming.join(broadcast(hits), Seq(idCol), "left_anti")
     // Step 2: in-batch transitive dedup over survivors only, with the
-    // same LSH geometry.
+    // same LSH geometry. In broadcast mode the batch (hence survivors)
+    // fits the driver by contract, so its exploded banded-join input can
+    // never reach the band-serial scratch threshold — pin fused mode
+    // instead of letting embedDupLabels run a survivors-count job (a
+    // full re-scan of the anti-join) just to conclude the same thing.
+    val step2Serial =
+      if (bandSerial == -1 && broadcastBatch) 0 else bandSerial
     dedupByEmbedding(survivors, idCol, vecCol, threshold, nb, bb, d,
-      maxHamming, maxIter, bandSerial)
+      maxHamming, maxIter, step2Serial)
   }
 
   // ---- line-level corpus dedup ----

@@ -53,7 +53,16 @@ object Pack {
     * position in the concatenated token stream; zero-token documents
     * occupy no tokens and report seq_last = seq_first. */
   def packPlan(df: DataFrame, idCol: String, tokens: Column, seqLen: Int,
-               bucketHexChars: Int = 4): DataFrame = {
+               bucketHexChars: Int = 4): DataFrame =
+    packPlanWithTotal(df, idCol, tokens, seqLen, bucketHexChars)._1
+
+  /** [[packPlan]] plus the corpus token total, which phase 1's bucket
+    * aggregate already computes (the running offset after the last
+    * bucket IS sum(n_tokens)) — callers that size shards or sequences
+    * from the total read it here instead of paying one more full
+    * corpus scan for a separate sum aggregate. */
+  def packPlanWithTotal(df: DataFrame, idCol: String, tokens: Column,
+      seqLen: Int, bucketHexChars: Int = 4): (DataFrame, Long) = {
     require(seqLen > 0, "seqLen must be positive")
     require(bucketHexChars >= 1 && bucketHexChars <= 8,
       "bucketHexChars must be in [1, 8]")
@@ -74,7 +83,7 @@ object Pack {
     val offDf = bucketOffsets.toDF("__b", "__boff")
     // Phase 2: within-bucket cumsum + broadcast bucket base offsets.
     val w = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
-    keyed.join(broadcast(offDf), Seq("__b"))
+    val plan = keyed.join(broadcast(offDf), Seq("__b"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("offset", col("__boff") + col("__cum") - col("n_tokens"))
       .withColumn("seq_first", expr(s"offset div ${seqLen}L"))
@@ -82,6 +91,7 @@ object Pack {
         expr(s"(offset + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
       .withColumn("spans_boundary", col("seq_last") > col("seq_first"))
       .drop("__k", "__b", "__boff", "__cum")
+    (plan, acc)
   }
 
   /** Shard assignment over a pack plan: shard = seq_first div
@@ -111,7 +121,17 @@ object Pack {
       .sortWithinPartitions(col("shard"),
         md5(col(idCol).cast("string")), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    sharded.agg(count_distinct(col("shard"))).head().getLong(0)
+    // Shard count = the number of shard=N partition directories the
+    // write just created (partitionBy emits exactly one per distinct
+    // shard value) — a driver-side listing of a bounded directory,
+    // replacing the count_distinct aggregate that re-ran the whole
+    // pack-plan window pass a second time (r15: one full corpus pass
+    // saved per shard write).
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      plan.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .toLong
   }
 
   /** One-aggregate accounting of a pack plan: document/token totals, the
