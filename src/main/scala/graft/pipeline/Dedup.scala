@@ -529,9 +529,9 @@ object Dedup {
       // input (two scans of the plan), which would re-run the expensive
       // banded join twice if left lazy — measured 2x the pass-1 cost
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e1.count()
+    val e1Count = e1.count()
     val l1 = dupClusters(e1.select(col("id").as("id_a"), col("p").as("id_b")),
-      maxIter = maxIter)
+      maxIter = maxIter, knownPairCount = e1Count)
       .withColumnRenamed("cluster", "lbl")
       .persist(StorageLevel.MEMORY_AND_DISK) // pass 2 + composition
     // Pass 2: cross-component verified edges; label equality screens
@@ -565,9 +565,10 @@ object Dedup {
       // same once-only materialization: the reconciliation join must not
       // re-run inside dupClusters' symmetrize-and-count
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cross.count()
+    val crossCount = cross.count()
     if (serial) labeled.unpersist()
-    val l2 = dupClusters(cross, maxIter = maxIter)
+    val l2 = dupClusters(cross, maxIter = maxIter,
+      knownPairCount = crossCount)
       .withColumnRenamed("id", "lbl").withColumnRenamed("cluster", "c2")
     // Compose: final(x) = l2(l1(x)) if its component was merged further,
     // else l1(x); unpaired ids are their own representative.
@@ -771,14 +772,12 @@ object Dedup {
     * genuinely huge graphs (or non-long ids). */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 25,
-                  driverEdgeLimit: Long = 1L << 20): DataFrame = {
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val longKeyed = e.schema("src").dataType ==
-      org.apache.spark.sql.types.LongType
-    if (longKeyed && e.count() <= driverEdgeLimit) {
+                  driverEdgeLimit: Long = 1L << 20,
+                  knownPairCount: Long = -1L): DataFrame = {
+    val pairsLongKeyed =
+      pairs.schema(idA).dataType == org.apache.spark.sql.types.LongType &&
+        pairs.schema(idB).dataType == org.apache.spark.sql.types.LongType
+    def unionFind(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -791,15 +790,33 @@ object Dedup {
         while (c != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val rows = e.collect() // bounded by driverEdgeLimit
-      e.unpersist()
       rows.foreach { r =>
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       lastRoundsTl.set(0)
-      return parent.keys.toSeq.map(id => (id, find(id)))
-        .toDF("id", "cluster")
+      parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
+    }
+    // Fast path for callers that ALREADY materialized + counted their
+    // pair relation (the fused embed-dedup passes persist-and-count both
+    // of theirs): union-find neither needs the symmetric closure nor
+    // dedup — raw pairs yield identical components — so when the caller
+    // vouches for the size we collect the pairs directly instead of
+    // paying a symmetrize+distinct shuffle, a count job and a second
+    // collect over it (r15: two shuffles + two jobs saved per call).
+    if (knownPairCount >= 0 && 2 * knownPairCount <= driverEdgeLimit &&
+        pairsLongKeyed)
+      return unionFind(pairs.select(col(idA), col(idB)).collect())
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val longKeyed = e.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longKeyed && e.count() <= driverEdgeLimit) {
+      val rows = e.collect() // bounded by driverEdgeLimit
+      e.unpersist()
+      return unionFind(rows)
     }
     // all ids of the graph — label targets (fixed; supernode contraction
     // below rewrites edges, so the final star edges alone would lose
