@@ -1521,9 +1521,9 @@ object SparkEntry {
           Seq(graft.validators.NullCheck(Seq("c_name_m"))),
           graft.core.SuiteRunner.Config(datasetName = "cust_retention")))
       }
-      results.foreach { case (rid, i, r) =>
-        store.save(s, r, rid, 1700000000000L + i * 3600000L)
-      }
+      // ONE append commit for all five runs (identical rows/layout)
+      store.saveAll(s, results.map { case (rid, i, r) =>
+        (r, rid, 1700000000000L + i * 3600000L) })
       val removed = store.prune(s, keepLastRuns = Some(2))
       store.metricTrend(s, "cust_retention")
         .select(col("runId").as("run_id"), col("violations"),
@@ -1622,8 +1622,7 @@ object SparkEntry {
         graft.core.SuiteRunner.run(mutated(k), vs,
           graft.core.SuiteRunner.Config(datasetName = "cust_diff"))
       }
-      store.save(s, runA, "a", 1000L)
-      store.save(s, runB, "b", 2000L)
+      store.saveAll(s, Seq((runA, "a", 1000L), (runB, "b", 2000L)))
       store.diffRuns(s, "a", "b")
         .select(col("validator"), col("change"),
           col("violations_a"), col("violations_b"))
@@ -1649,8 +1648,10 @@ object SparkEntry {
         (rid, i, graft.core.SuiteRunner.run(mutated,
           Seq(graft.validators.NullCheck(Seq("c_name_m"))),
           graft.core.SuiteRunner.Config(datasetName = "cust_history")))
-      }.foreach { case (rid, i, r) =>
-        store.save(s, r, rid, 1700000000000L + i * 3600000L)
+      } match { case results =>
+        // ONE append commit for all three runs (identical rows/layout)
+        store.saveAll(s, results.map { case (rid, i, r) =>
+          (r, rid, 1700000000000L + i * 3600000L) })
       }
       store.metricTrend(s, "cust_history")
         .select(col("runId").as("run_id"), col("rowCount").as("row_count"),

@@ -140,7 +140,11 @@ object Drift {
       .groupBy(col("v")).agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
       .withColumn("f1", sum(col("c1")).over(w) / n1)
       .withColumn("f2", sum(col("c2")).over(w) / n2)
-      .agg(max(abs(col("f1") - col("f2")))).head().getDouble(0)
+      // coalesce: both samples empty -> no step points -> max() is NULL;
+      // two empty distributions are identical, statistic 0 (same
+      // degenerate-input hardening as wasserstein above)
+      .agg(coalesce(max(abs(col("f1") - col("f2"))), lit(0.0)))
+      .head().getDouble(0)
   }
 
   /** 1-D Wasserstein-1 distance = ∫|F1-F2| dv over the merged support. */
@@ -160,8 +164,15 @@ object Drift {
       .withColumn("f2", sum(col("c2")).over(Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, 0)) / n2)
       .withColumn("next_v", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+    // coalesce: with a SINGLE pooled distinct value (two identical
+    // degenerate samples) every row's next_v is null, the filter leaves
+    // zero rows and sum() is NULL — the integral over an empty support
+    // is 0, not a ROW_VALUE_IS_NULL crash (r15: surfaced by a GraftProps
+    // seed; latent since the operator landed)
     step.filter(col("next_v").isNotNull)
-      .agg(sum(abs(col("f1") - col("f2")) * (col("next_v") - col("v"))))
+      .agg(coalesce(
+        sum(abs(col("f1") - col("f2")) * (col("next_v") - col("v"))),
+        lit(0.0)))
       .head().getDouble(0)
   }
 

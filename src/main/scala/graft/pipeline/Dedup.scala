@@ -958,16 +958,31 @@ object Dedup {
       .unionAll(p.filter(col("sa") === 1 && col("sb") === 0)
         .select(col("id_a").as(idCol)))
       .distinct().localCheckpoint()
-    val survivors = incoming.join(hitByExisting, Seq(idCol), "left_anti")
+    // r15: the hit set is bounded by the incoming BATCH — broadcast it
+    // so the anti-join never exchanges the incoming side (same fix as
+    // dedupIncrementEmbedding; the checkpointed RDD otherwise has no
+    // stats and plans a sort-merge anti-join).
+    val survivors = incoming.join(broadcast(hitByExisting),
+      Seq(idCol), "left_anti")
     // in-batch edges restricted to still-surviving incoming docs
     val ii = p.filter(col("sa") === 1 && col("sb") === 1)
       .join(survivors.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
       .join(survivors.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
       .select(col("id_a"), col("id_b"))
-    val clusters = dupClusters(ii) // checkpointed: independent of p
+      // r15: materialize + count once so dupClusters takes its
+      // known-size driver path (skips the symmetrize shuffle + recount)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val iiCount = ii.count()
+    val clusters = dupClusters(ii, knownPairCount = iiCount)
+    ii.unpersist()
     p.unpersist()
     pairs.unpersist()
-    dedupByClusters(survivors, idCol, clusters)
+    // the loser set is bounded by the batch's in-batch pair graph —
+    // broadcast the anti-join side for the same reason as above
+    survivors.join(broadcast(
+        clusters.filter(col("id") =!= col("cluster"))
+          .select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
   }
 
   /** Incremental EMBEDDING near-dedup: dedup an incoming embedding batch

@@ -69,6 +69,36 @@ final case class ResultStore(workspace: String) {
     runId
   }
 
+  /** Persist several runs in ONE parquet append (r15) — a backfill of N
+    * runs otherwise pays N sequential write commits for a few rows each
+    * (and appends into one store root cannot run concurrently: they
+    * share the commit protocol's `_temporary` directory). Rows, layout
+    * and index markers are identical to N [[save]] calls; only the
+    * commit count changes. Returns the runIds. */
+  def saveAll(spark: SparkSession,
+      runs: Seq[(ValidationRunResult, String, Long)],
+      tags: Map[String, String] = Map.empty): Seq[String] = {
+    if (runs.isEmpty) return Nil
+    import spark.implicits._
+    val rows = runs.flatMap { case (r, runId, runTs) =>
+      r.checks.map { c =>
+        StoredCheck(r.dataset, runId, runTs, c.validator, c.category,
+          c.passed, c.elapsedMillis, r.rowCount, r.executionMode,
+          r.scanCount,
+          c.issues.map(i => StoredIssue(i.column, i.issueType, i.count,
+            i.totalCount, i.severity, i.expected, i.actual)), tags)
+      }
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    runs.foreach { case (r, runId, _) =>
+      fs.mkdirs(indexMarker(runId, r.dataset))
+    }
+    rows.toDS().toDF().write.mode("append").partitionBy("dataset")
+      .parquet(root)
+    runs.map(_._2)
+  }
+
   /** All stored checks for one dataset — partition-pruned scan. */
   def history(spark: SparkSession, dataset: String): DataFrame =
     runs(spark).filter(col("dataset") === dataset)

@@ -1317,4 +1317,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramLogProbs: deterministic across repeated runs (local input)") {
+    // r15 regression pin: a concurrent level-table build corrupted gram
+    // keys when the levels shared `base`'s lambda-bearing tokenizer
+    // subtree over a LOCAL relation (ConvertToLocalRelation evaluates
+    // shared NamedLambdaVariable instances driver-side during each
+    // job's optimization — see Par.scala's safety note). The corruption
+    // was nondeterministic (~1 in 3 runs), so this pins bit-identical
+    // results across repetitions on exactly the racy input class: a
+    // local-relation corpus, order 5, both key modes.
+    val d = Seq((0L, "d c d b b"), (1L, ""), (2L, "b c b d c c a a d c"),
+      (3L, "a d c a a c d c d c"), (4L, "d c c a b"),
+      (5L, "a a a d b a d c b c")).toDF("doc_id", "text")
+    def fetch(fp: Boolean) =
+      Text.ngramLogProbs(d, "doc_id", "text", order = 5, minCount = 1L,
+          fingerprintKeys = fp)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+    val first = fetch(true)
+    (1 to 3).foreach { _ => assert(fetch(true) == first) }
+    val firstStr = fetch(false)
+    assert(firstStr.keySet == first.keySet)
+    first.foreach { case (k, (n, lp)) =>
+      assert(firstStr(k)._1 == n)
+      (lp, firstStr(k)._2) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-12)
+        case (x, y) => assert(x == y)
+      }
+    }
+    (1 to 2).foreach { _ => assert(fetch(false) == firstStr) }
+  }
+
 }

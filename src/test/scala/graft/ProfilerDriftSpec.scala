@@ -182,6 +182,13 @@ class ProfilerDriftSpec extends AnyFunSuite {
     val t1 = (Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)).toDF("v")
     val t2 = (Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)).toDF("v")
     assert(Drift.ksStatistic(t1, t2, "v") == 0.0)
+    // r15 regression pin: a single pooled distinct value (two identical
+    // degenerate samples) leaves zero integration intervals — the
+    // distance is 0.0, not a ROW_VALUE_IS_NULL crash (GraftProps seed
+    // found the null aggregate; latent since the operator landed)
+    val s1 = Seq(16.0).toDF("v"); val s2 = Seq(16.0).toDF("v")
+    assert(Drift.wasserstein(s1, s2, "v") == 0.0)
+    assert(Drift.ksStatistic(s1, s2, "v") == 0.0)
   }
 
   test("anomaly: MAD, percentile, Grubbs, multi-z, Mahalanobis") {
