@@ -877,10 +877,15 @@ object SparkEntry {
       val o = table(s, dir, "orders")
       val endDate = expr(
         "timestampadd(DAY, CAST(l_quantity - 25 AS INT), l_shipdate)")
-      val synth = li.agg(
-        cnt(col("l_shipdate") > endDate).as("synth_violations")).head().getLong(0)
-      val shipBeforeOrder = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .agg(cnt(col("l_shipdate") < col("o_orderdate"))).head().getLong(0)
+      // r15: the row-local scan aggregate and the cross-table join
+      // aggregate are independent — submit concurrently (guide §2.6);
+      // at sf10 the scan fully hides inside the join's wall time.
+      val Seq(synth, shipBeforeOrder) = graft.core.Par.map(Seq[() => Long](
+        () => li.agg(cnt(col("l_shipdate") > endDate)
+          .as("synth_violations")).head().getLong(0),
+        () => li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .agg(cnt(col("l_shipdate") < col("o_orderdate"))).head()
+          .getLong(0)))(_.apply())
       import s.implicits._
       Seq((synth, shipBeforeOrder))
         .toDF("synth_violations", "ship_before_order")

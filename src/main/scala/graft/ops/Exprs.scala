@@ -123,6 +123,13 @@ object Exprs {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", jvmWarehouse)
+      // AQE sort-merge -> shuffled-hash rewrite threshold (guide §3.1):
+      // when every post-shuffle build-side partition is under this size
+      // AQE drops the sort on BOTH join sides at runtime. 0 = off (the
+      // Spark default). Env-overridable for A/B; the checked-in default
+      // is the measured choice (see OPTIMIZATION_r15.md).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "0"))
 
   /** [[sessionDefaults]] plus a shuffle width sized from the data
     * directory — the local analogue of sizing reduce width to the
