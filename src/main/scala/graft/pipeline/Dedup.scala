@@ -958,12 +958,18 @@ object Dedup {
       .unionAll(p.filter(col("sa") === 1 && col("sb") === 0)
         .select(col("id_a").as(idCol)))
       .distinct().localCheckpoint()
-    // r15: the hit set is bounded by the incoming BATCH — broadcast it
-    // so the anti-join never exchanges the incoming side (same fix as
-    // dedupIncrementEmbedding; the checkpointed RDD otherwise has no
-    // stats and plans a sort-merge anti-join).
-    val survivors = incoming.join(broadcast(hitByExisting),
-      Seq(idCol), "left_anti")
+    // r15: the hit set is bounded by the incoming BATCH and already
+    // materialized (checkpoint), so its exact size is a cached-read
+    // count — broadcast the anti-join side when it is genuinely small
+    // (the planner otherwise has no stats for the checkpointed RDD and
+    // plans a sort-merge anti-join that exchanges the incoming side).
+    // The gate keeps a pathologically large hit set (huge batch, dense
+    // matches) on the shuffled plan instead of forcing an oversized
+    // broadcast.
+    val hitCount = hitByExisting.count()
+    val hitsSide =
+      if (hitCount <= 4000000L) broadcast(hitByExisting) else hitByExisting
+    val survivors = incoming.join(hitsSide, Seq(idCol), "left_anti")
     // in-batch edges restricted to still-surviving incoming docs
     val ii = p.filter(col("sa") === 1 && col("sb") === 1)
       .join(survivors.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
@@ -977,12 +983,15 @@ object Dedup {
     ii.unpersist()
     p.unpersist()
     pairs.unpersist()
-    // the loser set is bounded by the batch's in-batch pair graph —
-    // broadcast the anti-join side for the same reason as above
-    survivors.join(broadcast(
-        clusters.filter(col("id") =!= col("cluster"))
-          .select(col("id").as(idCol))),
-      Seq(idCol), "left_anti")
+    // the loser set is bounded by the in-batch pair graph: when the
+    // graph took the known-size driver path (≤ 2^19 pairs) the loser
+    // relation is at most 2^20 ids — broadcast it; a bigger graph keeps
+    // the plain anti-join (AQE decides from runtime sizes)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val losersSide =
+      if (2 * iiCount <= (1L << 20)) broadcast(losers) else losers
+    survivors.join(losersSide, Seq(idCol), "left_anti")
   }
 
   /** Incremental EMBEDDING near-dedup: dedup an incoming embedding batch
@@ -1124,13 +1133,18 @@ object Dedup {
         u
       }
     }).localCheckpoint()
-    // The hit-id set is bounded by the BATCH size by construction, so the
-    // anti-join broadcasts it — without the hint the checkpointed RDD has
-    // no size statistics and the planner falls back to a sort-merge
-    // anti-join that EXCHANGES the incoming side (r15 plan audit: one
-    // Exchange + Sort per incoming union arm at any scale, for a
-    // relation the driver already bounded).
-    val survivors = incoming.join(broadcast(hits), Seq(idCol), "left_anti")
+    // In broadcast mode the hit-id set is DRIVER-BOUNDED by contract
+    // (it is a subset of the batch ids, and the exploded batch already
+    // broadcast), so the anti-join broadcasts it — without the hint the
+    // checkpointed RDD has no size statistics and the planner falls
+    // back to a sort-merge anti-join that EXCHANGES the incoming side
+    // (r15 plan audit: one Exchange + Sort per incoming union arm, for
+    // a relation the driver already bounded). In the shuffled fallback
+    // mode the batch carries no driver-fit guarantee, so the hint is
+    // NOT forced there — AQE still converts at runtime when the hit set
+    // turns out small.
+    val hitsSide = if (broadcastBatch) broadcast(hits) else hits
+    val survivors = incoming.join(hitsSide, Seq(idCol), "left_anti")
     // Step 2: in-batch transitive dedup over survivors only, with the
     // same LSH geometry. In broadcast mode the batch (hence survivors)
     // fits the driver by contract, so its exploded banded-join input can

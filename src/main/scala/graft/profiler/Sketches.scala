@@ -77,8 +77,6 @@ object Sketches {
     val mightContain = udf((x: java.lang.Long) =>
       x != null && bfB.value.mightContainLong(x))
     val keyed = child.filter(col(childKey).isNotNull)
-    val definiteOrphans =
-      keyed.filter(!mightContain(col(childKey).cast("long"))).count()
     val survivors = keyed.filter(mightContain(col(childKey).cast("long")))
     // Exact residual check over the bloom survivors: a PLAIN anti-join —
     // no forced broadcast of the parent. The bloom path exists precisely
@@ -86,9 +84,14 @@ object Sketches {
     // would re-create the driver OOM the sketch was meant to avoid. AQE
     // still converts to broadcast at runtime when the parent turns out
     // small. The bloom has already cut the probe side to ~fpp of rows.
-    val residual = survivors.join(
-      parent.select(col(parentKey)).distinct(),
-      survivors(childKey) === col(parentKey), "left_anti").count()
+    // r15: the definite-reject count and the residual anti-join are
+    // independent child passes — submit them concurrently (guide §2.6).
+    val Seq(definiteOrphans, residual) = graft.core.Par.map(Seq[() => Long](
+      () => keyed.filter(!mightContain(col(childKey).cast("long"))).count(),
+      () => survivors.join(
+        parent.select(col(parentKey)).distinct(),
+        survivors(childKey) === col(parentKey), "left_anti").count()))(
+      _.apply())
     definiteOrphans + residual
   }
 }
