@@ -966,9 +966,33 @@ object Dedup {
     // The gate keeps a pathologically large hit set (huge batch, dense
     // matches) on the shuffled plan instead of forcing an oversized
     // broadcast.
-    val hitCount = hitByExisting.count()
+    //
+    // r16 — the gate is in BYTES, not rows (ADVICE r15): a row gate
+    // admits 4M WIDE STRING ids into a broadcast that builds to
+    // hundreds of MB per executor (guide §5). Estimated built size =
+    // rows × (hash-relation entry overhead ≈ 48 B + key width); string
+    // keys measure their exact total bytes in the same cached-read job
+    // as the count, fixed-width keys are 8 B. Default budget 256 MB
+    // (`spark.graft.incrementBroadcastBytes`) keeps the former 4M-row
+    // behavior for long ids (4M × 56 B = 224 MB) and falls back to the
+    // shuffled anti-join for ids wide enough to blow the budget.
+    val gateBytes = incoming.sparkSession.conf
+      .get("spark.graft.incrementBroadcastBytes", (256L << 20).toString)
+      .toLong
+    val idIsString = incoming.schema(idCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val (hitCount, hitIdBytes) =
+      if (idIsString) {
+        val r = hitByExisting.agg(count(lit(1)),
+          coalesce(sum(octet_length(col(idCol))), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      } else {
+        val c = hitByExisting.count(); (c, 8L * c)
+      }
+    val avgIdW = if (hitCount > 0) hitIdBytes.toDouble / hitCount else 8.0
     val hitsSide =
-      if (hitCount <= 4000000L) broadcast(hitByExisting) else hitByExisting
+      if (48L * hitCount + hitIdBytes <= gateBytes) broadcast(hitByExisting)
+      else hitByExisting
     val survivors = incoming.join(hitsSide, Seq(idCol), "left_anti")
     // in-batch edges restricted to still-surviving incoming docs
     val ii = p.filter(col("sa") === 1 && col("sb") === 1)
@@ -986,11 +1010,16 @@ object Dedup {
     // the loser set is bounded by the in-batch pair graph: when the
     // graph took the known-size driver path (≤ 2^19 pairs) the loser
     // relation is at most 2^20 ids — broadcast it; a bigger graph keeps
-    // the plain anti-join (AQE decides from runtime sizes)
+    // the plain anti-join (AQE decides from runtime sizes). r16: the
+    // bound is in BYTES like the hit gate above — loser ids draw from
+    // the same batch-id domain, so the hit set's measured average width
+    // (8 B for fixed-width ids) prices them without another job.
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     val losersSide =
-      if (2 * iiCount <= (1L << 20)) broadcast(losers) else losers
+      if ((2 * iiCount * (48.0 + avgIdW)).toLong <= math.min(
+            gateBytes, 64L << 20)) broadcast(losers)
+      else losers
     survivors.join(losersSide, Seq(idCol), "left_anti")
   }
 
@@ -1295,12 +1324,39 @@ object Dedup {
           Text.shingleHashes(col("__t"), k, GramSeed2).as("h2"))))
       .select(col("id"), col("pos"),
         col("col.h1").as("h1"), col("col.h2").as("h2"))
+    // r16 — the flagged set is materialized (it is O(duplicated grams),
+    // small by definition on a healthy corpus) so its EXACT size picks
+    // the join-back strategy instead of leaving the corpus-sized stream
+    // exchange to plan-time estimates (guide §3.1/§3.2):
+    //   - at or under `spark.graft.gramFlagBroadcastRows` (default 4M)
+    //     the flagged set BROADCASTS — the position stream is scanned,
+    //     never shuffled;
+    //   - past the gate (boilerplate-heavy corpora), a broadcast BLOOM
+    //     over the flagged 128-bit keys screens the stream BEFORE the
+    //     join exchange (guide §3.2) — false positives only cost a
+    //     little extra shuffle, no false negatives, so the join output
+    //     is unchanged; the exchange then carries ~the duplicated
+    //     positions instead of every token position in the corpus.
     val flagged = g.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col("id"), col("pos"))).as("__canon"))
       .filter(col("__c") >= minCount)
       .select(col("h1"), col("h2"), col("__canon"))
-    g.join(flagged, Seq("h1", "h2"))
+      .localCheckpoint()
+    val nFlag = flagged.count()
+    val bcastGate = df.sparkSession.conf
+      .get("spark.graft.gramFlagBroadcastRows", "4000000").toLong
+    val joined =
+      if (nFlag <= bcastGate) g.join(broadcast(flagged), Seq("h1", "h2"))
+      else {
+        val bf = flagged.select(xxhash64(col("h1"), col("h2")).as("__k"))
+          .stat.bloomFilter("__k", math.max(nFlag, 1L), 0.03)
+        val bfB = df.sparkSession.sparkContext.broadcast(bf)
+        g.filter(coalesce(graft.functions.BloomMightContainLong(
+            xxhash64(col("h1"), col("h2")), bfB), lit(false)))
+          .join(flagged, Seq("h1", "h2"))
+      }
+    joined
       .filter(col("id") =!= col("__canon.id") ||
         col("pos") =!= col("__canon.pos"))
       .select(col("id"), col("pos"))

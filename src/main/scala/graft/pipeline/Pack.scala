@@ -120,7 +120,14 @@ object Pack {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"),
         md5(col(idCol).cast("string")), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      // r16: STATIC overwrite pinned per-write (ADVICE r15) — the
+      // directory-listing shard count below is exact only if overwrite
+      // clears stale shard= dirs from a prior write to the same path;
+      // a session running in dynamic partition-overwrite mode would
+      // keep them and inflate the count.
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(path)
     // Shard count = the number of shard=N partition directories the
     // write just created (partitionBy emits exactly one per distinct
     // shard value) — a driver-side listing of a bounded directory,

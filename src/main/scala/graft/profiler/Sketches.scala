@@ -42,16 +42,17 @@ object Sketches {
     * filter built from `keys` — the scalable pre-filter for FK checks when
     * the parent is too big to broadcast exactly. No false negatives, so
     * orphan detection stays sound (survivors still need the exact join).
-    * The probe is a broadcast-backed UDF — the one place a UDF is the
-    * honest tool (sketch probes have no Column form in Spark's public API). */
+    * r16: the probe is the native broadcast-backed
+    * [[graft.functions.BloomMightContainLong]] expression (whole-stage
+    * codegen, zero boxing) — it calls the same `mightContainLong`, with
+    * `coalesce(..., false)` restating the former UDF's null→false rule. */
   def bloomPreFilter(df: DataFrame, probeCol: String,
                      keys: DataFrame, keyCol: String,
                      expectedItems: Long = 1000000L): DataFrame = {
     val bf = bloom(keys, keyCol, expectedItems)
     val bfB = df.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((x: java.lang.Long) =>
-      x != null && bfB.value.mightContainLong(x))
-    df.filter(mightContain(col(probeCol).cast("long")))
+    df.filter(coalesce(graft.functions.BloomMightContainLong(
+      col(probeCol).cast("long"), bfB), lit(false)))
   }
 
   /** Orphan count via the bloom path, CORRECTLY: rows the bloom
@@ -74,8 +75,11 @@ object Sketches {
       else math.max(parent.count(), 1L)
     val bf = bloom(parent, parentKey, items)
     val bfB = child.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((x: java.lang.Long) =>
-      x != null && bfB.value.mightContainLong(x))
+    // r16: native codegen probe (see bloomPreFilter) — value-identical
+    // to the former UDF incl. its null→false rule (coalesce), minus the
+    // per-row boxing on the operator's full-child-scan passes.
+    val mightContain = (c: Column) => coalesce(
+      graft.functions.BloomMightContainLong(c, bfB), lit(false))
     val keyed = child.filter(col(childKey).isNotNull)
     val survivors = keyed.filter(mightContain(col(childKey).cast("long")))
     // Exact residual check over the bloom survivors: a PLAIN anti-join —

@@ -38,7 +38,7 @@ object MlAnomaly {
       size: Int)
 
   final case class IsoForest(trees: Seq[Array[Node]], psi: Int)
-      extends Serializable {
+      extends graft.functions.ArrayScorer {
     private def c(n: Double): Double =
       if (n <= 1) 0.0 else 2.0 * (math.log(n - 1) + 0.5772156649) -
         2.0 * (n - 1) / n
@@ -139,12 +139,14 @@ object MlAnomaly {
       .map(r => Array.tabulate(cols.size)(r.getDouble))
   }
 
-  /** Score every row distributed via the broadcast-forest UDF. */
-  def scoreCol(forest: IsoForest, cols: Seq[String]): Column = {
-    val f = udf((xs: scala.collection.Seq[Double]) =>
-      forest.score(xs.toArray))
-    f(array(cols.map(c => col(c).cast("double")): _*))
-  }
+  /** Score every row distributed via the broadcast forest — a native
+    * [[graft.functions.ScoreArray]] expression (whole-stage codegen,
+    * zero per-row boxing; r16 — the former `udf` form paid two
+    * Seq/array conversions per scored row). Scores are bit-identical:
+    * the expression calls the same `IsoForest.score`. */
+  def scoreCol(forest: IsoForest, cols: Seq[String]): Column =
+    graft.functions.ScoreArray(
+      array(cols.map(c => col(c).cast("double")): _*), forest)
 
   // ---- Local Outlier Factor (sample-only, O(n²)) ----
 
@@ -191,7 +193,10 @@ object MlAnomaly {
     * distributes like the isolation forest's. */
   final case class OcsvmModel(w: Array[Double], rho: Double,
       omega: Array[Array[Double]], bias: Array[Double],
-      mean: Array[Double], std: Array[Double]) extends Serializable {
+      mean: Array[Double], std: Array[Double])
+      extends graft.functions.ArrayScorer {
+    /** [[graft.functions.ArrayScorer]] surface — the decision function. */
+    override def score(xs: Array[Double]): Double = decision(xs)
     private[validators] def features(x: Array[Double]): Array[Double] = {
       val d = omega.length
       val out = new Array[Double](d)
@@ -262,14 +267,13 @@ object MlAnomaly {
     model0.copy(w = w, rho = rho)
   }
 
-  /** Distributed decision-function column via the broadcast-model UDF
-    * (same justification as `scoreCol`: cos/dot loops have no Column-API
-    * form worth the expression-tree size). f < 0 ⇒ outlier. */
-  def ocsvmDecisionCol(model: OcsvmModel, cols: Seq[String]): Column = {
-    val f = udf((xs: scala.collection.Seq[Double]) =>
-      model.decision(xs.toArray))
-    f(array(cols.map(c => col(c).cast("double")): _*))
-  }
+  /** Distributed decision-function column via the broadcast model —
+    * native [[graft.functions.ScoreArray]] expression like `scoreCol`
+    * (r16; same bit-identical-by-construction argument). f < 0 ⇒
+    * outlier. */
+  def ocsvmDecisionCol(model: OcsvmModel, cols: Seq[String]): Column =
+    graft.functions.ScoreArray(
+      array(cols.map(c => col(c).cast("double")): _*), model)
 
   // ---- DBSCAN (sample-only, O(n²)) ----
 

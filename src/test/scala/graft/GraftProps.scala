@@ -1054,4 +1054,39 @@ object GraftProps extends Properties("graft") {
       s"cos=$cos l2=$l2 cosZ=$cosZ evCos=$evCos evL2=$evL2"
   }
 
+  // r16: exact-duplicate pre-collapse must not change the kept set —
+  // exact copies share every band signature and verify at cosine 1, so
+  // the component structure over representatives expands to the same
+  // components over members, and the min-id keep rule picks the same
+  // ids (a group's representative IS its min id). Geometry is pinned
+  // (explicit bands/bandBits) so both paths see the identical LSH plan.
+  property("dedupByEmbedding preCollapseExact keeps the identical set") =
+    forAll(
+      Gen.choose(2, 6), // distinct base vectors
+      Gen.listOfN(8, Gen.choose(1, 4)), // replication per vector (cycled)
+      Gen.choose(0L, 1000L)) { (nVec, reps, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bases = Array.fill(nVec)(
+        Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Float])]
+      var id = 0L
+      bases.zipWithIndex.foreach { case (v, i) =>
+        (0 until reps(i % reps.size)).foreach { _ =>
+          rows += ((id, v.clone())); id += 1
+        }
+      }
+      val df = rnd.shuffle(rows.toSeq).toDF("vid", "emb")
+        .unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+          .toDF("vid", "emb"))
+      def kept(pc: Boolean): Set[Long] =
+        graft.pipeline.Dedup.dedupByEmbedding(df, "vid", "emb",
+            threshold = 0.95, bands = 8, bandBits = 4, dim = 8,
+            preCollapseExact = pc)
+          .select("vid").as[Long].collect().toSet
+      val plain = kept(false)
+      val collapsed = kept(true)
+      Prop(plain == collapsed) :| s"plain=$plain collapsed=$collapsed"
+    }
+
 }

@@ -93,4 +93,45 @@ class MlAnomalySpec extends AnyFunSuite {
       .runScan(blob, 403)
     assert(issues.nonEmpty && issues.head.count >= 3)
   }
+
+  // r16: scoring went native (ScoreArray expression). Parity: the
+  // expression must be bit-identical to the former UDF closure form
+  // (both call the same model method), and the scoring plan must carry
+  // no ScalaUDF / BatchEval node.
+  test("native ScoreArray is bit-identical to the UDF scoring form") {
+    val df = blob
+    val forest = MlAnomaly.fitForest(
+      MlAnomaly.hashSample(df, Seq("x", "y"), 4096))
+    val model = MlAnomaly.fitOcsvm(
+      MlAnomaly.hashSample(df, Seq("x", "y"), 4096), nu = 0.05)
+    val fUdf = udf((xs: scala.collection.Seq[Double]) =>
+      forest.score(xs.toArray))
+    val oUdf = udf((xs: scala.collection.Seq[Double]) =>
+      model.decision(xs.toArray))
+    val arr = array(col("x").cast("double"), col("y").cast("double"))
+    val rows = df.select(
+        MlAnomaly.scoreCol(forest, Seq("x", "y")).as("ifN"),
+        fUdf(arr).as("ifU"),
+        MlAnomaly.ocsvmDecisionCol(model, Seq("x", "y")).as("ocN"),
+        oUdf(arr).as("ocU"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    val plan = df.select(MlAnomaly.scoreCol(forest, Seq("x", "y")),
+        MlAnomaly.ocsvmDecisionCol(model, Seq("x", "y")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+      s"scoring plan still carries a UDF:\n$plan")
+  }
+
+  test("ScoreArray null array input yields null") {
+    val forest = MlAnomaly.fitForest(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val out = Seq((1, true), (2, false)).toDF("id", "present")
+      .select(graft.functions.ScoreArray(
+        when(col("present"), array(lit(0.5), lit(0.5))), forest).as("s"))
+      .orderBy(col("s").asc_nulls_first).collect()
+    assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
+  }
 }

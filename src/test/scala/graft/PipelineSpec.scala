@@ -814,6 +814,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaTwo == Set(3L, 5L))
   }
 
+  test("dedupIncrement byte gate: wide string ids fall back to the " +
+      "shuffled anti-join with identical results") {
+    // r16 — the hit/loser broadcast gates price rows × (48 + key
+    // width) against spark.graft.incrementBroadcastBytes. With the
+    // budget floored the hint must disappear (shuffled plan), with the
+    // default it must broadcast; results identical either way.
+    val wide = docs.select(
+      concat(lit("k" * 200), $"id".cast("string")).as("id"), $"text")
+    def run() = Dedup.dedupIncrement(
+      wide.filter($"id".endsWith("1")), wide.filter(!$"id".endsWith("1")),
+      "id", "text", shingleN = 3, threshold = 0.5, useLsh = false)
+    // auto-broadcast OFF for both runs: on this tiny fixture the
+    // checkpointed relations carry small origin stats and would
+    // auto-broadcast regardless, masking what the test pins — that the
+    // byte gate adds/removes the FORCED hint.
+    def smjAnti(plan: String): Boolean = plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dflt = run()
+      val defaultKept = dflt.select("id").as[String].collect().toSet
+      val defaultPlan = dflt.queryExecution.sparkPlan.toString
+      assert(!smjAnti(defaultPlan),
+        s"default budget should broadcast the hit-set anti-join:\n" +
+          defaultPlan)
+      spark.conf.set("spark.graft.incrementBroadcastBytes", "1")
+      val gated = run()
+      val gatedPlan = gated.queryExecution.sparkPlan.toString
+      assert(smjAnti(gatedPlan),
+        s"1-byte budget must fall back to the shuffled anti-join:\n" +
+          gatedPlan)
+      assert(gated.select("id").as[String].collect().toSet == defaultKept)
+    } finally {
+      spark.conf.unset("spark.graft.incrementBroadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedupIncrementEmbedding: direct-hit drop, chain survival, in-batch") {
     // Cosine-space restatement of dedupIncrement's two-step semantics,
     // with the chain geometry exact copies cannot plant: unit vectors at
@@ -1004,6 +1042,19 @@ class PipelineSpec extends AnyFunSuite {
     val (nSpans, nStrip) = naiveSubstring(fxSeq, 4, 2)
     assert(nSpans == spans && nStrip == stripped)
     assert(naiveSubstring(fxSeq, 4, 3)._1 == spans3)
+    // r16: past the flagged-set broadcast gate the census join-back
+    // engages the bloom screen path — spans/strips identical (the bloom
+    // has no false negatives; false positives only re-enter the exact
+    // join). Gate forced to 0 so the screen runs on this tiny fixture.
+    spark.conf.set("spark.graft.gramFlagBroadcastRows", "0")
+    try {
+      val spansB = Dedup.repeatedGramSpans(fx, "id", "text", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(spansB == spans)
+      val strippedB = Dedup.stripRepeatedSubstrings(fx, "id", "text", k = 4)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(strippedB == stripped)
+    } finally spark.conf.unset("spark.graft.gramFlagBroadcastRows")
   }
 
   test("repeatedGramSpans/strip: naive parity on real fixture + plants") {
@@ -1347,6 +1398,64 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
     (1 to 2).foreach { _ => assert(fetch(false) == firstStr) }
+  }
+
+  test("ngramLogProbs: shuffled-hash level joins are value-identical " +
+      "past the broadcast gate") {
+    // r16 — with lmBroadcastRows=0 every level takes the over-gate path;
+    // lmShuffledHash picks shuffled-hash vs sort-merge for it. All three
+    // configurations must score identically, and the over-gate SHJ plan
+    // must carry ShuffledHashJoin (not SortMergeJoin) level joins.
+    val d = Seq((0L, "d c d b b a c d"), (1L, ""),
+      (2L, "b c b d c c a a d c"), (3L, "a d c a a c d c d c"),
+      (4L, "d c c a b"), (5L, "a a a d b a d c b c")).toDF("doc_id", "text")
+    def run() = Text.ngramLogProbs(d, "doc_id", "text", order = 3,
+      minCount = 1L)
+    def fetch() = run().collect().map(r => r.getLong(0) ->
+      (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // join-strategy changes permute the rows feeding each doc's avg()
+    // partial aggregates, so scores agree to FP-accumulation order
+    // (1e-12), not bit-exactly — same tolerance as every LM parity
+    // test here (declared queries round to 6 decimals).
+    def sameScores(a: Map[Long, (Long, Option[Double])],
+        b: Map[Long, (Long, Option[Double])]): Unit = {
+      assert(a.keySet == b.keySet)
+      a.foreach { case (k, (n, lp)) =>
+        assert(b(k)._1 == n)
+        (lp, b(k)._2) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-12)
+          case (x, y) => assert(x == y)
+        }
+      }
+    }
+    val dflt = fetch()
+    try {
+      // NB the level num/denom TABLE joins stay sort-merge in both
+      // configs; only the order(=3) hinted STREAM joins flip strategy,
+      // so compare counts, not absence. Auto-broadcast OFF: on this
+      // tiny fixture the checkpointed level tables carry small origin
+      // stats and would broadcast on their own, masking the hint.
+      def nSmj(p: String) = p.sliding("SortMergeJoin".length)
+        .count(_ == "SortMergeJoin")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.lmBroadcastRows", "0")
+      spark.conf.set("spark.graft.lmShuffledHash", "true")
+      val shjPlan = run().queryExecution.sparkPlan.toString
+      assert(shjPlan.contains("ShuffledHashJoin"),
+        s"over-gate levels should plan shuffled-hash:\n$shjPlan")
+      sameScores(fetch(), dflt)
+      spark.conf.set("spark.graft.lmShuffledHash", "false")
+      val smjPlan = run().queryExecution.sparkPlan.toString
+      assert(!smjPlan.contains("ShuffledHashJoin") &&
+        nSmj(smjPlan) >= nSmj(shjPlan) + 3,
+        s"lmShuffledHash=false should restore sort-merge stream joins:\n" +
+          smjPlan)
+      sameScores(fetch(), dflt)
+    } finally {
+      spark.conf.unset("spark.graft.lmBroadcastRows")
+      spark.conf.unset("spark.graft.lmShuffledHash")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
 }
